@@ -1,0 +1,72 @@
+"""Static render/trace configuration.
+
+The reference has no runtime config at all -- resolution, spp and bounce
+budgets are compile-time constants (main.cxx:22-37, cuda_impl.cu:59-60,
+raytracer.hxx:20; SURVEY #25). Here the equivalents are explicit, hashable
+dataclasses passed as *static* jit arguments, so each configuration traces
+to its own specialized XLA program (the TPU analogue of the reference's
+template/constexpr specialization).
+
+``TraceOptions`` also carries the quirk-compat switches (SURVEY section 7
+"quirk policy"): defaults are the *corrected* physics; the reference's exact
+behaviors are reproducible for validation via the presets below.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceOptions:
+    """Semantics switches for the integrator (all static)."""
+
+    # Minimum hit distance epsilon (raytracer.hxx:98; cuda_impl.cu:176).
+    t_min: float = 0.008
+    # Random vector used by lambert/metal scatter: "unit" = normalized
+    # (CUDA, cuda_impl.cu:206/220, true Lambertian) or "ball" = unnormalized
+    # point in the unit sphere (CPU, raytracer.hxx:134/147; quirk Q3).
+    scatter_sample: str = "unit"
+    # Sky gradient parameter: "cuda" = .5*y+.5 (cuda_impl.cu:293, correct)
+    # or "cpu" = .5*y+1 (main.cxx:71; quirk Q6, can overflow u8).
+    sky: str = "cuda"
+    # Refraction formula: "physical" (standard Snell) or "reference"
+    # (math.hxx:304-308 scalar-broadcast expression; see ops/math3.py).
+    refract: str = "physical"
+    # Sphere-block size for the streamed closest-hit reduction.
+    sphere_block: int = 512
+
+    def __post_init__(self):
+        assert self.scatter_sample in ("unit", "ball")
+        assert self.sky in ("cuda", "cpu")
+        assert self.refract in ("physical", "reference")
+
+
+# The semantics of the reference's ACTIVE renderer (the CUDA path).
+REFERENCE_CUDA = TraceOptions(scatter_sample="unit", sky="cuda",
+                              refract="reference")
+# The semantics of the reference's dead CPU renderer.
+REFERENCE_CPU = TraceOptions(scatter_sample="ball", sky="cpu",
+                             refract="reference")
+# Corrected physics (framework default).
+DEFAULT = TraceOptions()
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """A full render job (the analogue of app::data + cuda::data constants).
+
+    width/height: main.cxx:25-31; spp: main.cxx:23 (16, CPU) and
+    cuda_impl.cu:59 (48, CUDA); max_depth: raytracer.hxx:20 (64, CPU) and
+    cuda_impl.cu:60 (32, CUDA).
+    """
+
+    width: int = 1920
+    height: int = 1080
+    spp: int = 48
+    max_depth: int = 32
+    camera_mode: str = "thinlens"  # see models/camera.py
+    options: TraceOptions = DEFAULT
+    # Upper bound on rays traced per device program invocation; pixels x spp
+    # are tiled to stay under this (HBM working-set control).
+    rays_per_chunk: int = 1 << 20

@@ -1,0 +1,168 @@
+"""Wavefront integrator: the bounce loop as fixed-trip masked iteration.
+
+The reference's integrator is a per-thread loop with data-dependent early
+returns (app::color, main.cxx:52-75; cuda::color, cuda_impl.cu:265-297):
+  hit -> scatter -> attenuation *= albedo, continue
+  metal absorb   -> return black
+  miss           -> return sky(t) * attenuation
+  depth exhausted-> return black
+
+Data-dependent control flow does not exist under XLA tracing, so the loop
+becomes a `lax.scan` over a *fixed* bounce count with an explicit live-ray
+mask (the wavefront reformulation from the BASELINE north star). Per-ray
+state lives in HBM as SoA arrays; each bounce is one fused intersect pass +
+one fused scatter pass over the whole wavefront:
+
+  state: origin (N,3), dir (N,3), attenuation (N,3), result (N,3), alive (N,)
+  per bounce:
+    t, idx, hit = closest_hit(...)                # ops/intersect.py
+    result += (alive & ~hit) ? attenuation * sky(dir) : 0
+    new_dir, alb, valid = scatter(...)            # ops/scatter.py
+    attenuation *= alb   where scattering
+    alive = alive & hit & valid
+
+Rays still alive after max_depth contribute black, exactly like the
+reference's loop falling through (main.cxx:74, cuda_impl.cu:296).
+
+Two drivers over the same step function:
+  - ``trace(...)``:       `lax.scan`, reverse-mode differentiable (used by
+                          inverse rendering; each step is rematerialized via
+                          jax.checkpoint to keep memory O(N) not O(N*depth)).
+  - ``trace_fast(...)``:  `lax.while_loop` with an any-alive early exit --
+                          forward-only, skips tail bounces once the
+                          wavefront dies out (big win on sky-dominated
+                          scenes at depth 50).
+
+RNG: the per-bounce key is fold_in(ray_key, TAG_BOUNCE + bounce) -- a pure
+function of (pixel, sample, bounce), so results are independent of
+wavefront chunking and device sharding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TraceOptions
+from ..models.scene import Scene
+from . import math3, rng
+from .intersect import closest_hit, hit_surface
+from .scatter import scatter
+
+SKY_WHITE = (1.0, 1.0, 1.0)
+SKY_BLUE = (0.5, 0.7, 1.0)  # main.cxx:49; cuda_impl.cu:125
+
+
+def background_color(direction, options: TraceOptions):
+    """Vertical sky gradient mix(white, blue, t) (SURVEY #18).
+
+    t = .5*unit_y + .5 under "cuda" (cuda_impl.cu:293, correct) or
+    t = .5*unit_y + 1  under "cpu"  (main.cxx:71, quirk Q6). ``mix`` is
+    unclamped in both, as in math.hxx:325-335.
+    """
+    unit_y = math3.normalize(direction)[..., 1]
+    t = 0.5 * unit_y + (0.5 if options.sky == "cuda" else 1.0)
+    white = jnp.asarray(SKY_WHITE)
+    blue = jnp.asarray(SKY_BLUE)
+    return math3.mix(white, blue, t[..., None])
+
+
+def _sphere_sample(key, options: TraceOptions):
+    if options.scatter_sample == "unit":
+        return rng.unit_vector(key)
+    return rng.in_unit_sphere(key)
+
+
+def _bounce_step(scene: Scene, options: TraceOptions, state, bounce):
+    """One wavefront bounce. ``bounce`` may be a traced scalar."""
+    origin, direction, atten, result, alive, ray_keys = state
+
+    t, idx, hit = closest_hit(origin, direction, scene.centers, scene.radii,
+                              options.t_min, options.sphere_block)
+    pos, normal = hit_surface(origin, direction, t, idx, hit,
+                              scene.centers, scene.radii)
+
+    # Gather material params for each ray's hit sphere.
+    mi = scene.material_index[idx]
+    mtype = scene.mtype[mi]
+    albedo = scene.albedo[mi]
+    fuzz = scene.fuzz[mi]
+    ior = scene.ior[mi]
+
+    # Per-bounce randomness (see ops/rng.py draw-order contract).
+    kb = jax.vmap(rng.bounce_key, in_axes=(0, None))(ray_keys, bounce)
+    k_vec = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 0)
+    k_rr = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 1)
+    rand_vec = jax.vmap(_sphere_sample, in_axes=(0, None))(k_vec, options)
+    ru = jax.vmap(rng.rr_uniform)(k_rr)
+
+    new_dir, alb, valid = scatter(direction, normal, mtype, albedo, fuzz,
+                                  ior, rand_vec, ru, options)
+
+    sky = background_color(direction, options)
+    miss_now = alive & ~hit
+    scatter_now = alive & hit & valid
+
+    result = result + jnp.where(miss_now[:, None], atten * sky, 0.0)
+    atten = jnp.where(scatter_now[:, None], atten * alb, atten)
+    origin = jnp.where(scatter_now[:, None], pos, origin)
+    direction = jnp.where(scatter_now[:, None], new_dir, direction)
+
+    return (origin, direction, atten, result, scatter_now, ray_keys)
+
+
+def _init_state(origins, directions, ray_keys):
+    n = origins.shape[0]
+    return (
+        origins,
+        directions,
+        jnp.ones((n, 3), jnp.float32),  # attenuation (main.cxx:56)
+        jnp.zeros((n, 3), jnp.float32),  # accumulated radiance
+        jnp.ones((n,), bool),  # alive
+        ray_keys,
+    )
+
+
+def trace(scene: Scene, origins, directions, ray_keys, max_depth: int,
+          options: TraceOptions):
+    """Differentiable fixed-depth trace -> radiance (N, 3).
+
+    `lax.scan` over bounces with per-step rematerialization
+    (jax.checkpoint): backward pass memory stays O(N) instead of
+    O(N * max_depth) -- the standard TPU trade of HBM for recomputed FLOPs.
+    """
+    step = functools.partial(_bounce_step, scene, options)
+
+    @jax.checkpoint
+    def body(state, bounce):
+        return step(state, bounce), None
+
+    state, _ = jax.lax.scan(body, _init_state(origins, directions, ray_keys),
+                            jnp.arange(max_depth))
+    return state[3]
+
+
+def trace_fast(scene: Scene, origins, directions, ray_keys, max_depth: int,
+               options: TraceOptions):
+    """Forward-only trace with any-alive early exit (`lax.while_loop`).
+
+    Bitwise-identical radiance to ``trace`` (same per-step math and RNG),
+    but stops as soon as every ray has terminated -- the wavefront analogue
+    of the reference threads' early returns.
+    """
+    step = functools.partial(_bounce_step, scene, options)
+
+    def cond(carry):
+        bounce, state = carry
+        return (bounce < max_depth) & jnp.any(state[4])
+
+    def body(carry):
+        bounce, state = carry
+        return bounce + 1, step(state, bounce)
+
+    _, state = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), _init_state(origins, directions,
+                                               ray_keys)))
+    return state[3]

@@ -1,0 +1,134 @@
+"""High-level renderer: camera-ray generation + wavefront trace + tiling.
+
+This is the TPU replacement for both launchers (SURVEY #19/#20/#21):
+  - CPU nested pixel loops + per-pixel sample buffer (main.cxx:185-215)
+  - CUDA host launcher + thrust::transform over pixels (cuda_impl.cu:384-453)
+
+Structure:
+  * The unit of device work is ``render_pixels``: a jitted function over a
+    flat chunk of P pixel ids that scans over spp *waves* -- each wave
+    traces P*wave_spp rays through the wavefront integrator and accumulates
+    into a (P, 3) framebuffer chunk. Memory is O(P * wave_spp) rays,
+    independent of total spp.
+  * ``render`` tiles the full image over pixel chunks (host loop over jit
+    calls, one compiled program reused for every chunk).
+
+Every random draw is keyed by (global pixel id, global sample id) only
+(ops/rng.py), so the image is invariant to chunk size, wave size, and
+device sharding.
+
+Pixel addressing matches the reference exactly: pixel_index = x + y*width,
+row 0 at the top (cuda_impl.cu:363-364), u = (x + U01)/width,
+v = (y + U01)/height (cuda_impl.cu:370-371).
+"""
+
+from __future__ import annotations
+
+import functools
+import math as _math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RenderConfig, TraceOptions
+from .models.camera import Camera, camera_ray
+from .models.scene import Scene
+from .ops import rng
+from .ops.integrate import trace, trace_fast
+
+
+def make_primary_rays(cam: Camera, pixel_ids, sample_ids, base_key,
+                      width: int, height: int, camera_mode: str):
+    """Generate jittered camera rays for (pixel, sample) pairs.
+
+    pixel_ids, sample_ids: equal-shape (R,) i32 arrays.
+    Returns (origins (R,3), directions (R,3), ray_keys (R,) key array).
+    """
+
+    def one(pid, sid):
+        rkey = rng.ray_key(base_key, pid, sid)
+        jit_uv = rng.jitter_uv(rkey)
+        y = pid // width
+        x = pid - y * width
+        u = (x.astype(jnp.float32) + jit_uv[0]) / width
+        v = (y.astype(jnp.float32) + jit_uv[1]) / height
+        k_lens = jax.random.fold_in(rkey, rng.TAG_LENS)
+        o, d = camera_ray(cam, u, v, k_lens, camera_mode)
+        return o, d, rkey
+
+    return jax.vmap(one)(pixel_ids, sample_ids)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "wave_spp", "max_depth",
+                     "camera_mode", "options", "differentiable"))
+def render_pixels(scene: Scene, cam: Camera, pixel_ids, base_key, *,
+                  width: int, height: int, spp: int, wave_spp: int,
+                  max_depth: int, camera_mode: str, options: TraceOptions,
+                  differentiable: bool = False):
+    """Render a flat chunk of pixels -> (P, 3) linear radiance means.
+
+    spp is split into ceil(spp/wave_spp) waves executed by lax.scan; each
+    wave is a full wavefront trace of P*wave_spp rays. ``differentiable``
+    selects the scan-based integrator (reverse-mode safe) instead of the
+    early-exit while_loop one.
+    """
+    p = pixel_ids.shape[0]
+    n_waves = -(-spp // wave_spp)
+    tracer = trace if differentiable else trace_fast
+
+    def wave(acc, wave_idx):
+        sample_ids = wave_idx * wave_spp + jnp.arange(wave_spp)
+        pids = jnp.repeat(pixel_ids, wave_spp)
+        sids = jnp.tile(sample_ids, p)
+        o, d, rkeys = make_primary_rays(cam, pids, sids, base_key, width,
+                                        height, camera_mode)
+        colors = tracer(scene, o, d, rkeys, max_depth, options)
+        # Mask samples beyond spp (when spp % wave_spp != 0).
+        live = (sids < spp).astype(colors.dtype)[:, None]
+        contrib = (colors * live).reshape(p, wave_spp, 3).sum(axis=1)
+        return acc + contrib, None
+
+    acc, _ = jax.lax.scan(wave, jnp.zeros((p, 3), jnp.float32),
+                          jnp.arange(n_waves))
+    return acc / spp
+
+
+def render(scene: Scene, cam: Camera, cfg: RenderConfig, base_key=None,
+           differentiable: bool = False):
+    """Render a full image -> (H, W, 3) float32 linear radiance (device).
+
+    Tiles pixels into chunks sized so each device program traces at most
+    cfg.rays_per_chunk rays per wave.
+    """
+    if base_key is None:
+        base_key = jax.random.key(0)
+    w, h, spp = cfg.width, cfg.height, cfg.spp
+    n_pixels = w * h
+
+    wave_spp = max(1, min(spp, cfg.rays_per_chunk // max(1, n_pixels)))
+    if wave_spp > 1:
+        chunk = n_pixels  # whole image fits one chunk
+    else:
+        chunk = min(n_pixels, cfg.rays_per_chunk)
+    n_chunks = -(-n_pixels // chunk)
+
+    out = np.empty((n_pixels, 3), np.float32)
+    all_ids = jnp.arange(n_chunks * chunk, dtype=jnp.int32)
+    for i in range(n_chunks):
+        ids = all_ids[i * chunk:(i + 1) * chunk]
+        res = render_pixels(
+            scene, cam, ids, base_key, width=w, height=h, spp=spp,
+            wave_spp=wave_spp, max_depth=cfg.max_depth,
+            camera_mode=cfg.camera_mode, options=cfg.options,
+            differentiable=differentiable)
+        n_valid = min(chunk, n_pixels - i * chunk)
+        out[i * chunk:i * chunk + n_valid] = np.asarray(res)[:n_valid]
+    return jnp.asarray(out.reshape(h, w, 3))
+
+
+def render_rays_count(cfg: RenderConfig) -> int:
+    """Camera rays for a config (the rays/s denominator, BASELINE metric)."""
+    return cfg.width * cfg.height * cfg.spp

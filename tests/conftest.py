@@ -1,0 +1,18 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Must run before jax is imported anywhere (SURVEY section 4: multi-host
+behavior is validated with --xla_force_host_platform_device_count, no real
+pod needed).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,85 @@
+"""Golden tests: the vectorized wavefront renderer must match the scalar
+NumPy oracle near-bitwise (same RNG draws, same math, different execution
+strategy) -- the formalization of the reference's CPU-vs-CUDA dual
+implementation oracle (SURVEY section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracinginoneweekend_tpu.config import (REFERENCE_CPU, REFERENCE_CUDA,
+                                               TraceOptions)
+from raytracinginoneweekend_tpu.models.camera import (make_camera,
+                                                      reference_cuda_camera)
+from raytracinginoneweekend_tpu.models.scene import (huge_scene,
+                                                     simple_scene_cpu,
+                                                     simple_scene_cuda)
+from raytracinginoneweekend_tpu.oracle import render_oracle
+from raytracinginoneweekend_tpu.render import render_pixels
+
+CUDA_CAM = dict(position=(0, 0, 0), lookat=(0, 0, -1), up=(0, 1, 0),
+                vfov=88.0, aperture=0.0625, focus=1.0)
+CPU_CAM = dict(position=(-4, 3.2, 5), lookat=(0, 1, 0), up=(0, 1, 0),
+               vfov=42.0, aperture=0.0625,
+               focus=float(np.linalg.norm(np.array([-4, 3.2, 5.0]) -
+                                          np.array([0, 1, 0.0]))))
+
+
+def _compare(scene, cam_params, w, h, spp, depth, camera_mode, options,
+             atol=3e-5):
+    key = jax.random.key(42)
+    cam = make_camera(cam_params["position"], cam_params["lookat"],
+                      cam_params["up"], w / h, cam_params["vfov"],
+                      cam_params["aperture"], cam_params["focus"])
+    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+    got = np.asarray(render_pixels(
+        scene, cam, pixel_ids, key, width=w, height=h, spp=spp,
+        wave_spp=spp, max_depth=depth, camera_mode=camera_mode,
+        options=options))
+    want = render_oracle(scene, cam_params, w, h, spp, depth, key,
+                         camera_mode=camera_mode, options=options)
+    np.testing.assert_allclose(got.reshape(h, w, 3), want, atol=atol,
+                               rtol=1e-4)
+
+
+def test_simple_scene_cuda_semantics():
+    """The reference's ACTIVE configuration: CUDA scene/camera/semantics."""
+    _compare(simple_scene_cuda(), CUDA_CAM, 16, 12, 2, 8, "cuda",
+             REFERENCE_CUDA)
+
+
+def test_simple_scene_cpu_semantics():
+    """Dead CPU path semantics: ball sampling, cpu sky, quirky defocus."""
+    _compare(simple_scene_cpu(), CPU_CAM, 12, 8, 2, 6, "cpu", REFERENCE_CPU)
+
+
+def test_default_physics_thinlens():
+    """Framework-default semantics with the true thin-lens camera."""
+    _compare(simple_scene_cpu(), CPU_CAM, 12, 8, 2, 6, "thinlens",
+             TraceOptions())
+
+
+@pytest.mark.slow
+def test_huge_scene_small_crop():
+    """Huge scene (~490 spheres) on a small crop, streamed sphere blocks."""
+    scene = huge_scene(0)
+    # Looser tolerance: the oracle does scalar math in float64 while the
+    # renderer is pure float32; with ~490 spheres the t of glancing hits
+    # differs in the last f32 ulps and compounds over bounces.
+    _compare(scene, CPU_CAM, 8, 6, 1, 4, "thinlens",
+             TraceOptions(sphere_block=128), atol=5e-4)
+
+
+def test_depth_exhausted_is_black():
+    """depth=0 -> every ray 'exhausts' immediately -> black
+    (main.cxx:74 falls through to vec3{0})."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(8, 6)
+    out = render_pixels(scene, cam, jnp.arange(48, dtype=jnp.int32),
+                        jax.random.key(0), width=8, height=6, spp=1,
+                        wave_spp=1, max_depth=1, camera_mode="cuda",
+                        options=REFERENCE_CUDA)
+    # depth=1: rays that hit anything and would need a 2nd bounce are black;
+    # sky rays are sky. Nothing is NaN.
+    assert np.all(np.isfinite(np.asarray(out)))

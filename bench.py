@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Headline benchmark: rays/s/chip, huge scene 1200x800 @ 100spp, depth 50.
+
+This is the BASELINE.md primary metric (the reference publishes no numbers
+of its own -- readme.md:1-4 -- so the driver-defined config is the operative
+baseline). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, ...}
+
+vs_baseline: ratio against the most recent recorded BENCH_r*.json in the
+repo root (previous round's number), or 1.0 when none exists yet.
+
+Usage: python bench.py [--small]   (--small: quick smoke config)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _previous_value() -> float | None:
+    best_round, value = -1, None
+    for path in glob.glob(os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            v = float(data.get("value"))
+        except (ValueError, TypeError, OSError, json.JSONDecodeError):
+            continue
+        if int(m.group(1)) > best_round:
+            best_round, value = int(m.group(1)), v
+    return value
+
+
+def main() -> None:
+    small = "--small" in sys.argv
+
+    import jax
+
+    from raytracinginoneweekend_tpu.config import DEFAULT, RenderConfig
+    from raytracinginoneweekend_tpu.models.camera import reference_cpu_camera
+    from raytracinginoneweekend_tpu.models.scene import huge_scene
+    from raytracinginoneweekend_tpu.render import render, render_rays_count
+    from raytracinginoneweekend_tpu.utils.timing import time_fn
+
+    if small:
+        cfg = RenderConfig(width=240, height=160, spp=8, max_depth=12,
+                           camera_mode="thinlens", options=DEFAULT)
+    else:
+        cfg = RenderConfig(width=1200, height=800, spp=100, max_depth=50,
+                           camera_mode="thinlens", options=DEFAULT)
+    scene = huge_scene(seed=0)
+    cam = reference_cpu_camera(cfg.width, cfg.height)
+    key = jax.random.key(0)
+
+    seconds, image = time_fn(render, scene, cam, cfg, key,
+                             warmup=1, iters=2)
+    rays = render_rays_count(cfg)
+    value = rays / seconds
+
+    prev = _previous_value()
+    record = {
+        "metric": "rays_per_s_per_chip_huge_1200x800_100spp_d50"
+                  if not small else "rays_per_s_small_smoke",
+        "value": value,
+        "unit": "rays/s",
+        "vs_baseline": (value / prev) if prev else 1.0,
+        "seconds_per_frame": seconds,
+        "camera_rays": rays,
+        "spheres": int(scene.num_spheres),
+        "device": str(jax.devices()[0].platform),
+        "n_devices": jax.device_count(),
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Differentiable inverse rendering (BASELINE config 5).
+
+Pipeline: pick the differentiable subset of scene leaves (centers, radii,
+albedo, fuzz, ior), render a random pixel minibatch with the scan-based
+(reverse-mode safe) integrator, L2 against the target pixels, optax update.
+
+Monte-Carlo gradient discipline: each step re-renders the *same* pixels with
+the *same* keys as the target comparison, so the stochastic estimator is
+consistent (the loss is exactly differentiable at fixed RNG; sphere
+silhouettes are discontinuous only on a measure-zero set, SURVEY section 7
+"hard parts").
+
+Sharding: pass a Mesh to ``make_train_step`` and the minibatch renders via
+``parallel.render_sharded``; shard_map's AD transpose then all-reduces the
+replicated-parameter gradients with a single psum -- the north-star
+communication pattern -- with zero code here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import RenderConfig
+from ..models.camera import Camera
+from ..models.scene import Scene
+from ..render import render_pixels_impl
+
+DIFFERENTIABLE_LEAVES = ("centers", "radii", "albedo", "fuzz", "ior")
+
+
+def params_from_scene(scene: Scene,
+                      which: Iterable[str] = DIFFERENTIABLE_LEAVES) -> dict:
+    """Extract the optimizable parameter pytree (a {name: array} dict)."""
+    bad = set(which) - set(DIFFERENTIABLE_LEAVES)
+    if bad:
+        raise ValueError(f"non-differentiable scene leaves: {sorted(bad)}")
+    return {name: getattr(scene, name) for name in which}
+
+
+def scene_with_params(scene: Scene, params: dict) -> Scene:
+    """Rebuild a Scene with the optimized leaves substituted in."""
+    return scene._replace(**params)
+
+
+def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
+                pixel_ids, base_key, *, width: int, height: int, spp: int,
+                max_depth: int, camera_mode: str, options, mesh=None):
+    """Mean-squared error between rendered and target pixel radiance.
+
+    target_pixels: (P, 3) linear radiance for the same pixel_ids.
+    """
+    full_scene = scene_with_params(scene, params)
+    kwargs = dict(width=width, height=height, spp=spp, wave_spp=spp,
+                  max_depth=max_depth, camera_mode=camera_mode,
+                  options=options, differentiable=True)
+    if mesh is None:
+        rendered = render_pixels_impl(full_scene, cam, pixel_ids, base_key,
+                                      **kwargs)
+    else:
+        from ..parallel.mesh import AXIS, shard_map
+        from jax.sharding import PartitionSpec as P
+
+        f = functools.partial(render_pixels_impl, **kwargs)
+        rendered = shard_map(
+            f, mesh=mesh, in_specs=(P(), P(), P(AXIS), P()),
+            out_specs=P(AXIS))(full_scene, cam, pixel_ids, base_key)
+    diff = rendered - target_pixels
+    return jnp.mean(diff * diff)
+
+
+def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
+                    height: int, spp: int, max_depth: int, camera_mode: str,
+                    options, mesh=None):
+    """Build a jitted (params, opt_state, ...) -> (params, opt_state, loss).
+
+    The returned step is a single compiled program: forward render, backward
+    pass (rematerialized per bounce via jax.checkpoint inside ``trace``),
+    parameter all-reduce (when mesh is given), optax update.
+    """
+
+    def step(params, opt_state, scene, cam, target_pixels, pixel_ids,
+             base_key):
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, scene, cam, target_pixels, pixel_ids, base_key,
+            width=width, height=height, spp=spp, max_depth=max_depth,
+            camera_mode=camera_mode, options=options, mesh=mesh)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
+        which: Iterable[str] = DIFFERENTIABLE_LEAVES, steps: int = 200,
+        learning_rate: float = 1e-2, batch_pixels: int = 4096,
+        spp: int | None = None, base_key=None, mesh=None,
+        optimizer: optax.GradientTransformation | None = None,
+        callback=None, init_params: dict | None = None,
+        init_opt_state=None, start_step: int = 0):
+    """Optimize scene params toward a target image.
+
+    target_image: (H, W, 3) linear radiance (as produced by render.render).
+    Returns (optimized_scene, params, opt_state, losses).
+    ``init_params``/``init_opt_state``/``start_step`` resume from a
+    checkpoint (optim.checkpoint).
+    """
+    if base_key is None:
+        base_key = jax.random.key(7)
+    spp = spp or cfg.spp
+    optimizer = optimizer or optax.adam(learning_rate)
+    params = (dict(init_params) if init_params is not None
+              else params_from_scene(scene, which))
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else optimizer.init(params))
+
+    target_flat = jnp.asarray(target_image).reshape(-1, 3)
+    n_pixels = cfg.width * cfg.height
+    if mesh is not None:
+        batch_pixels = -(-batch_pixels // mesh.size) * mesh.size
+
+    step_fn = make_train_step(
+        optimizer, width=cfg.width, height=cfg.height, spp=spp,
+        max_depth=cfg.max_depth, camera_mode=cfg.camera_mode,
+        options=cfg.options, mesh=mesh)
+
+    losses = []
+    for i in range(start_step, start_step + steps):
+        kstep = jax.random.fold_in(base_key, i)
+        pixel_ids = jax.random.choice(
+            jax.random.fold_in(kstep, 0), n_pixels, (batch_pixels,),
+            replace=False).astype(jnp.int32)
+        target_batch = target_flat[pixel_ids]
+        # Render key matches the target render's base key so the MC
+        # estimator compares like with like at high spp; jitter per step.
+        render_key = jax.random.fold_in(kstep, 1)
+        params, opt_state, loss = step_fn(
+            params, opt_state, scene, cam, target_batch, pixel_ids,
+            render_key)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, params, opt_state, losses[-1])
+    return scene_with_params(scene, params), params, opt_state, losses

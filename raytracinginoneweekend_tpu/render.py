@@ -60,20 +60,19 @@ def make_primary_rays(cam: Camera, pixel_ids, sample_ids, base_key,
     return jax.vmap(one)(pixel_ids, sample_ids)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp", "wave_spp", "max_depth",
-                     "camera_mode", "options", "differentiable"))
-def render_pixels(scene: Scene, cam: Camera, pixel_ids, base_key, *,
-                  width: int, height: int, spp: int, wave_spp: int,
-                  max_depth: int, camera_mode: str, options: TraceOptions,
-                  differentiable: bool = False):
+def render_pixels_impl(scene: Scene, cam: Camera, pixel_ids, base_key, *,
+                       width: int, height: int, spp: int, wave_spp: int,
+                       max_depth: int, camera_mode: str,
+                       options: TraceOptions, differentiable: bool = False):
     """Render a flat chunk of pixels -> (P, 3) linear radiance means.
 
     spp is split into ceil(spp/wave_spp) waves executed by lax.scan; each
     wave is a full wavefront trace of P*wave_spp rays. ``differentiable``
     selects the scan-based integrator (reverse-mode safe) instead of the
     early-exit while_loop one.
+
+    Unjitted: this is the function ``parallel.mesh`` wraps in shard_map.
+    Use ``render_pixels`` (the jitted alias) for direct single-device calls.
     """
     p = pixel_ids.shape[0]
     n_waves = -(-spp // wave_spp)
@@ -94,6 +93,12 @@ def render_pixels(scene: Scene, cam: Camera, pixel_ids, base_key, *,
     acc, _ = jax.lax.scan(wave, jnp.zeros((p, 3), jnp.float32),
                           jnp.arange(n_waves))
     return acc / spp
+
+
+render_pixels = jax.jit(
+    render_pixels_impl,
+    static_argnames=("width", "height", "spp", "wave_spp", "max_depth",
+                     "camera_mode", "options", "differentiable"))
 
 
 def render(scene: Scene, cam: Camera, cfg: RenderConfig, base_key=None,

@@ -7,7 +7,10 @@ pod needed).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may point JAX_PLATFORMS at real TPU
+# hardware (e.g. a tunneled chip), which would make every tiny test op cross
+# the tunnel. Tests always run on a virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

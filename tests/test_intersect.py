@@ -78,7 +78,7 @@ def test_streamed_blocks_match_single_block():
                              jnp.asarray(centers), jnp.asarray(radii), T_MIN,
                              sphere_block=8)
     np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
-    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-5)  # XLA fuses the two paths differently; float reassociation
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 

@@ -1,0 +1,129 @@
+"""Inverse rendering (BASELINE config 5) + checkpoint/resume tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from raytracinginoneweekend_tpu.config import DEFAULT, RenderConfig
+from raytracinginoneweekend_tpu.models.camera import reference_cuda_camera
+from raytracinginoneweekend_tpu.models.scene import simple_scene_cuda
+from raytracinginoneweekend_tpu.optim import (fit, load_checkpoint,
+                                              params_from_scene,
+                                              render_loss, save_checkpoint,
+                                              scene_with_params)
+from raytracinginoneweekend_tpu.render import render
+
+W, H = 24, 16
+CFG = RenderConfig(width=W, height=H, spp=4, max_depth=4,
+                   camera_mode="pinhole", options=DEFAULT)
+
+
+def test_grad_albedo_matches_finite_differences():
+    """Pixel-loss gradient w.r.t. albedo vs central finite differences."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(11)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    kwargs = dict(width=W, height=H, spp=2, max_depth=3,
+                  camera_mode="pinhole", options=DEFAULT)
+
+    def loss_of_albedo(albedo):
+        return render_loss({"albedo": albedo}, scene, cam, target, ids, key,
+                           **kwargs)
+
+    g = jax.grad(loss_of_albedo)(scene.albedo)
+    # Finite differences on the red channel of material 0 (the center
+    # lambert sphere -- definitely visible).
+    eps = 1e-3
+    up = scene.albedo.at[0, 0].add(eps)
+    dn = scene.albedo.at[0, 0].add(-eps)
+    fd = (loss_of_albedo(up) - loss_of_albedo(dn)) / (2 * eps)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(float(g[0, 0]), float(fd), rtol=2e-2)
+
+
+def test_fit_recovers_albedo():
+    """Perturb material-0 albedo; fit() should move it back toward truth."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    target = render(scene, cam, CFG, jax.random.key(0))
+
+    bad = scene._replace(
+        albedo=scene.albedo.at[0].set(jnp.array([0.9, 0.9, 0.9])))
+    start = params_from_scene(bad, ("albedo",))
+    _, params, _, losses = fit(
+        bad, cam, target, CFG, which=("albedo",), steps=30,
+        learning_rate=5e-2, batch_pixels=W * H, spp=4)
+    assert losses[-1] < losses[0] * 0.5
+    err0 = float(jnp.abs(start["albedo"][0] - scene.albedo[0]).sum())
+    err1 = float(jnp.abs(params["albedo"][0] - scene.albedo[0]).sum())
+    assert err1 < err0 * 0.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    scene = simple_scene_cuda()
+    params = params_from_scene(scene)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(path, params, opt_state, step=17)
+
+    # Templates with the right structure but zeroed leaves.
+    tmpl_p = jax.tree.map(jnp.zeros_like, params)
+    tmpl_o = jax.tree.map(jnp.zeros_like, opt_state)
+    p2, o2, step = load_checkpoint(path, tmpl_p, tmpl_o)
+    assert step == 17
+    for name in params:
+        np.testing.assert_array_equal(np.asarray(params[name]),
+                                      np.asarray(p2[name]))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    scene = simple_scene_cuda()
+    params = params_from_scene(scene, ("albedo",))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(path, params, opt_state, step=0)
+    bad_tmpl = {"albedo": jnp.zeros((2, 3))}
+    with pytest.raises(ValueError, match="shape"):
+        load_checkpoint(path, bad_tmpl, opt.init(bad_tmpl))
+
+
+def test_fit_resume_from_checkpoint(tmp_path):
+    """fit -> checkpoint -> resume must continue, not restart."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    target = render(scene, cam, CFG, jax.random.key(0))
+    bad = scene._replace(
+        albedo=scene.albedo.at[0].set(jnp.array([0.9, 0.9, 0.9])))
+
+    _, params, opt_state, losses = fit(
+        bad, cam, target, CFG, which=("albedo",), steps=5,
+        learning_rate=5e-2, batch_pixels=W * H, spp=2)
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(path, params, opt_state, step=5)
+
+    opt = optax.adam(5e-2)
+    tmpl_p = jax.tree.map(jnp.zeros_like, params)
+    p2, o2, step = load_checkpoint(path, tmpl_p, opt.init(tmpl_p))
+    assert step == 5
+    _, params2, _, losses2 = fit(
+        bad, cam, target, CFG, which=("albedo",), steps=5,
+        learning_rate=5e-2, batch_pixels=W * H, spp=2,
+        init_params=p2, init_opt_state=o2, start_step=step)
+    # Same pixel batches as a straight 10-step run (step index keys the
+    # batch), so resuming is exactly equivalent to not stopping.
+    _, params10, _, losses10 = fit(
+        bad, cam, target, CFG, which=("albedo",), steps=10,
+        learning_rate=5e-2, batch_pixels=W * H, spp=2)
+    np.testing.assert_allclose(np.asarray(params2["albedo"]),
+                               np.asarray(params10["albedo"]), rtol=1e-5,
+                               atol=1e-7)

@@ -1,0 +1,84 @@
+"""Sharding tests on the virtual 8-device CPU mesh.
+
+Validates the SURVEY section 7 "multi-host determinism" contract: RNG keys
+depend only on global (pixel, sample) ids, so sharded and single-device
+renders are bitwise identical, and parameter gradients survive shard_map's
+psum transpose unchanged.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinginoneweekend_tpu.config import DEFAULT, RenderConfig
+from raytracinginoneweekend_tpu.models.camera import reference_cuda_camera
+from raytracinginoneweekend_tpu.models.scene import simple_scene_cuda
+from raytracinginoneweekend_tpu.optim import params_from_scene, render_loss
+from raytracinginoneweekend_tpu.parallel import (make_mesh, render_sharded,
+                                                 render_image_sharded)
+from raytracinginoneweekend_tpu.render import render, render_pixels
+
+W, H, SPP, DEPTH = 16, 8, 2, 4
+
+
+def _setup():
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(3)
+    return scene, cam, key
+
+
+def test_mesh_uses_all_devices():
+    mesh = make_mesh()
+    assert mesh.size == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_sharded_render_matches_single_device():
+    scene, cam, key = _setup()
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    mesh = make_mesh()
+    kwargs = dict(width=W, height=H, spp=SPP, wave_spp=SPP, max_depth=DEPTH,
+                  camera_mode="thinlens", options=DEFAULT)
+    got = render_sharded(scene, cam, ids, key, mesh=mesh, **kwargs)
+    want = render_pixels(scene, cam, ids, key, **kwargs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_image_matches_host_tiled_render():
+    scene, cam, key = _setup()
+    cfg = RenderConfig(width=W, height=H, spp=SPP, max_depth=DEPTH,
+                       camera_mode="thinlens", options=DEFAULT)
+    got = render_image_sharded(scene, cam, cfg, key)
+    want = render(scene, cam, cfg, key)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_image_nondivisible_pixel_count():
+    # 9x5 = 45 pixels does not divide the 8-device mesh: pad-and-drop path.
+    scene, cam, key = _setup()
+    cfg = RenderConfig(width=9, height=5, spp=SPP, max_depth=DEPTH,
+                       camera_mode="thinlens", options=DEFAULT)
+    got = render_image_sharded(scene, cam, cfg, key)
+    want = render(scene, cam, cfg, key)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_param_grads_match_through_shard_map():
+    """shard_map AD transpose (psum) must reproduce single-device grads."""
+    scene, cam, key = _setup()
+    mesh = make_mesh()
+    params = params_from_scene(scene, ("centers", "albedo"))
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    kwargs = dict(width=W, height=H, spp=SPP, max_depth=DEPTH,
+                  camera_mode="thinlens", options=DEFAULT)
+
+    g_single = jax.grad(render_loss)(params, scene, cam, target, ids, key,
+                                     **kwargs, mesh=None)
+    g_shard = jax.grad(render_loss)(params, scene, cam, target, ids, key,
+                                    **kwargs, mesh=mesh)
+    for name in params:
+        np.testing.assert_allclose(np.asarray(g_single[name]),
+                                   np.asarray(g_shard[name]),
+                                   rtol=2e-5, atol=1e-7)
+        assert np.isfinite(np.asarray(g_shard[name])).all()

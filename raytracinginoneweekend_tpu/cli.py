@@ -1,0 +1,245 @@
+"""Command-line driver: the app layer (SURVEY L6, #24/#25 -> runtime flags).
+
+The reference's ``main()`` hardcodes scene/camera/resolution at compile time
+(main.cxx:22-37, 104-118); here every knob is a flag. Three subcommands:
+
+  render  -- render a scene to PPM/PNG (the reference's one behavior)
+  bench   -- rays/s measurement on any config
+  fit     -- inverse rendering demo: perturb the scene, recover it from the
+             target image (BASELINE config 5), with checkpoint/resume
+
+Examples:
+  python -m raytracinginoneweekend_tpu render --scene simple-cuda \
+      --width 1920 --height 1080 --spp 48 --out image.png
+  python -m raytracinginoneweekend_tpu render --scene huge --camera cpu \
+      --width 1200 --height 800 --spp 100 --depth 50 --out cover.png
+  python -m raytracinginoneweekend_tpu fit --steps 100 --out-dir /tmp/fit
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_scene(name: str, seed: int):
+    from .models import scene as scenes
+
+    return {
+        "simple-cuda": lambda: scenes.simple_scene_cuda(),
+        "simple-cpu": lambda: scenes.simple_scene_cpu(),
+        "huge": lambda: scenes.huge_scene(seed),
+    }[name]()
+
+
+def _build_camera(name: str, width: int, height: int):
+    from .models import camera as cameras
+
+    return {
+        "cuda": cameras.reference_cuda_camera,
+        "cpu": cameras.reference_cpu_camera,
+    }[name](width, height)
+
+
+def _options(compat: str):
+    from . import config
+
+    return {
+        "default": config.DEFAULT,
+        "reference-cuda": config.REFERENCE_CUDA,
+        "reference-cpu": config.REFERENCE_CPU,
+    }[compat]
+
+
+def _add_render_flags(p: argparse.ArgumentParser):
+    p.add_argument("--scene", default="simple-cuda",
+                   choices=["simple-cuda", "simple-cpu", "huge"])
+    p.add_argument("--camera", default=None, choices=["cuda", "cpu"],
+                   help="default: cuda for simple-cuda, cpu otherwise")
+    p.add_argument("--mode", default="thinlens",
+                   choices=["thinlens", "pinhole", "cuda", "cpu"],
+                   help="camera defocus mode (models/camera.py)")
+    p.add_argument("--compat", default="default",
+                   choices=["default", "reference-cuda", "reference-cpu"])
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--spp", type=int, default=48)
+    p.add_argument("--depth", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--engine", default="wavefront",
+                   choices=["wavefront", "tiled"])
+    p.add_argument("--pool-size", type=int, default=1 << 19)
+
+
+def _render_image(args):
+    import jax
+
+    from .config import RenderConfig
+    from .ops.wavefront import render_wavefront
+    from .render import render
+
+    scene = _build_scene(args.scene, args.seed)
+    camera_name = args.camera or ("cuda" if args.scene == "simple-cuda"
+                                  else "cpu")
+    cam = _build_camera(camera_name, args.width, args.height)
+    options = _options(args.compat)
+    key = jax.random.key(args.seed)
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_depth=args.depth, camera_mode=args.mode,
+                       options=options)
+    if args.engine == "wavefront":
+        img = render_wavefront(
+            scene, cam, key, width=args.width, height=args.height,
+            spp=args.spp, max_depth=args.depth, camera_mode=args.mode,
+            options=options, pool_size=args.pool_size)
+        img = img.reshape(args.height, args.width, 3)
+    else:
+        img = render(scene, cam, cfg, key)
+    return img, cfg
+
+
+def cmd_render(args) -> int:
+    import jax
+    import numpy as np
+
+    from .io.image import write_png, write_ppm
+    from .ops.postprocess import to_u8
+
+    t0 = time.perf_counter()
+    img, cfg = _render_image(args)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    u8 = np.asarray(to_u8(img, clamp=not args.no_clamp))
+    writer = write_png if args.out.endswith(".png") else write_ppm
+    writer(args.out, u8)
+    rays = args.width * args.height * args.spp
+    print(f"wrote {args.out} ({args.width}x{args.height} @ {args.spp}spp, "
+          f"depth {args.depth}) in {dt:.2f}s incl. compile "
+          f"({rays / dt / 1e6:.2f} Mrays/s)")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+
+    from .utils.timing import time_fn
+
+    def run():
+        img, _ = _render_image(args)
+        return img
+
+    seconds, _ = time_fn(run, warmup=1, iters=args.iters)
+    rays = args.width * args.height * args.spp
+    print(json.dumps({
+        "metric": f"rays_per_s_{args.scene}_{args.width}x{args.height}_"
+                  f"{args.spp}spp_d{args.depth}_{args.engine}",
+        "value": rays / seconds,
+        "unit": "rays/s",
+        "seconds_per_frame": seconds,
+        "device": jax.devices()[0].platform,
+    }))
+    return 0
+
+
+def cmd_fit(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from .config import RenderConfig
+    from .optim import (fit, load_checkpoint, params_from_scene,
+                        save_checkpoint)
+    from .render import render
+
+    scene = _build_scene(args.scene, args.seed)
+    camera_name = args.camera or ("cuda" if args.scene == "simple-cuda"
+                                  else "cpu")
+    cam = _build_camera(camera_name, args.width, args.height)
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_depth=args.depth, camera_mode=args.mode,
+                       options=_options(args.compat))
+    print("rendering target...", flush=True)
+    target = render(scene, cam, cfg, jax.random.key(args.seed))
+
+    # Perturb the optimizable leaves, then recover them.
+    k = jax.random.key(args.seed + 1)
+    which = tuple(args.params.split(","))
+    perturbed = scene
+    for name in which:
+        leaf = getattr(scene, name)
+        k, sub = jax.random.split(k)
+        noise = args.perturb * jax.random.normal(sub, leaf.shape)
+        perturbed = perturbed._replace(**{name: leaf + noise})
+
+    optimizer = optax.adam(args.lr)
+    init = {}
+    if args.resume:
+        tmpl_p = params_from_scene(perturbed, which)
+        p0, o0, step0 = load_checkpoint(args.resume, tmpl_p,
+                                        optimizer.init(tmpl_p))
+        init = dict(init_params=p0, init_opt_state=o0, start_step=step0)
+        print(f"resumed from {args.resume} at step {step0}")
+
+    ckpt_path = args.checkpoint
+
+    def callback(i, params, opt_state, loss):
+        if (i + 1) % args.log_every == 0:
+            print(f"step {i + 1}: loss {loss:.6f}", flush=True)
+        if ckpt_path and (i + 1) % args.checkpoint_every == 0:
+            save_checkpoint(ckpt_path, params, opt_state, i + 1)
+
+    _, params, opt_state, losses = fit(
+        perturbed, cam, target, cfg, which=which, steps=args.steps,
+        learning_rate=args.lr, batch_pixels=args.batch_pixels,
+        spp=args.fit_spp, optimizer=optimizer, callback=callback, **init)
+    if ckpt_path:
+        save_checkpoint(ckpt_path, params, opt_state,
+                        init.get("start_step", 0) + args.steps)
+    truth = params_from_scene(scene, which)
+    for name in which:
+        err = float(jnp.abs(params[name] - truth[name]).max())
+        print(f"{name}: max abs err vs truth = {err:.5f}")
+    print(f"loss: {losses[0]:.6f} -> {losses[-1]:.6f}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="raytracinginoneweekend_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="render a scene to PPM/PNG")
+    _add_render_flags(p)
+    p.add_argument("--out", default="image.png")
+    p.add_argument("--no-clamp", action="store_true",
+                   help="reference-exact raw u8 cast (can wrap, quirk Q6)")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="measure rays/s")
+    _add_render_flags(p)
+    p.add_argument("--iters", type=int, default=2)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("fit", help="inverse rendering demo")
+    _add_render_flags(p)
+    p.add_argument("--params", default="albedo,centers",
+                   help="comma list of centers,radii,albedo,fuzz,ior")
+    p.add_argument("--perturb", type=float, default=0.1)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--batch-pixels", type=int, default=4096)
+    p.add_argument("--fit-spp", type=int, default=4)
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=25)
+    p.add_argument("--resume", default=None)
+    p.set_defaults(fn=cmd_fit)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,11 +35,17 @@ class TraceOptions:
     refract: str = "physical"
     # Sphere-block size for the streamed closest-hit reduction.
     sphere_block: int = 512
+    # Closest-hit implementation for forward-only traces: "jnp" (XLA-fused
+    # broadcast+argmin) or "pallas" (fused VMEM kernel,
+    # ops/pallas_intersect.py). The differentiable integrator always uses
+    # "jnp" (the Pallas kernel is forward-only).
+    intersect: str = "jnp"
 
     def __post_init__(self):
         assert self.scatter_sample in ("unit", "ball")
         assert self.sky in ("cuda", "cpu")
         assert self.refract in ("physical", "reference")
+        assert self.intersect in ("jnp", "pallas")
 
 
 # The semantics of the reference's ACTIVE renderer (the CUDA path).

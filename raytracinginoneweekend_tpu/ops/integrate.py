@@ -75,12 +75,27 @@ def _sphere_sample(key, options: TraceOptions):
     return rng.in_unit_sphere(key)
 
 
-def _bounce_step(scene: Scene, options: TraceOptions, state, bounce):
+def closest_hit_opt(origin, direction, scene: Scene, options: TraceOptions,
+                    allow_pallas: bool):
+    """Dispatch closest-hit: Pallas fused kernel on forward-only paths when
+    options.intersect == "pallas", XLA-fused jnp otherwise (and always for
+    AD -- the kernel has no VJP)."""
+    if allow_pallas and options.intersect == "pallas":
+        from .pallas_intersect import closest_hit_pallas
+
+        return closest_hit_pallas(origin, direction, scene.centers,
+                                  scene.radii, options.t_min)
+    return closest_hit(origin, direction, scene.centers, scene.radii,
+                       options.t_min, options.sphere_block)
+
+
+def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
+                 allow_pallas: bool = False):
     """One wavefront bounce. ``bounce`` may be a traced scalar."""
     origin, direction, atten, result, alive, ray_keys = state
 
-    t, idx, hit = closest_hit(origin, direction, scene.centers, scene.radii,
-                              options.t_min, options.sphere_block)
+    t, idx, hit = closest_hit_opt(origin, direction, scene, options,
+                                  allow_pallas)
     pos, normal = hit_surface(origin, direction, t, idx, hit,
                               scene.centers, scene.radii)
 
@@ -152,7 +167,8 @@ def trace_fast(scene: Scene, origins, directions, ray_keys, max_depth: int,
     but stops as soon as every ray has terminated -- the wavefront analogue
     of the reference threads' early returns.
     """
-    step = functools.partial(_bounce_step, scene, options)
+    step = functools.partial(_bounce_step, scene, options,
+                             allow_pallas=True)
 
     def cond(carry):
         bounce, state = carry

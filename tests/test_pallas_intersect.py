@@ -1,0 +1,69 @@
+"""Pallas fused closest-hit vs the jnp path (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinginoneweekend_tpu.config import DEFAULT, TraceOptions
+from raytracinginoneweekend_tpu.models.camera import reference_cuda_camera
+from raytracinginoneweekend_tpu.models.scene import (huge_scene,
+                                                     simple_scene_cuda)
+from raytracinginoneweekend_tpu.ops.intersect import closest_hit
+from raytracinginoneweekend_tpu.ops.pallas_intersect import closest_hit_pallas
+from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+
+T_MIN = 0.008
+
+
+def _random_rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = (rng.normal(size=(n, 3)) * 2).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_pallas_matches_jnp_simple_scene():
+    scene = simple_scene_cuda()
+    o, d = _random_rays(300)
+    t1, i1, h1 = closest_hit(o, d, scene.centers, scene.radii, T_MIN)
+    t2, i2, h2 = closest_hit_pallas(o, d, scene.centers, scene.radii, T_MIN)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=2e-4, atol=1e-3)  # grazing hits amplify fma-ordering cancellation; hit/idx exact
+
+
+def test_pallas_matches_jnp_huge_scene():
+    scene = huge_scene(0)
+    o, d = _random_rays(4096 + 7, seed=3)  # exercises ray padding
+    t1, i1, h1 = closest_hit(o, d, scene.centers, scene.radii, T_MIN)
+    t2, i2, h2 = closest_hit_pallas(o, d, scene.centers, scene.radii, T_MIN)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=2e-4, atol=1e-3)  # grazing hits amplify fma-ordering cancellation; hit/idx exact
+
+
+def test_pallas_negative_radius_hollow_glass():
+    scene = simple_scene_cuda()  # sphere 4 has r = -0.499 (quirk Q10)
+    o = jnp.asarray([[-1.0, 0.0, -1.0]], jnp.float32)
+    d = jnp.asarray([[0.3, 0.1, 1.0]], jnp.float32)
+    t1, i1, h1 = closest_hit(o, d, scene.centers, scene.radii, T_MIN)
+    t2, i2, h2 = closest_hit_pallas(o, d, scene.centers, scene.radii, T_MIN)
+    assert bool(h2[0])
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=2e-4, atol=1e-3)  # grazing hits amplify fma-ordering cancellation; hit/idx exact
+
+
+def test_wavefront_render_with_pallas_intersect():
+    """End-to-end: options.intersect='pallas' must match 'jnp' bitwise."""
+    w, h, spp, depth = 16, 8, 2, 4
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    key = jax.random.key(4)
+    opts_pallas = TraceOptions(intersect="pallas")
+    kwargs = dict(width=w, height=h, spp=spp, max_depth=depth,
+                  camera_mode="thinlens", pool_size=128)
+    a = np.asarray(render_wavefront(scene, cam, key, options=DEFAULT,
+                                    **kwargs))
+    b = np.asarray(render_wavefront(scene, cam, key, options=opts_pallas,
+                                    **kwargs))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

@@ -1,0 +1,74 @@
+"""Regenerative wavefront renderer vs the fixed-wave tiled renderer.
+
+Same RNG contract per (pixel, sample, bounce) -> same sampled radiance;
+only the framebuffer accumulation order differs (float reassociation), so
+agreement is ~1e-5, not bitwise.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from raytracinginoneweekend_tpu.config import (DEFAULT, REFERENCE_CUDA,
+                                               RenderConfig)
+from raytracinginoneweekend_tpu.models.camera import (reference_cpu_camera,
+                                                      reference_cuda_camera)
+from raytracinginoneweekend_tpu.models.scene import (huge_scene,
+                                                     simple_scene_cuda)
+from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+from raytracinginoneweekend_tpu.render import render
+
+
+@pytest.mark.parametrize("camera_mode", ["cuda", "thinlens"])
+def test_wavefront_matches_tiled_simple(camera_mode):
+    w, h, spp, depth = 24, 16, 4, 6
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    key = jax.random.key(5)
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=depth,
+                       camera_mode=camera_mode, options=DEFAULT)
+    want = np.asarray(render(scene, cam, cfg, key)).reshape(-1, 3)
+    got = np.asarray(render_wavefront(
+        scene, cam, key, width=w, height=h, spp=spp, max_depth=depth,
+        camera_mode=camera_mode, options=DEFAULT, pool_size=64))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_wavefront_tiny_pool_matches_big_pool():
+    """Result must be invariant to pool size (regeneration order)."""
+    w, h, spp, depth = 16, 8, 2, 4
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    key = jax.random.key(9)
+    kwargs = dict(width=w, height=h, spp=spp, max_depth=depth,
+                  camera_mode="thinlens", options=DEFAULT)
+    a = np.asarray(render_wavefront(scene, cam, key, **kwargs, pool_size=32))
+    b = np.asarray(render_wavefront(scene, cam, key, **kwargs,
+                                    pool_size=1 << 14))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_wavefront_huge_scene_finite():
+    w, h = 32, 21
+    scene = huge_scene(0)
+    cam = reference_cpu_camera(w, h)
+    out = np.asarray(render_wavefront(
+        scene, cam, jax.random.key(0), width=w, height=h, spp=2,
+        max_depth=8, camera_mode="thinlens", options=DEFAULT,
+        pool_size=1 << 12))
+    assert np.isfinite(out).all()
+    assert out.max() > 0.1  # sky is visible
+
+
+def test_wavefront_reference_compat_options():
+    w, h, spp, depth = 16, 12, 2, 4
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    key = jax.random.key(2)
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=depth,
+                       camera_mode="cuda", options=REFERENCE_CUDA)
+    want = np.asarray(render(scene, cam, cfg, key)).reshape(-1, 3)
+    got = np.asarray(render_wavefront(
+        scene, cam, key, width=w, height=h, spp=spp, max_depth=depth,
+        camera_mode="cuda", options=REFERENCE_CUDA, pool_size=128))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

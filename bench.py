@@ -49,7 +49,8 @@ def main() -> None:
     from raytracinginoneweekend_tpu.config import DEFAULT, RenderConfig
     from raytracinginoneweekend_tpu.models.camera import reference_cpu_camera
     from raytracinginoneweekend_tpu.models.scene import huge_scene
-    from raytracinginoneweekend_tpu.render import render, render_rays_count
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+    from raytracinginoneweekend_tpu.render import render_rays_count
     from raytracinginoneweekend_tpu.utils.timing import time_fn
 
     if small:
@@ -62,8 +63,13 @@ def main() -> None:
     cam = reference_cpu_camera(cfg.width, cfg.height)
     key = jax.random.key(0)
 
-    seconds, image = time_fn(render, scene, cam, cfg, key,
-                             warmup=1, iters=2)
+    def run():
+        return render_wavefront(
+            scene, cam, key, width=cfg.width, height=cfg.height,
+            spp=cfg.spp, max_depth=cfg.max_depth,
+            camera_mode=cfg.camera_mode, options=cfg.options)
+
+    seconds, image = time_fn(run, warmup=1, iters=2)
     rays = render_rays_count(cfg)
     value = rays / seconds
 

@@ -70,7 +70,7 @@ def _add_render_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--engine", default="wavefront",
                    choices=["wavefront", "tiled"])
-    p.add_argument("--pool-size", type=int, default=1 << 19)
+    p.add_argument("--pool-size", type=int, default=1 << 15)
 
 
 def _render_image(args):

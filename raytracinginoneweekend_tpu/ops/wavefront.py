@@ -3,23 +3,33 @@
 The fixed-wave integrator (ops/integrate.py) traces a batch of camera rays
 for max_depth bounces with a live mask; at depth 50 nearly every lane is
 dead for most of the loop (sky/absorb terminate rays after ~2-5 bounces on
-the shipped scenes), so the VPU does mostly-masked work. The reference's
-megakernel threads have the same problem in warp-divergence form
-(cuda::color's early returns, cuda_impl.cu:265-297).
+the shipped scenes). This engine keeps a persistent pool of P ray lanes at
+~100% occupancy: each iteration every dead lane re-seeds itself with its
+next unconsumed (pixel, sample) camera ray, all lanes trace one bounce
+segment together, and terminating rays deposit into the framebuffer.
 
-This module keeps a *persistent pool* of P ray lanes at ~100% occupancy:
-every iteration each dead lane is immediately re-seeded with the next
-unconsumed (pixel, sample) camera ray, traces one bounce segment together
-with all other lanes, and rays that terminate (miss -> sky contribution,
-metal absorb, depth exhausted) deposit into the framebuffer with one
-scatter-add. Iterations ~= total_ray_segments / P instead of
-max_depth * ceil(total_rays / P): an O(avg_depth/max_depth) total-work
-reduction (~10x at depth 50) with zero change in sampled radiance.
+TPU-native design decisions (all measured on v5e, see git history):
+  * PLANAR ray state: every per-ray quantity is its own (R, 128) f32/i32
+    plane. (N, 3) xyz arrays force strided component extraction
+    (relayouts) and tempt XLA into per-ray gathers; planes make every op
+    a full-width VPU op.
+  * The whole intersect + hit-surface + material lookup is ONE Pallas
+    megakernel (ops/pallas_segment.py) that carries the best sphere's
+    geometry/material through its running min -- zero per-ray gathers
+    (measured ~80ns/gather = ~40ms/bounce at 512k rays, vs ~1ms for the
+    fused kernel).
+  * Lane regeneration is strided, not compacted: lane l owns global ray
+    ids l, l+P, l+2P, ... and advances independently -- no cumsum/prefix
+    ranks (lane-crossing scans measured ~30ms at 512k) and no
+    inter-lane communication at all.
+  * Framebuffer deposit: three (n_pixels,) scatter-adds with
+    mode="drop" (dead lanes target index -1); measured 0.3ms.
 
-RNG discipline is EXACTLY ops/rng.py's (pixel, sample, bounce, tag) keys,
-so this renderer produces the same per-ray radiance as render_pixels; only
-the framebuffer accumulation order differs (float reassociation), so
-images match to ~1e-5 rather than bitwise.
+RNG discipline is EXACTLY ops/rng.py's (pixel, sample, bounce, tag) keys
+-- threefry folded per lane via nested vmap -- so this engine produces the
+same per-ray radiance as render_pixels and the scalar oracle; only the
+framebuffer accumulation order differs (float reassociation), so images
+match to ~1e-5 rather than bitwise.
 
 Forward-only (lax.while_loop): use ops/integrate.trace for AD.
 """
@@ -32,31 +42,107 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TraceOptions
-from ..models.camera import Camera, camera_ray
-from ..models.scene import Scene
+from ..models.camera import Camera
+from ..models.scene import DIELECTRIC, METAL, Scene
 from . import rng
-from .integrate import background_color, closest_hit_opt, _sphere_sample
-from .intersect import hit_surface
-from .scatter import scatter
+from .math3 import FLT_MIN
+from .pallas_segment import sphere_params_from_scene, trace_segment
+
+LANES = 128
+SKY_WHITE = (1.0, 1.0, 1.0)
+SKY_BLUE = (0.5, 0.7, 1.0)  # main.cxx:49; cuda_impl.cu:125
 
 
-def _gen_rays(cam: Camera, gids, spp, width, height, camera_mode, base_key):
-    """Camera rays for flat global ray ids gid = pid * spp + sid."""
+# ---------------------------------------------------------------------------
+# Planar (R, 128) wrappers over the scalar jax.random contract of ops/rng.py.
+# Nested vmap keeps the DRAWS bit-identical to the scalar API.
+# ---------------------------------------------------------------------------
 
-    def one(gid):
-        pid = gid // spp
-        sid = gid - pid * spp
-        rkey = rng.ray_key(base_key, pid, sid)
-        jit_uv = rng.jitter_uv(rkey)
-        y = pid // width
-        x = pid - y * width
-        u = (x.astype(jnp.float32) + jit_uv[0]) / width
-        v = (y.astype(jnp.float32) + jit_uv[1]) / height
-        k_lens = jax.random.fold_in(rkey, rng.TAG_LENS)
-        o, d = camera_ray(cam, u, v, k_lens, camera_mode)
-        return o, d, rkey, pid
+def _vv(f):
+    return jax.vmap(jax.vmap(f))
 
-    return jax.vmap(one)(gids)
+
+def _fold_base(base_key, data):
+    """fold_in(scalar_key, (R,128) data) -> (R,128) keys."""
+    return jax.vmap(jax.vmap(jax.random.fold_in, (None, 0)),
+                    (None, 0))(base_key, data)
+
+
+def _fold(keys, data):
+    """fold_in((R,128) keys, (R,128) data) -> (R,128) keys."""
+    return _vv(jax.random.fold_in)(keys, data)
+
+
+def _fold_c(keys, const: int):
+    return _vv(lambda k: jax.random.fold_in(k, const))(keys)
+
+
+def _uniform(keys):
+    return _vv(lambda k: jax.random.uniform(k))(keys)
+
+
+def _uniform2(keys):
+    u = _vv(lambda k: jax.random.uniform(k, (2,)))(keys)
+    return u[..., 0], u[..., 1]
+
+
+def _normal3(keys):
+    v = _vv(lambda k: jax.random.normal(k, (3,)))(keys)
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def _split2(keys):
+    ks = _vv(lambda k: jax.random.split(k))(keys)
+    return ks[..., 0], ks[..., 1]
+
+
+def _unit_vector(keys):
+    """Planar rng.unit_vector: same draws, components as planes."""
+    vx, vy, vz = _normal3(keys)
+    n = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    good = n > 1e-12
+    inv = 1.0 / jnp.where(good, n, 1.0)
+    return (jnp.where(good, vx * inv, 1.0), jnp.where(good, vy * inv, 0.0),
+            jnp.where(good, vz * inv, 0.0))
+
+
+def _in_unit_sphere(keys):
+    """Planar rng.in_unit_sphere: unit vector scaled by U^(1/3)."""
+    kd, kr = _split2(keys)
+    ux, uy, uz = _unit_vector(kd)
+    r = _uniform(kr) ** (1.0 / 3.0)
+    return ux * r, uy * r, uz * r
+
+
+def _in_unit_disk(keys):
+    kt, kr = _split2(keys)
+    theta = _uniform(kt) * (2.0 * jnp.pi)
+    r = jnp.sqrt(_uniform(kr))
+    return jnp.cos(theta) * r, jnp.sin(theta) * r
+
+
+def _normalize3(x, y, z):
+    """Planar math3.normalize (FLT_MIN guard, math.hxx:226-233)."""
+    l = jnp.sqrt(x * x + y * y + z * z)
+    good = l > FLT_MIN
+    inv = 1.0 / jnp.where(good, l, 1.0)
+    return (jnp.where(good, x * inv, x), jnp.where(good, y * inv, y),
+            jnp.where(good, z * inv, z))
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+def _pick_rows(r_total: int) -> int:
+    for rows in (128, 64, 32, 16, 8):
+        if r_total % rows == 0:
+            return rows
+    return 8
+
+
+TASK_SAMPLES = 8  # samples of one pixel accumulated per task (in-register)
+FLUSH_EVERY = 16  # iterations between pending->framebuffer scatter flushes
 
 
 @functools.partial(
@@ -66,90 +152,291 @@ def _gen_rays(cam: Camera, gids, spp, width, height, camera_mode, base_key):
 def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
                      height: int, spp: int, max_depth: int,
                      camera_mode: str, options: TraceOptions,
-                     pool_size: int = 1 << 19):
+                     pool_size: int = 1 << 15):
     """Render the full image -> (H*W, 3) linear radiance means.
 
-    pool_size: number of persistent ray lanes (HBM working set ~ O(pool)).
+    Work decomposition (the scatter-avoidance design, measured on v5e where
+    scatter-add costs ~6.5ns/element *of call size* -- 12.8 of the naive
+    loop's 20ms/iteration):
+      * a TASK = up to TASK_SAMPLES consecutive samples of ONE pixel;
+        tasks are strided across lanes (lane l owns tasks l, l+P, ...), so
+        load stays balanced and lanes never communicate;
+      * a lane traces its task's samples back-to-back, accumulating their
+        radiance into per-lane register planes (plain adds, no scatter);
+      * a finished task's (pixel, rgb) moves to the lane's single pending
+        slot; pendings are flushed to the framebuffer by 3 scatter-adds
+        only every FLUSH_EVERY iterations (amortized ~0.8ms/iter), plus
+        one final flush after the loop. A lane whose pending slot is
+        still occupied when its next task completes idles until the next
+        flush (rare: a task lives ~TASK_SAMPLES*avg_depth iterations).
+
+    pool_size: number of persistent ray lanes (rounded to layout multiple).
     """
     n_pixels = width * height
-    total = n_pixels * spp  # total camera rays to consume
-    p = min(pool_size, total)
+    task_samples = min(TASK_SAMPLES, spp)
+    tpp = -(-spp // task_samples)  # tasks per pixel
+    n_tasks = n_pixels * tpp
+    p = min(pool_size, n_tasks * task_samples)
+    p = max(p, 8 * LANES)
+    p = -(-p // (8 * LANES)) * (8 * LANES)
+    r_rows = p // LANES
+    rows = _pick_rows(r_rows)
+
+    sphere_params = sphere_params_from_scene(scene)
+    lane = (jax.lax.broadcasted_iota(jnp.int32, (r_rows, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (r_rows, LANES), 1))
+
+    origin = cam.origin
+    ll, hor, ver = cam.lower_left, cam.horizontal, cam.vertical
+    bu, bv = cam.basis_u, cam.basis_v
+    lens_r = cam.lens_radius
+    sky_bias = 0.5 if options.sky == "cuda" else 1.0
+    unit_sample = options.scatter_sample == "unit"
+    phys_refract = options.refract == "physical"
+
+    def flush(pp, pr, pg, pb, fbr, fbg, fbb):
+        ppf = pp.reshape(-1)
+        fbr = fbr.at[ppf].add(pr.reshape(-1), mode="drop")
+        fbg = fbg.at[ppf].add(pg.reshape(-1), mode="drop")
+        fbb = fbb.at[ppf].add(pb.reshape(-1), mode="drop")
+        free = jnp.full_like(pp, n_pixels)
+        zero = jnp.zeros_like(pr)
+        return free, zero, zero, zero, fbr, fbg, fbb
 
     def regen(state):
-        """Re-seed dead lanes with the next unconsumed camera rays."""
-        nxt, o, d, atten, depth, pid, rkeys, active, fb = state
-        dead = ~active
-        # Rank of each dead lane among dead lanes (0-based).
-        ranks = jnp.cumsum(dead.astype(jnp.int32)) - 1
-        gid = nxt + ranks
-        issue = dead & (gid < total)
-        gid_safe = jnp.where(issue, gid, 0)
-        o2, d2, rk2, pid2 = _gen_rays(cam, gid_safe, spp, width, height,
-                                      camera_mode, base_key)
-        m = issue[:, None]
-        o = jnp.where(m, o2, o)
-        d = jnp.where(m, d2, d)
-        atten = jnp.where(m, 1.0, atten)
+        (it, nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
+         depth, accr, accg, accb, pp, pr, pg, pb, fbr, fbg, fbb) = state
+
+        # Periodic pending flush (scatter-adds amortized over FLUSH_EVERY).
+        pp, pr, pg, pb, fbr, fbg, fbb = jax.lax.cond(
+            it % FLUSH_EVERY == FLUSH_EVERY - 1,
+            lambda ops: flush(*ops), lambda ops: ops,
+            (pp, pr, pg, pb, fbr, fbg, fbb))
+
+        idle = ~active
+        has_task = task >= 0
+        pid_old = task // tpp
+        run_end_old = jnp.minimum(
+            (task - pid_old * tpp) * task_samples + task_samples, spp)
+
+        # 1. Completed tasks move their accumulator into the pending slot
+        #    (only when it is free -- otherwise the lane idles until flush).
+        task_done = idle & has_task & (sid + 1 >= run_end_old)
+        move = task_done & (pp >= n_pixels)
+        pp = jnp.where(move, pid_old, pp)
+        pr = jnp.where(move, accr, pr)
+        pg = jnp.where(move, accg, pg)
+        pb = jnp.where(move, accb, pb)
+        accr = jnp.where(move, 0.0, accr)
+        accg = jnp.where(move, 0.0, accg)
+        accb = jnp.where(move, 0.0, accb)
+        task = jnp.where(move, -1, task)
+
+        # 2. Taskless lanes acquire their next strided task.
+        acquire = idle & (task < 0) & (nxt < n_tasks)
+        task = jnp.where(acquire, nxt, task)
+        nxt = jnp.where(acquire, nxt + p, nxt)
+
+        # 3. Recompute pixel/run for the (possibly new) task; advance sid.
+        pid = task // tpp
+        run_start = (task - pid * tpp) * task_samples
+        next_sample = idle & has_task & (sid + 1 < run_end_old) & ~task_done
+        sid = jnp.where(acquire, run_start,
+                        jnp.where(next_sample, sid + 1, sid))
+        issue = acquire | next_sample
+
+        # 4. Camera ray for issued (pixel, sample) pairs -- RNG contract
+        #    identical to ops/rng.py / the tiled renderer.
+        rkey = _fold(_fold_base(base_key, pid), sid)
+        jux, juy = _uniform2(_fold_c(rkey, rng.TAG_JITTER))
+        y = pid // width
+        x = pid - y * width
+        u = (x.astype(jnp.float32) + jux) / width
+        v = (y.astype(jnp.float32) + juy) / height
+
+        def film(k):
+            return ll[k] + hor[k] * u + ver[k] * (1.0 - v)
+
+        fx, fy, fz_ = film(0), film(1), film(2)
+        if camera_mode == "cuda":
+            nox, noy, noz = (jnp.broadcast_to(origin[k], u.shape)
+                             for k in range(3))
+            ndx, ndy, ndz = fx, fy, fz_  # quirk Q11: no -origin
+        elif camera_mode == "pinhole":
+            nox, noy, noz = (jnp.broadcast_to(origin[k], u.shape)
+                             for k in range(3))
+            ndx, ndy, ndz = fx - origin[0], fy - origin[1], fz_ - origin[2]
+        elif camera_mode == "cpu":
+            # camera.hxx:51-56 (quirks Q2 + Q11): unit-SPHERE lens sample,
+            # world-axis offset scaled by screen (u, v).
+            rdx, rdy, _rdz = _in_unit_sphere(_fold_c(rkey, rng.TAG_LENS))
+            offx = u * rdx * lens_r
+            offy = v * rdy * lens_r
+            nox, noy = origin[0] + offx, origin[1] + offy
+            noz = jnp.broadcast_to(origin[2], u.shape)
+            ndx, ndy, ndz = fx - offx, fy - offy, fz_
+        elif camera_mode == "thinlens":
+            r0, r1 = _in_unit_disk(_fold_c(rkey, rng.TAG_LENS))
+            r0, r1 = r0 * lens_r, r1 * lens_r
+            offx = bu[0] * r0 + bv[0] * r1
+            offy = bu[1] * r0 + bv[1] * r1
+            offz = bu[2] * r0 + bv[2] * r1
+            nox = origin[0] + offx
+            noy = origin[1] + offy
+            noz = origin[2] + offz
+            ndx = fx - origin[0] - offx
+            ndy = fy - origin[1] - offy
+            ndz = fz_ - origin[2] - offz
+        else:
+            raise ValueError(f"unknown camera mode: {camera_mode!r}")
+
+        one = jnp.float32(1.0)
+        ox = jnp.where(issue, nox, ox)
+        oy = jnp.where(issue, noy, oy)
+        oz = jnp.where(issue, noz, oz)
+        dx = jnp.where(issue, ndx, dx)
+        dy = jnp.where(issue, ndy, dy)
+        dz = jnp.where(issue, ndz, dz)
+        ax = jnp.where(issue, one, ax)
+        ay = jnp.where(issue, one, ay)
+        az = jnp.where(issue, one, az)
         depth = jnp.where(issue, 0, depth)
-        pid = jnp.where(issue, pid2, pid)
-        rkeys = jnp.where(issue, rk2, rkeys)
         active = active | issue
-        nxt = nxt + jnp.sum(issue.astype(jnp.int32))
-        return nxt, o, d, atten, depth, pid, rkeys, active, fb
+        return (it, nxt, task, sid, active, ox, oy, oz, dx, dy, dz,
+                ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
+                fbr, fbg, fbb, rkey)
 
     def segment(state):
-        """Trace one bounce for every active lane; deposit terminations."""
-        nxt, o, d, atten, depth, pid, rkeys, active, fb = state
+        (it, nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
+         depth, accr, accg, accb, pp, pr, pg, pb, fbr, fbg, fbb,
+         rkey) = state
 
-        t, idx, hit = closest_hit_opt(o, d, scene, options,
-                                      allow_pallas=True)
-        pos, normal = hit_surface(o, d, t, idx, hit, scene.centers,
-                                  scene.radii)
-        mi = scene.material_index[idx]
-        kb = jax.vmap(rng.bounce_key)(rkeys, depth)
-        k_vec = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 0)
-        k_rr = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 1)
-        rand_vec = jax.vmap(_sphere_sample, in_axes=(0, None))(k_vec, options)
-        ru = jax.vmap(rng.rr_uniform)(k_rr)
-        new_dir, alb, valid = scatter(d, normal, scene.mtype[mi],
-                                      scene.albedo[mi], scene.fuzz[mi],
-                                      scene.ior[mi], rand_vec, ru, options)
+        seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
+                            options.t_min, rows=rows)
+        hit = seg["hit"] > 0
+        nx, ny, nz = seg["nx"], seg["ny"], seg["nz"]
+        mt = seg["mt"]
+        alr, alg, alb_ = seg["ar"], seg["ag"], seg["ab"]
+        fz, io = seg["fz"], seg["io"]
+
+        # Per-bounce randomness (ops/rng.py draw-order contract).
+        kb = _fold(rkey, rng.TAG_BOUNCE + depth)
+        kv = _fold_c(kb, 0)
+        kr = _fold_c(kb, 1)
+        if unit_sample:
+            rvx, rvy, rvz = _unit_vector(kv)
+        else:
+            rvx, rvy, rvz = _in_unit_sphere(kv)
+        ru = _uniform(kr)
+
+        ux, uy, uz = _normalize3(dx, dy, dz)
+
+        # lambert (cuda_impl.cu:204-213)
+        ldx, ldy, ldz = nx + rvx, ny + rvy, nz + rvz
+        # metal (cuda_impl.cu:216-229)
+        du = ux * nx + uy * ny + uz * nz
+        rfx = ux - 2.0 * du * nx
+        rfy = uy - 2.0 * du * ny
+        rfz = uz - 2.0 * du * nz
+        mdx, mdy, mdz = rfx + rvx * fz, rfy + rvy * fz, rfz + rvz * fz
+        metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+        # dielectric (cuda_impl.cu:232-262)
+        cos = du  # dot(unit_dir, normal)
+        entering = cos <= 0.0
+        sgn = jnp.where(entering, 1.0, -1.0)
+        owx, owy, owz = nx * sgn, ny * sgn, nz * sgn
+        ri = jnp.where(entering, 1.0 / io, io)
+        cosab = jnp.abs(cos)
+        cos_i = owx * ux + owy * uy + owz * uz  # dot(outward, unit_dir)
+        kk = 1.0 - ri * ri * (1.0 - cos_i * cos_i)
+        tir = kk < 0.0
+        sq = jnp.sqrt(jnp.maximum(kk, 0.0))
+        if phys_refract:
+            tx = ri * ux - (ri * cos_i + sq) * owx
+            ty = ri * uy - (ri * cos_i + sq) * owy
+            tz = ri * uz - (ri * cos_i + sq) * owz
+        else:
+            # math.hxx:304-308: dot*eta broadcast-added per component.
+            tx = ux * ri - (owx * sq + cos_i * ri)
+            ty = uy * ri - (owy * sq + cos_i * ri)
+            tz = uz * ri - (owz * sq + cos_i * ri)
+        tx = jnp.where(tir, 0.0, tx)
+        ty = jnp.where(tir, 0.0, ty)
+        tz = jnp.where(tir, 0.0, tz)
+        r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
+        schlick = r0 + (1.0 - r0) * (1.0 - cosab) ** 5
+        prob = jnp.where(tir, 1.0, schlick)
+        refl = ru < prob
+        gdx = jnp.where(refl, rfx, tx)
+        gdy = jnp.where(refl, rfy, ty)
+        gdz = jnp.where(refl, rfz, tz)
+
+        is_metal = mt == METAL
+        is_diel = mt == DIELECTRIC
+        ndx = jnp.where(is_diel, gdx, jnp.where(is_metal, mdx, ldx))
+        ndy = jnp.where(is_diel, gdy, jnp.where(is_metal, mdy, ldy))
+        ndz = jnp.where(is_diel, gdz, jnp.where(is_metal, mdz, ldz))
+        valid = jnp.where(is_metal, metal_ok, True)
 
         miss_now = active & ~hit
         scatter_now = active & hit & valid
-        # A ray scattering out of its last allowed bounce dies black
-        # (main.cxx:74, cuda_impl.cu:296).
         depth_out = scatter_now & (depth + 1 >= max_depth)
         keep = scatter_now & ~depth_out
 
-        contrib = jnp.where(miss_now[:, None],
-                            atten * background_color(d, options), 0.0)
-        fb = fb.at[pid].add(contrib, mode="drop")
+        # sky (cuda_impl.cu:123-126 / main.cxx:47-50), unclamped mix;
+        # accumulate into the lane's task registers -- NO scatter here.
+        tsky = 0.5 * uy + sky_bias
+        accr = jnp.where(miss_now,
+                         accr + ax * (SKY_WHITE[0] * (1.0 - tsky)
+                                      + SKY_BLUE[0] * tsky), accr)
+        accg = jnp.where(miss_now,
+                         accg + ay * (SKY_WHITE[1] * (1.0 - tsky)
+                                      + SKY_BLUE[1] * tsky), accg)
+        accb = jnp.where(miss_now,
+                         accb + az * (SKY_WHITE[2] * (1.0 - tsky)
+                                      + SKY_BLUE[2] * tsky), accb)
 
-        o = jnp.where(keep[:, None], pos, o)
-        d = jnp.where(keep[:, None], new_dir, d)
-        atten = jnp.where(keep[:, None], atten * alb, atten)
+        ox = jnp.where(keep, seg["px"], ox)
+        oy = jnp.where(keep, seg["py"], oy)
+        oz = jnp.where(keep, seg["pz"], oz)
+        dx = jnp.where(keep, ndx, dx)
+        dy = jnp.where(keep, ndy, dy)
+        dz = jnp.where(keep, ndz, dz)
+        ax = jnp.where(keep, ax * alr, ax)
+        ay = jnp.where(keep, ay * alg, ay)
+        az = jnp.where(keep, az * alb_, az)
         depth = jnp.where(keep, depth + 1, depth)
-        return nxt, o, d, atten, depth, pid, rkeys, keep, fb
+        return (it + 1, nxt, task, sid, keep, ox, oy, oz, dx, dy, dz,
+                ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
+                fbr, fbg, fbb)
 
     def cond(state):
-        nxt, *_, active, _fb = state
-        return (nxt < total) | jnp.any(active)
+        it, nxt, task, sid, active = state[:5]
+        return jnp.any(active) | jnp.any(task >= 0) | jnp.any(nxt < n_tasks)
 
     def body(state):
         return segment(regen(state))
 
+    zero = jnp.zeros((r_rows, LANES), jnp.float32)
+    izero = jnp.zeros((r_rows, LANES), jnp.int32)
+    fb0 = jnp.zeros((n_pixels,), jnp.float32)
     state0 = (
-        jnp.int32(0),
-        jnp.zeros((p, 3), jnp.float32),
-        jnp.ones((p, 3), jnp.float32),  # non-degenerate dummy directions
-        jnp.zeros((p, 3), jnp.float32),
-        jnp.zeros((p,), jnp.int32),
-        jnp.zeros((p,), jnp.int32),
-        jnp.broadcast_to(jax.random.key(0), (p,)),
-        jnp.zeros((p,), bool),
-        jnp.zeros((n_pixels, 3), jnp.float32),
+        jnp.int32(0),         # iteration counter
+        lane,                 # per-lane next task id (strided ownership)
+        izero - 1,            # task (-1 = none)
+        izero,                # sid
+        jnp.zeros((r_rows, LANES), bool),  # active
+        zero, zero, zero,     # origin
+        zero + 1.0, zero, zero,  # direction (non-degenerate dummy)
+        zero, zero, zero,     # attenuation
+        izero,                # depth
+        zero, zero, zero,     # task accumulator
+        izero + n_pixels,     # pending pixel (n_pixels = free sentinel)
+        zero, zero, zero,     # pending rgb
+        fb0, fb0, fb0,        # framebuffer planes
     )
     final = jax.lax.while_loop(cond, body, state0)
-    fb = final[-1]
-    return fb / spp
+    (_, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, pp, pr, pg, pb,
+     fbr, fbg, fbb) = final
+    _, _, _, _, fbr, fbg, fbb = flush(pp, pr, pg, pb, fbr, fbg, fbb)
+    return jnp.stack([fbr, fbg, fbb], axis=-1) / spp

@@ -29,6 +29,10 @@ def _as_u8(image) -> np.ndarray:
 def write_ppm(path, image) -> None:
     """Binary P6 PPM, byte-identical header format to main.cxx:96-100."""
     arr = _as_u8(image)
+    from .. import native
+
+    if native.write_ppm(str(path), arr):
+        return
     h, w, _ = arr.shape
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode("ascii"))
@@ -49,8 +53,12 @@ def read_ppm(path) -> np.ndarray:
 
 
 def write_png(path, image) -> None:
-    """Minimal RGB8 PNG writer (no deps; stdlib zlib)."""
+    """RGB8 PNG writer: native (C++/zlib) when built, stdlib zlib fallback."""
     arr = _as_u8(image)
+    from .. import native
+
+    if native.write_png(str(path), arr):
+        return
     h, w, _ = arr.shape
 
     def chunk(tag: bytes, payload: bytes) -> bytes:

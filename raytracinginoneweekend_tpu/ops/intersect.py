@@ -28,7 +28,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.float32(1e30)  # "no hit" sentinel; avoids inf arithmetic in grads
+BIG = 1e30  # "no hit" sentinel (python float: a jnp constant here would
+# initialize the XLA backend at import time, breaking jax.distributed)
 
 
 def _block_candidates(ox, oy, oz, dx, dy, dz, a, cx, cy, cz, rad, valid,

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 # Smallest positive normal float32, the guard used by the reference's
 # normalize() (math.hxx:226: `if (std::abs(length) > FLT_MIN)`).
-FLT_MIN = jnp.float32(1.17549435e-38)
+FLT_MIN = 1.17549435e-38  # python float, not jnp: no import-time backend init
 
 _DEG2RAD = 0.01745329251994329576923690768489  # math.hxx:12
 _RAD2DEG = 57.295779513082320876798154814105  # math.hxx:20

@@ -145,15 +145,28 @@ TASK_SAMPLES = 8  # samples of one pixel accumulated per task (in-register)
 FLUSH_EVERY = 16  # iterations between pending->framebuffer scatter flushes
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
-                     "options", "pool_size"))
-def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
-                     height: int, spp: int, max_depth: int,
-                     camera_mode: str, options: TraceOptions,
-                     pool_size: int = 1 << 15):
-    """Render the full image -> (H*W, 3) linear radiance means.
+def pool_lanes(pool_size: int, width: int, height: int, spp: int) -> int:
+    """The actual (layout-rounded) lane count a pool_size request yields."""
+    task_samples = min(TASK_SAMPLES, spp)
+    tpp = -(-spp // task_samples)
+    n_tasks = width * height * tpp
+    p = min(pool_size, n_tasks * task_samples)
+    p = max(p, 8 * LANES)
+    return -(-p // (8 * LANES)) * (8 * LANES)
+
+
+def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
+                 height: int, spp: int, max_depth: int, camera_mode: str,
+                 options: TraceOptions, pool_size: int = 1 << 15,
+                 lane_offset=0, lane_stride: int | None = None):
+    """Trace this worker's task subrange -> UNNORMALIZED (H*W, 3) fb sums.
+
+    lane_offset/lane_stride define strided task ownership across workers:
+    this worker's local lane l owns tasks lane_offset + l, + lane_stride,
+    ... Default (0, pool) is the whole image; parallel.render_wavefront
+    sharded passes (device_index * pool, n_devices * pool) and psums the
+    partial framebuffers. lane_offset may be a traced scalar
+    (jax.lax.axis_index); lane_stride must be static.
 
     Work decomposition (the scatter-avoidance design, measured on v5e where
     scatter-add costs ~6.5ns/element *of call size* -- 12.8 of the naive
@@ -176,9 +189,9 @@ def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
     task_samples = min(TASK_SAMPLES, spp)
     tpp = -(-spp // task_samples)  # tasks per pixel
     n_tasks = n_pixels * tpp
-    p = min(pool_size, n_tasks * task_samples)
-    p = max(p, 8 * LANES)
-    p = -(-p // (8 * LANES)) * (8 * LANES)
+    p = pool_lanes(pool_size, width, height, spp)
+    if lane_stride is None:
+        lane_stride = p
     r_rows = p // LANES
     rows = _pick_rows(r_rows)
 
@@ -235,7 +248,7 @@ def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
         # 2. Taskless lanes acquire their next strided task.
         acquire = idle & (task < 0) & (nxt < n_tasks)
         task = jnp.where(acquire, nxt, task)
-        nxt = jnp.where(acquire, nxt + p, nxt)
+        nxt = jnp.where(acquire, nxt + lane_stride, nxt)
 
         # 3. Recompute pixel/run for the (possibly new) task; advance sid.
         pid = task // tpp
@@ -422,7 +435,7 @@ def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
     fb0 = jnp.zeros((n_pixels,), jnp.float32)
     state0 = (
         jnp.int32(0),         # iteration counter
-        lane,                 # per-lane next task id (strided ownership)
+        lane + lane_offset,   # per-lane next task id (strided ownership)
         izero - 1,            # task (-1 = none)
         izero,                # sid
         jnp.zeros((r_rows, LANES), bool),  # active
@@ -439,4 +452,19 @@ def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
     (_, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, pp, pr, pg, pb,
      fbr, fbg, fbb) = final
     _, _, _, _, fbr, fbg, fbb = flush(pp, pr, pg, pb, fbr, fbg, fbb)
-    return jnp.stack([fbr, fbg, fbb], axis=-1) / spp
+    return jnp.stack([fbr, fbg, fbb], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
+                     "options", "pool_size"))
+def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
+                     height: int, spp: int, max_depth: int,
+                     camera_mode: str, options: TraceOptions,
+                     pool_size: int = 1 << 15):
+    """Render the full image -> (H*W, 3) linear radiance means (1 device)."""
+    fb = wavefront_fb(scene, cam, base_key, width=width, height=height,
+                      spp=spp, max_depth=max_depth, camera_mode=camera_mode,
+                      options=options, pool_size=pool_size)
+    return fb / spp

@@ -16,5 +16,6 @@ Shard-invariance contract: every random draw is keyed only by global
 of the same config are bitwise identical.
 """
 
-from .mesh import make_mesh, render_sharded, render_image_sharded  # noqa: F401
+from .mesh import (make_mesh, render_sharded, render_image_sharded,  # noqa: F401
+                   render_wavefront_sharded)
 from .distributed import initialize_distributed  # noqa: F401

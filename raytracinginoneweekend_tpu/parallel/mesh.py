@@ -51,6 +51,7 @@ def shard_map(f, *, mesh, in_specs, out_specs):
 from ..config import RenderConfig, TraceOptions
 from ..models.camera import Camera
 from ..models.scene import Scene
+from ..ops.wavefront import pool_lanes, wavefront_fb
 from ..render import render_pixels_impl
 
 AXIS = "rays"
@@ -136,3 +137,40 @@ def render_image_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
         n_valid = min(chunk, n_pixels - i * chunk)
         out[i * chunk:i * chunk + n_valid] = np.asarray(res)[:n_valid]
     return jnp.asarray(out.reshape(h, w, 3))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "spp", "max_depth",
+                     "camera_mode", "options", "pool_size"))
+def render_wavefront_sharded(scene: Scene, cam: Camera, base_key, *,
+                             mesh: Mesh, width: int, height: int, spp: int,
+                             max_depth: int, camera_mode: str,
+                             options: TraceOptions,
+                             pool_size: int = 1 << 15):
+    """Multi-chip wavefront render -> (H*W, 3) linear radiance means.
+
+    Each device runs an independent persistent-wavefront loop over a
+    strided subset of the pixel tasks (device d's local lane l owns tasks
+    d*pool + l, + n_dev*pool, ...), so the forward pass needs NO
+    communication until the single psum that sums the per-device partial
+    framebuffers at the end. Task ownership is balanced by striding and
+    the RNG contract keys only on (pixel, sample, bounce), so the result
+    is invariant to mesh size up to float accumulation order.
+
+    pool_size is PER DEVICE: total in-flight lanes = pool * n_devices.
+    """
+    n_dev = mesh.size
+    p = pool_lanes(pool_size, width, height, spp)
+
+    def shard_fn(scene, cam, key):
+        d = jax.lax.axis_index(AXIS)
+        fb = wavefront_fb(
+            scene, cam, key, width=width, height=height, spp=spp,
+            max_depth=max_depth, camera_mode=camera_mode, options=options,
+            pool_size=pool_size, lane_offset=d * p, lane_stride=n_dev * p)
+        return jax.lax.psum(fb, AXIS)
+
+    sharded = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P()),
+                        out_specs=P())
+    return sharded(scene, cam, base_key) / spp

@@ -82,3 +82,18 @@ def test_param_grads_match_through_shard_map():
                                    np.asarray(g_shard[name]),
                                    rtol=2e-5, atol=1e-7)
         assert np.isfinite(np.asarray(g_shard[name])).all()
+
+
+def test_sharded_wavefront_matches_single_device():
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+    from raytracinginoneweekend_tpu.parallel.mesh import (
+        render_wavefront_sharded)
+
+    scene, cam, key = _setup()
+    mesh = make_mesh()
+    kwargs = dict(width=W, height=H, spp=4, max_depth=DEPTH,
+                  camera_mode="thinlens", options=DEFAULT, pool_size=128)
+    got = render_wavefront_sharded(scene, cam, key, mesh=mesh, **kwargs)
+    want = render_wavefront(scene, cam, key, **kwargs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)

@@ -69,8 +69,10 @@ def _add_render_flags(p: argparse.ArgumentParser):
     p.add_argument("--depth", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--engine", default="wavefront",
-                   choices=["wavefront", "tiled"])
+                   choices=["wavefront", "wavefront-sharded", "tiled"])
     p.add_argument("--pool-size", type=int, default=1 << 15)
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace into DIR")
 
 
 def _render_image(args):
@@ -95,6 +97,15 @@ def _render_image(args):
             spp=args.spp, max_depth=args.depth, camera_mode=args.mode,
             options=options, pool_size=args.pool_size)
         img = img.reshape(args.height, args.width, 3)
+    elif args.engine == "wavefront-sharded":
+        from .parallel import make_mesh, render_wavefront_sharded
+
+        img = render_wavefront_sharded(
+            scene, cam, key, mesh=make_mesh(), width=args.width,
+            height=args.height, spp=args.spp, max_depth=args.depth,
+            camera_mode=args.mode, options=options,
+            pool_size=args.pool_size)
+        img = img.reshape(args.height, args.width, 3)
     else:
         img = render(scene, cam, cfg, key)
     return img, cfg
@@ -107,9 +118,16 @@ def cmd_render(args) -> int:
     from .io.image import write_png, write_ppm
     from .ops.postprocess import to_u8
 
+    import contextlib
+
+    from .utils.timing import profile_trace
+
+    prof = (profile_trace(args.profile) if args.profile
+            else contextlib.nullcontext())
     t0 = time.perf_counter()
-    img, cfg = _render_image(args)
-    jax.block_until_ready(img)
+    with prof:
+        img, cfg = _render_image(args)
+        jax.block_until_ready(img)
     dt = time.perf_counter() - t0
     u8 = np.asarray(to_u8(img, clamp=not args.no_clamp))
     writer = write_png if args.out.endswith(".png") else write_ppm

@@ -54,3 +54,13 @@ def test_cli_fit_with_checkpoint(tmp_path, capsys):
                "--batch-pixels", "64", "--resume", ckpt])
     assert rc == 0
     assert "resumed" in capsys.readouterr().out
+
+
+def test_cli_render_wavefront_sharded(tmp_path):
+    out = os.path.join(tmp_path, "s.ppm")
+    rc = main(["render", "--scene", "simple-cuda", "--width", "16",
+               "--height", "8", "--spp", "2", "--depth", "3",
+               "--engine", "wavefront-sharded", "--pool-size", "128",
+               "--out", out])
+    assert rc == 0
+    assert read_ppm(out).shape == (8, 16, 3)

@@ -3,21 +3,30 @@
 Motivation (measured on v5e): XLA's per-ray gathers cost ~80ns each
 (scene.material_index[idx], albedo[mi], centers[idx]... ~40ms per bounce at
 512k rays -- the dominant cost of the naive wavefront loop), while a fused
-VMEM kernel does the whole 512k x 489 closest-hit in ~1ms. So the kernel
-never produces an index to gather from: it carries the *best sphere's*
-geometry and material parameters through the running min as in-register
-selects, and emits ready-to-use planes:
+VMEM kernel does the whole closest-hit in ~10ns/ray. So the kernel never
+produces an index for XLA to gather from; it resolves everything per ray
+before leaving VMEM:
 
-  inputs  (per ray, planar (ROWS,128) f32): ox oy oz dx dy dz
-  prefetch (per sphere, SMEM): cx cy cz r  mtype  alb_r alb_g alb_b fuzz ior
-          (material params pre-gathered per *sphere* on the host once per
-           scene -- an (S,)-sized gather, not a per-ray one)
-  outputs (per ray, planar): hit t px py pz nx ny nz mt ar ag ab fz io
+  1. Min loop: per-sphere candidate t with a running (t_best, s_best) --
+     only TWO carried selects. (Carrying all 10 geometry/material values
+     through the loop measured ~1.9x slower: 9 extra selects + 6 extra
+     SMEM scalar loads per sphere.)
+  2. One-hot MXU gather (XLA side, after the kernel): params =
+     one_hot(s_best, S) @ table, where table is an (S, 16) array of
+     per-sphere [cx cy cz r mtype alb_r alb_g alb_b fuzz ior]. The
+     one-hot row has exactly one 1.0, so the matmul is an EXACT gather
+     running on the MXU instead of serialized gather hardware. (An
+     in-kernel version hits a Mosaic lanes->sublanes reshape limit.)
+  3. Hit position + normal from the gathered center/radius (negative
+     radii flip inward -- hollow glass, SURVEY Q10; raytracer.hxx:71).
+
+  kernel inputs  (per ray, planar (ROWS,128) f32): ox oy oz dx dy dz
+  kernel prefetch (per sphere, SMEM): cx cy cz r
+  kernel outputs (per ray, planar): hit t sphere_index
 
 Candidate/selection semantics identical to ops/intersect.py: near root
 preferred, far root fallback, (t_min, inf) window, strict '<' running min
-keeping the earliest sphere; normal = (p-c)/r so negative radii flip
-inward (hollow glass, SURVEY Q10; raytracer.hxx:71).
+keeping the earliest sphere.
 
 Interpret mode on non-TPU backends keeps this the single code path for
 tests.
@@ -34,13 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _BIG = 1e30
+TABLE_COLS = 16  # 10 used + pad to an MXU-friendly width
 
 
-def _kernel(cx_ref, cy_ref, cz_ref, r_ref, mt_ref, ar_ref, ag_ref, ab_ref,
-            fz_ref, io_ref,
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-            hit_ref, t_ref, px_ref, py_ref, pz_ref, nx_ref, ny_ref, nz_ref,
-            mt_out, ar_out, ag_out, ab_out, fz_out, io_out,
+def _kernel(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM scalar-prefetch (S,)
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM blocks
+            hit_ref, t_ref, sb_ref,
             *, rows: int, n_spheres: int, t_min: float):
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -48,7 +56,7 @@ def _kernel(cx_ref, cy_ref, cz_ref, r_ref, mt_ref, ar_ref, ag_ref, ab_ref,
     inv_a = 1.0 / a
 
     def body(s, carry):
-        t_b, cx_b, cy_b, cz_b, r_b, mt_b, ar_b, ag_b, ab_b, fz_b, io_b = carry
+        t_b, s_b = carry
         cx, cy, cz, r = cx_ref[s], cy_ref[s], cz_ref[s], r_ref[s]
         ocx = ox - cx
         ocy = oy - cy
@@ -64,45 +72,14 @@ def _kernel(cx_ref, cy_ref, cz_ref, r_ref, mt_ref, ar_ref, ag_ref, ab_ref,
         v1 = pos & (t1 > t_min)
         tc = jnp.where(v0, t0, jnp.where(v1, t1, _BIG))
         w = tc < t_b
-        return (jnp.where(w, tc, t_b),
-                jnp.where(w, cx, cx_b), jnp.where(w, cy, cy_b),
-                jnp.where(w, cz, cz_b), jnp.where(w, r, r_b),
-                jnp.where(w, mt_ref[s], mt_b),
-                jnp.where(w, ar_ref[s], ar_b), jnp.where(w, ag_ref[s], ag_b),
-                jnp.where(w, ab_ref[s], ab_b),
-                jnp.where(w, fz_ref[s], fz_b), jnp.where(w, io_ref[s], io_b))
+        return jnp.where(w, tc, t_b), jnp.where(w, s, s_b)
 
-    shape = (rows, LANES)
-    init = (jnp.full(shape, _BIG, jnp.float32),
-            jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.float32), jnp.ones(shape, jnp.float32),
-            jnp.zeros(shape, jnp.int32),
-            jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.float32),
-            jnp.zeros(shape, jnp.float32), jnp.ones(shape, jnp.float32))
-    (t_b, cx_b, cy_b, cz_b, r_b, mt_b, ar_b, ag_b, ab_b, fz_b,
-     io_b) = jax.lax.fori_loop(0, n_spheres, body, init)
-
-    hit = t_b < _BIG
-    t_safe = jnp.where(hit, t_b, 1.0)
-    px = ox + t_safe * dx
-    py = oy + t_safe * dy
-    pz = oz + t_safe * dz
-    inv_r = 1.0 / r_b  # r_b init 1.0; no-hit lanes stay safe
-    hit_ref[:] = hit.astype(jnp.int32)
+    t_b = jnp.full((rows, LANES), _BIG, jnp.float32)
+    s_b = jnp.zeros((rows, LANES), jnp.int32)
+    t_b, s_b = jax.lax.fori_loop(0, n_spheres, body, (t_b, s_b))
+    hit_ref[:] = (t_b < _BIG).astype(jnp.int32)
     t_ref[:] = t_b
-    px_ref[:] = px
-    py_ref[:] = py
-    pz_ref[:] = pz
-    nx_ref[:] = (px - cx_b) * inv_r
-    ny_ref[:] = (py - cy_b) * inv_r
-    nz_ref[:] = (pz - cz_b) * inv_r
-    mt_out[:] = mt_b
-    ar_out[:] = ar_b
-    ag_out[:] = ag_b
-    ab_out[:] = ab_b
-    fz_out[:] = fz_b
-    io_out[:] = io_b
+    sb_ref[:] = s_b
 
 
 @functools.partial(
@@ -132,20 +109,55 @@ def trace_segment(rays, sphere_params, t_min, rows: int = 128,
     bs = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
                       memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=10, grid=(grid,),
-        in_specs=[bs] * 6, out_specs=[bs] * 14)
+        num_scalar_prefetch=4, grid=(grid,),
+        in_specs=[bs] * 6, out_specs=[bs] * 3)
     f32 = jnp.float32
     shapes = [jax.ShapeDtypeStruct((r_total, LANES), dt) for dt in
-              (jnp.int32, f32, f32, f32, f32, f32, f32, f32, jnp.int32,
-               f32, f32, f32, f32, f32)]
-    out = pl.pallas_call(
+              (jnp.int32, f32, jnp.int32)]
+    cx, cy, cz, r = sphere_params[:4]
+    hit_i, t_b, s_b = pl.pallas_call(
         functools.partial(_kernel, rows=rows, n_spheres=s,
                           t_min=float(t_min)),
         grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
-    )(*sphere_params, *rays)
-    names = ("hit", "t", "px", "py", "pz", "nx", "ny", "nz", "mt", "ar",
-             "ag", "ab", "fz", "io")
-    return dict(zip(names, out))
+    )(cx, cy, cz, r, *rays)
+
+    # Exact gather of the winning sphere's params WITHOUT per-ray scatter/
+    # gather ops (measured ~80ns/element on v5e): a one-hot matmul on the
+    # MXU. The bf16 one-hot is exact (values 0/1) and the contraction has
+    # exactly one nonzero term per row, so the result is bit-exact f32.
+    table = jnp.zeros((s, TABLE_COLS), jnp.float32)
+    table = table.at[:, 0].set(cx)
+    table = table.at[:, 1].set(cy)
+    table = table.at[:, 2].set(cz)
+    table = table.at[:, 3].set(r)
+    table = table.at[:, 4].set(sphere_params[4].astype(jnp.float32))
+    for i in range(5, 10):
+        table = table.at[:, i].set(sphere_params[i])
+
+    sphere_ids = jnp.arange(s, dtype=jnp.int32)
+    oh = (s_b.reshape(-1, 1) == sphere_ids[None, :]).astype(jnp.bfloat16)
+    # bf16 one-hot (0/1 exact) against the f32 table: one nonzero term per
+    # row, so the f32 result is the table value bit-exactly.
+    params = jnp.dot(oh, table, preferred_element_type=jnp.float32)
+
+    def col(i):
+        return params[:, i].reshape(r_total, LANES)
+
+    ox, oy, oz, dx, dy, dz = rays
+    hit = hit_i > 0
+    cx_b, cy_b, cz_b, r_b = col(0), col(1), col(2), col(3)
+    t_safe = jnp.where(hit, t_b, 1.0)
+    px = ox + t_safe * dx
+    py = oy + t_safe * dy
+    pz = oz + t_safe * dz
+    inv_r = 1.0 / jnp.where(r_b != 0.0, r_b, 1.0)
+    return {
+        "hit": hit_i, "t": t_b, "px": px, "py": py, "pz": pz,
+        "nx": (px - cx_b) * inv_r, "ny": (py - cy_b) * inv_r,
+        "nz": (pz - cz_b) * inv_r,
+        "mt": col(4).astype(jnp.int32), "ar": col(5), "ag": col(6),
+        "ab": col(7), "fz": col(8), "io": col(9),
+    }
 
 
 def sphere_params_from_scene(scene):

@@ -14,6 +14,18 @@ import time
 import jax
 
 
+def _sync(result):
+    """Force completion. block_until_ready alone proved unreliable over
+    remote-device transports (observed returning before execution); a
+    1-element device->host fetch cannot."""
+    result = jax.block_until_ready(result)
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(result):
+        np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
+    return result
+
+
 def time_fn(fn, *args, warmup: int = 1, iters: int = 3, **kwargs):
     """Time a device computation properly (compile excluded, device-synced).
 
@@ -21,11 +33,11 @@ def time_fn(fn, *args, warmup: int = 1, iters: int = 3, **kwargs):
     """
     result = None
     for _ in range(max(1, warmup)):
-        result = jax.block_until_ready(fn(*args, **kwargs))
+        result = _sync(fn(*args, **kwargs))
     best = float("inf")
     for _ in range(max(1, iters)):
         t0 = time.perf_counter()
-        result = jax.block_until_ready(fn(*args, **kwargs))
+        result = _sync(fn(*args, **kwargs))
         best = min(best, time.perf_counter() - t0)
     return best, result
 

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from ..config import TraceOptions
 from ..models.scene import Scene
 from . import math3, rng
-from .intersect import closest_hit, hit_surface
+from .intersect import closest_hit_diff, hit_surface
 from .scatter import scatter
 
 SKY_WHITE = (1.0, 1.0, 1.0)
@@ -77,16 +77,15 @@ def _sphere_sample(key, options: TraceOptions):
 
 def closest_hit_opt(origin, direction, scene: Scene, options: TraceOptions,
                     allow_pallas: bool):
-    """Dispatch closest-hit: Pallas fused kernel on forward-only paths when
-    options.intersect == "pallas", XLA-fused jnp otherwise (and always for
-    AD -- the kernel has no VJP)."""
-    if allow_pallas and options.intersect == "pallas":
-        from .pallas_intersect import closest_hit_pallas
-
-        return closest_hit_pallas(origin, direction, scene.centers,
-                                  scene.radii, options.t_min)
-    return closest_hit(origin, direction, scene.centers, scene.radii,
-                       options.t_min, options.sphere_block)
+    """Dispatch closest-hit. The custom-VJP wrapper (analytic O(N)
+    backward via implicit differentiation of the winning sphere's
+    quadratic) serves BOTH the forward-only and reverse-mode paths, so
+    options.intersect == "pallas" may select the fused kernel even under
+    AD. ``allow_pallas`` is kept for callers that must stay on the jnp
+    forward (e.g. comparing the two implementations)."""
+    use_pallas = allow_pallas and options.intersect == "pallas"
+    return closest_hit_diff(origin, direction, scene.centers, scene.radii,
+                            options.t_min, options.sphere_block, use_pallas)
 
 
 def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
@@ -96,15 +95,43 @@ def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
 
     t, idx, hit = closest_hit_opt(origin, direction, scene, options,
                                   allow_pallas)
-    pos, normal = hit_surface(origin, direction, t, idx, hit,
-                              scene.centers, scene.radii)
 
-    # Gather material params for each ray's hit sphere.
-    mi = scene.material_index[idx]
-    mtype = scene.mtype[mi]
-    albedo = scene.albedo[mi]
-    fuzz = scene.fuzz[mi]
-    ior = scene.ior[mi]
+    if options.gather == "onehot":
+        # Per-SPHERE table (differentiable: built from the scene leaves
+        # with only (S,)-sized gathers), then an exact one-hot matmul per
+        # ray on the MXU -- per-ray index gathers measured ~80ns/element
+        # on v5e, while the matmul transpose (the gradient) is another
+        # matmul. One nonzero per row keeps it bit-exact.
+        mi_s = scene.material_index
+        alb_s = scene.albedo[mi_s]
+        table = jnp.concatenate([
+            scene.centers,
+            scene.radii[:, None],
+            scene.mtype[mi_s].astype(jnp.float32)[:, None],
+            alb_s,
+            scene.fuzz[mi_s][:, None],
+            scene.ior[mi_s][:, None],
+        ], axis=1)  # (S, 10)
+        oh = (idx[:, None] == jnp.arange(scene.num_spheres)[None, :]
+              ).astype(jnp.float32)
+        params = jnp.dot(oh, table, preferred_element_type=jnp.float32)
+        c_hit = params[:, 0:3]
+        r_hit = params[:, 3]
+        mtype = params[:, 4].astype(jnp.int32)
+        albedo = params[:, 5:8]
+        fuzz = params[:, 8]
+        ior = params[:, 9]
+        pos, normal = hit_surface(origin, direction, t, idx, hit,
+                                  scene.centers, scene.radii,
+                                  c_hit=c_hit, r_hit=r_hit)
+    else:
+        pos, normal = hit_surface(origin, direction, t, idx, hit,
+                                  scene.centers, scene.radii)
+        mi = scene.material_index[idx]
+        mtype = scene.mtype[mi]
+        albedo = scene.albedo[mi]
+        fuzz = scene.fuzz[mi]
+        ior = scene.ior[mi]
 
     # Per-bounce randomness (see ops/rng.py draw-order contract).
     kb = jax.vmap(rng.bounce_key, in_axes=(0, None))(ray_keys, bounce)

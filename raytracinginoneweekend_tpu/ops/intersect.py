@@ -25,6 +25,8 @@ O(N * sphere_block) regardless of scene size.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -125,17 +127,91 @@ def closest_hit(origin, direction, centers, radii, t_min, sphere_block=512):
     return t, idx, t < BIG
 
 
-def hit_surface(origin, direction, t, idx, hit, centers, radii):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def closest_hit_diff(origin, direction, centers, radii, t_min,
+                     sphere_block=512, use_pallas=False):
+    """closest_hit with an analytic O(N) backward pass.
+
+    XLA's transpose of the (N, S) candidate broadcast materializes the
+    whole candidate tensor again; but t locally depends only on the
+    WINNING sphere (argmin is piecewise constant), so implicit
+    differentiation of F = |o + t d - c|^2 - r^2 = 0 gives
+
+        dt = [ (p-c)·dc + r dr - (p-c)·do - t (p-c)·dd ] / ((p-c)·d)
+
+    with p = o + t d -- all O(N) elementwise plus one (N,)->(S,)
+    scatter-add for the sphere cotangents. This also makes the
+    forward-only Pallas kernel legal inside reverse-mode traces
+    (use_pallas=True).
+    """
+    return _closest_hit_fwd_impl(origin, direction, centers, radii, t_min,
+                                 sphere_block, use_pallas)
+
+
+def _closest_hit_fwd_impl(origin, direction, centers, radii, t_min,
+                          sphere_block, use_pallas):
+    if use_pallas:
+        from .pallas_intersect import closest_hit_pallas
+
+        return closest_hit_pallas(origin, direction, centers, radii, t_min)
+    return closest_hit(origin, direction, centers, radii, t_min,
+                       sphere_block)
+
+
+def _closest_hit_fwd(origin, direction, centers, radii, t_min,
+                     sphere_block, use_pallas):
+    out = _closest_hit_fwd_impl(origin, direction, centers, radii, t_min,
+                                sphere_block, use_pallas)
+    t, idx, hit = out
+    return out, (origin, direction, centers, radii, t, idx, hit)
+
+
+def _closest_hit_bwd(t_min, sphere_block, use_pallas, res, g):
+    origin, direction, centers, radii, t, idx, hit = res
+    g_t = g[0]  # idx/hit are integer/bool outputs: zero cotangent
+    s = centers.shape[0]
+
+    t_safe = jnp.where(hit, t, 1.0)
+    c_hit = centers[idx]
+    r_hit = radii[idx]
+    p = origin + t_safe[:, None] * direction
+    pc = p - c_hit  # (N, 3)
+    denom = jnp.sum(pc * direction, axis=-1)  # (p-c)·d
+    # Grazing hits (denom -> 0) have unbounded dt; zero them like the
+    # sanitized no-hit lanes (standard for silhouette-adjacent samples).
+    good = hit & (jnp.abs(denom) > 1e-12)
+    scale = jnp.where(good, g_t / jnp.where(good, denom, 1.0), 0.0)
+
+    g_c_rows = scale[:, None] * pc  # dt/dc = (p-c)/denom
+    g_r_rows = scale * r_hit  # dt/dr = r/denom
+    idx_dep = jnp.where(good, idx, s)
+    g_centers = jnp.zeros_like(centers).at[idx_dep].add(
+        g_c_rows, mode="drop")
+    g_radii = jnp.zeros_like(radii).at[idx_dep].add(g_r_rows, mode="drop")
+    g_origin = -g_c_rows  # dt/do = -(p-c)/denom
+    g_direction = -t_safe[:, None] * g_c_rows  # dt/dd = -t (p-c)/denom
+    return g_origin, g_direction, g_centers, g_radii
+
+
+closest_hit_diff.defvjp(_closest_hit_fwd, _closest_hit_bwd)
+
+
+def hit_surface(origin, direction, t, idx, hit, centers, radii,
+                c_hit=None, r_hit=None):
     """Position and normal at the hit point (gathered per ray).
 
     p = o + t*d (math.hxx:349-352 point_at); n = (p - c)/r
     (raytracer.hxx:71; negative r flips the normal inward -- hollow glass,
     quirk Q10). ``t`` and the gathered radius are sanitized where no hit so
     dead lanes never produce inf/NaN that would poison reverse-mode AD.
+    Pass precomputed per-ray ``c_hit``/``r_hit`` to skip the index gathers
+    (see ops/integrate.py's one-hot path).
     """
     t_safe = jnp.where(hit, t, 1.0)
-    c_hit = centers[idx]
-    r_hit = radii[idx]
+    if c_hit is None:
+        c_hit = centers[idx]
+    if r_hit is None:
+        r_hit = radii[idx]
     r_safe = jnp.where(hit, r_hit, 1.0)
     p = origin + t_safe[:, None] * direction
     nrm = (p - c_hit) / r_safe[:, None]

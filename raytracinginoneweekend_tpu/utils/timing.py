@@ -21,7 +21,13 @@ def _sync(result):
     result = jax.block_until_ready(result)
     import numpy as np
 
-    for leaf in jax.tree_util.tree_leaves(result):
+    # One leaf suffices: outputs of a single XLA program materialize
+    # together, and each host fetch is a full transport round-trip
+    # (~35ms over a tunnel -- fetching every leaf would swamp the
+    # measurement).
+    leaves = jax.tree_util.tree_leaves(result)
+    if leaves:
+        leaf = leaves[0]
         np.asarray(leaf.ravel()[:1] if hasattr(leaf, "ravel") else leaf)
     return result
 

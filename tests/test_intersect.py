@@ -98,3 +98,31 @@ def test_grad_t_wrt_center_matches_fd():
         2 * eps)
     assert np.isclose(float(g), float(fd), rtol=1e-3)
     assert np.isclose(float(g), -1.0, rtol=1e-4)  # head-on: dt/dcz = -1
+
+
+def test_custom_vjp_matches_xla_autodiff():
+    """closest_hit_diff's analytic backward must reproduce XLA's transpose
+    of closest_hit for every differentiable input (away from grazing)."""
+    import jax
+
+    from raytracinginoneweekend_tpu.ops.intersect import closest_hit_diff
+
+    rng = np.random.default_rng(11)
+    centers = jnp.asarray(rng.normal(size=(9, 3)).astype(np.float32) * 2)
+    radii = jnp.asarray(rng.uniform(0.4, 1.2, size=9).astype(np.float32))
+    o = jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32) * 0.1)
+    d = jnp.asarray(rng.normal(size=(40, 3)).astype(np.float32))
+
+    def loss_auto(o, d, c, r):
+        t, idx, hit = closest_hit(o, d, c, r, T_MIN)
+        return jnp.sum(jnp.where(hit, jnp.sin(t), 0.0))
+
+    def loss_custom(o, d, c, r):
+        t, idx, hit = closest_hit_diff(o, d, c, r, T_MIN)
+        return jnp.sum(jnp.where(hit, jnp.sin(t), 0.0))
+
+    ga = jax.grad(loss_auto, argnums=(0, 1, 2, 3))(o, d, centers, radii)
+    gc = jax.grad(loss_custom, argnums=(0, 1, 2, 3))(o, d, centers, radii)
+    for a, c in zip(ga, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=2e-3, atol=1e-5)

@@ -44,53 +44,144 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 _BIG = 1e30
 TABLE_COLS = 16  # 10 used + pad to an MXU-friendly width
+GROUP = 16  # spheres per cull group
+MIN_SPHERES_FOR_GROUPS = 64
 
 
 def _kernel(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM scalar-prefetch (S,)
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM blocks
+            act_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM
             hit_ref, t_ref, sb_ref,
             *, rows: int, n_spheres: int, t_min: float):
-    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-    a = dx * dx + dy * dy + dz * dz
-    inv_a = 1.0 / a
+    any_active = jnp.any(act_ref[:] > 0)
 
-    def body(s, carry):
-        t_b, s_b = carry
-        cx, cy, cz, r = cx_ref[s], cy_ref[s], cz_ref[s], r_ref[s]
-        ocx = ox - cx
-        ocy = oy - cy
-        ocz = oz - cz
-        b = ocx * dx + ocy * dy + ocz * dz
-        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-        disc = b * b - a * c
-        pos = disc > 0.0
-        sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
-        t0 = (-b - sq) * inv_a
-        t1 = (-b + sq) * inv_a
-        v0 = pos & (t0 > t_min)
-        v1 = pos & (t1 > t_min)
-        tc = jnp.where(v0, t0, jnp.where(v1, t1, _BIG))
-        w = tc < t_b
-        return jnp.where(w, tc, t_b), jnp.where(w, s, s_b)
+    @pl.when(jnp.logical_not(any_active))
+    def _():
+        # Entire block dead (its task chunk drained): skip the sphere
+        # loop. t/sb stay stale -- every downstream use is masked by
+        # active/hit, so only hit needs a defined value.
+        hit_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
 
-    t_b = jnp.full((rows, LANES), _BIG, jnp.float32)
-    s_b = jnp.zeros((rows, LANES), jnp.int32)
-    t_b, s_b = jax.lax.fori_loop(0, n_spheres, body, (t_b, s_b))
-    hit_ref[:] = (t_b < _BIG).astype(jnp.int32)
-    t_ref[:] = t_b
-    sb_ref[:] = s_b
+    @pl.when(any_active)
+    def _():
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+
+        def body(s, carry):
+            t_b, s_b = carry
+            cx, cy, cz, r = cx_ref[s], cy_ref[s], cz_ref[s], r_ref[s]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b * b - a * c
+            pos = disc > 0.0
+            sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+            t0 = (-b - sq) * inv_a
+            t1 = (-b + sq) * inv_a
+            v0 = pos & (t0 > t_min)
+            v1 = pos & (t1 > t_min)
+            tc = jnp.where(v0, t0, jnp.where(v1, t1, _BIG))
+            w = tc < t_b
+            return jnp.where(w, tc, t_b), jnp.where(w, s, s_b)
+
+        t_b = jnp.full((rows, LANES), _BIG, jnp.float32)
+        s_b = jnp.zeros((rows, LANES), jnp.int32)
+        t_b, s_b = jax.lax.fori_loop(0, n_spheres, body, (t_b, s_b))
+        hit_ref[:] = (t_b < _BIG).astype(jnp.int32)
+        t_ref[:] = t_b
+        sb_ref[:] = s_b
+
+
+def _kernel_grouped(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM (S_pad,) sorted
+                    gx_ref, gy_ref, gz_ref, gr_ref,  # SMEM (n_groups,)
+                    act_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    hit_ref, t_ref, sb_ref,
+                    *, rows: int, n_groups: int, t_min: float):
+    """Closest-hit with conservative per-block sphere-GROUP culling.
+
+    Spheres arrive sorted into depth-band groups of GROUP with a bounding
+    sphere each. For every group the whole ray block first tests the
+    bound (~14 ops); only if ANY ray might hit does the 16-sphere inner
+    loop run. Tasks are block-contiguous (ops/wavefront.py ownership), so
+    a block's rays share a narrow image strip and most depth bands cull.
+    The bound test is conservative (might-hit = disc>0 and not entirely
+    behind the origin), so results are identical to the ungrouped loop up
+    to argmin ties between exactly-equal t (sort-order dependent).
+    """
+    any_active = jnp.any(act_ref[:] > 0)
+
+    @pl.when(jnp.logical_not(any_active))
+    def _():
+        hit_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+
+    @pl.when(any_active)
+    def _():
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+
+        def sphere_body(s, carry):
+            t_b, s_b = carry
+            cx, cy, cz, r = cx_ref[s], cy_ref[s], cz_ref[s], r_ref[s]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b * b - a * c
+            pos = disc > 0.0
+            sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+            t0 = (-b - sq) * inv_a
+            t1 = (-b + sq) * inv_a
+            v0 = pos & (t0 > t_min)
+            v1 = pos & (t1 > t_min)
+            tc = jnp.where(v0, t0, jnp.where(v1, t1, _BIG))
+            w = tc < t_b
+            return jnp.where(w, tc, t_b), jnp.where(w, s, s_b)
+
+        def group_body(g, carry):
+            gx, gy, gz, gr = gx_ref[g], gy_ref[g], gz_ref[g], gr_ref[g]
+            ocx = ox - gx
+            ocy = oy - gy
+            ocz = oz - gz
+            b = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - gr * gr
+            might = ((b * b - a * c > 0.0) & ((b < 0.0) | (c < 0.0)))
+            return jax.lax.cond(
+                jnp.any(might),
+                lambda cr: jax.lax.fori_loop(g * GROUP, (g + 1) * GROUP,
+                                             sphere_body, cr),
+                lambda cr: cr,
+                carry)
+
+        t_b = jnp.full((rows, LANES), _BIG, jnp.float32)
+        s_b = jnp.zeros((rows, LANES), jnp.int32)
+        t_b, s_b = jax.lax.fori_loop(0, n_groups, group_body, (t_b, s_b))
+        hit_ref[:] = (t_b < _BIG).astype(jnp.int32)
+        t_ref[:] = t_b
+        sb_ref[:] = s_b
 
 
 @functools.partial(
     jax.jit, static_argnames=("t_min", "rows", "interpret"))
 def trace_segment(rays, sphere_params, t_min, rows: int = 128,
-                  interpret: bool | None = None):
+                  interpret: bool | None = None, active=None,
+                  group_params=None):
     """One fused trace segment over planar ray state.
 
     Args:
       rays: tuple of 6 planar (R, 128) f32 arrays (ox oy oz dx dy dz); R
         must be a multiple of ``rows``.
+      active: optional (R, 128) bool/i32 plane; a kernel block whose
+        lanes are all inactive skips its sphere loop entirely (drained
+        blocks become nearly free while stragglers finish).
+      group_params: optional (gx, gy, gz, gR) per-group bounding spheres
+        for depth-band culling; requires sphere_params sorted to match
+        (see group_scene). S must then be a multiple of GROUP.
       sphere_params: tuple of 10 per-sphere (S,) arrays
         (cx cy cz r mtype ar ag ab fuzz ior); mtype is i32, rest f32.
       t_min: static epsilon.
@@ -106,20 +197,35 @@ def trace_segment(rays, sphere_params, t_min, rows: int = 128,
     s = sphere_params[0].shape[0]
     grid = r_total // rows
 
+    if active is None:
+        act = jnp.ones((r_total, LANES), jnp.int32)
+    else:
+        act = active.astype(jnp.int32)
     bs = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
                       memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4, grid=(grid,),
-        in_specs=[bs] * 6, out_specs=[bs] * 3)
     f32 = jnp.float32
     shapes = [jax.ShapeDtypeStruct((r_total, LANES), dt) for dt in
               (jnp.int32, f32, jnp.int32)]
     cx, cy, cz, r = sphere_params[:4]
-    hit_i, t_b, s_b = pl.pallas_call(
-        functools.partial(_kernel, rows=rows, n_spheres=s,
-                          t_min=float(t_min)),
-        grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
-    )(cx, cy, cz, r, *rays)
+    if group_params is not None:
+        assert s % GROUP == 0, s
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8, grid=(grid,),
+            in_specs=[bs] * 7, out_specs=[bs] * 3)
+        hit_i, t_b, s_b = pl.pallas_call(
+            functools.partial(_kernel_grouped, rows=rows,
+                              n_groups=s // GROUP, t_min=float(t_min)),
+            grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
+        )(cx, cy, cz, r, *group_params, act, *rays)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4, grid=(grid,),
+            in_specs=[bs] * 7, out_specs=[bs] * 3)
+        hit_i, t_b, s_b = pl.pallas_call(
+            functools.partial(_kernel, rows=rows, n_spheres=s,
+                              t_min=float(t_min)),
+            grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
+        )(cx, cy, cz, r, act, *rays)
 
     # Exact gather of the winning sphere's params WITHOUT per-ray scatter/
     # gather ops (measured ~80ns/element on v5e): a one-hot matmul on the
@@ -172,3 +278,49 @@ def sphere_params_from_scene(scene):
             scene.radii, scene.mtype[mi].astype(jnp.int32),
             alb[:, 0], alb[:, 1], alb[:, 2],
             scene.fuzz[mi], scene.ior[mi])
+
+
+def group_scene(sphere_params):
+    """Sort spheres into depth-band groups; bounding sphere per group.
+
+    Input/output: the 10-tuple from sphere_params_from_scene, reordered
+    and padded to a GROUP multiple (pads have r=0 at the origin -- by
+    Cauchy-Schwarz their discriminant is never positive, so they cannot
+    hit). Returns (sorted_params, (gx, gy, gz, gR)).
+
+    Sort key: (z-cell, x-cell) of the center -- groups become depth
+    bands, matching the narrow elevation band a coherent ray block sees.
+    All jnp (works under jit on traced scene arrays; the permutation is
+    data-dependent but shapes are static).
+    """
+    cx, cy, cz, r = sphere_params[:4]
+    s = cx.shape[0]
+    cell = 2.0
+    key = (jnp.floor(cz / cell) * 4096 + jnp.floor(cx / cell))
+    perm = jnp.argsort(key)
+    params = [jnp.take(a, perm) for a in sphere_params]
+    pad = -s % GROUP
+    if pad:
+        padded = []
+        for i, a in enumerate(params):
+            if i in (0, 1, 2):  # duplicate the last center: keeps the
+                # final group's bound tight (r=0 pads can never hit)
+                fill = jnp.broadcast_to(a[-1], (pad,)).astype(a.dtype)
+            else:
+                fill = jnp.zeros((pad,), a.dtype)
+            padded.append(jnp.concatenate([a, fill]))
+        params = padded
+    cx, cy, cz, r = params[:4]
+    n_g = cx.shape[0] // GROUP
+
+    def bounds(v):
+        return v.reshape(n_g, GROUP)
+
+    gx = (bounds(cx).min(1) + bounds(cx).max(1)) * 0.5
+    gy = (bounds(cy).min(1) + bounds(cy).max(1)) * 0.5
+    gz = (bounds(cz).min(1) + bounds(cz).max(1)) * 0.5
+    d = jnp.sqrt((bounds(cx) - gx[:, None]) ** 2
+                 + (bounds(cy) - gy[:, None]) ** 2
+                 + (bounds(cz) - gz[:, None]) ** 2)
+    gr = (d + jnp.abs(bounds(r))).max(1)
+    return tuple(params), (gx, gy, gz, gr)

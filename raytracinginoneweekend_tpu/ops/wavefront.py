@@ -145,28 +145,37 @@ TASK_SAMPLES = 8  # samples of one pixel accumulated per task (in-register)
 FLUSH_EVERY = 16  # iterations between pending->framebuffer scatter flushes
 
 
-def pool_lanes(pool_size: int, width: int, height: int, spp: int) -> int:
+ROWS_DEFAULT = 128  # kernel rows per block (16384-lane programs)
+
+
+def pool_lanes(pool_size: int, width: int, height: int, spp: int,
+               rows: int = ROWS_DEFAULT) -> int:
     """The actual (layout-rounded) lane count a pool_size request yields."""
     task_samples = min(TASK_SAMPLES, spp)
     tpp = -(-spp // task_samples)
     n_tasks = width * height * tpp
     p = min(pool_size, n_tasks * task_samples)
-    p = max(p, 8 * LANES)
-    return -(-p // (8 * LANES)) * (8 * LANES)
+    p = max(p, rows * LANES)
+    return -(-p // (rows * LANES)) * (rows * LANES)
 
 
 def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                  height: int, spp: int, max_depth: int, camera_mode: str,
                  options: TraceOptions, pool_size: int = 1 << 15,
-                 lane_offset=0, lane_stride: int | None = None):
-    """Trace this worker's task subrange -> UNNORMALIZED (H*W, 3) fb sums.
+                 worker_index=0, n_workers: int = 1):
+    """Trace this worker's task chunks -> UNNORMALIZED (H*W, 3) fb sums.
 
-    lane_offset/lane_stride define strided task ownership across workers:
-    this worker's local lane l owns tasks lane_offset + l, + lane_stride,
-    ... Default (0, pool) is the whole image; parallel.render_wavefront
-    sharded passes (device_index * pool, n_devices * pool) and psums the
-    partial framebuffers. lane_offset may be a traced scalar
-    (jax.lax.axis_index); lane_stride must be static.
+    Task ownership is strided across the global lane space: worker w's
+    local lane l owns tasks w*P + l, + n_workers*P, ... Striding both
+    balances load (each lane's tasks sample the whole image) and keeps a
+    kernel block's in-flight tasks CONTIGUOUS at any instant (block b
+    holds tasks [w*P + b*BL + k*stride, ...+BL) while its lanes stay near
+    the same round k) -- the spatial coherence that sphere-group culling
+    exploits, for free. (A chunked-per-block variant was measured 20%
+    slower: per-lane regen/RNG/scatter work cannot skip drained blocks,
+    so inflating the iteration count to the worst chunk loses more than
+    the kernel skip saves.) worker_index may be a traced scalar
+    (jax.lax.axis_index); n_workers must be static.
 
     Work decomposition (the scatter-avoidance design, measured on v5e where
     scatter-add costs ~6.5ns/element *of call size* -- 12.8 of the naive
@@ -189,15 +198,21 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     task_samples = min(TASK_SAMPLES, spp)
     tpp = -(-spp // task_samples)  # tasks per pixel
     n_tasks = n_pixels * tpp
-    p = pool_lanes(pool_size, width, height, spp)
-    if lane_stride is None:
-        lane_stride = p
+    rows = ROWS_DEFAULT
+    p = pool_lanes(pool_size, width, height, spp, rows)
     r_rows = p // LANES
-    rows = _pick_rows(r_rows)
 
     sphere_params = sphere_params_from_scene(scene)
+    # Sphere-group culling (pallas_segment.group_scene) measured net
+    # NEGATIVE here: in-flight lanes drift across tasks and 2/3 of
+    # segments are direction-scattered secondaries, so depth-band bounds
+    # rarely cull while every group pays the bound test + branch. The
+    # grouped kernel stays available for coherent workloads.
+    group_params = None
     lane = (jax.lax.broadcasted_iota(jnp.int32, (r_rows, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (r_rows, LANES), 1))
+    lane0 = worker_index * p + lane
+    stride = n_workers * p
 
     origin = cam.origin
     ll, hor, ver = cam.lower_left, cam.horizontal, cam.vertical
@@ -248,7 +263,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         # 2. Taskless lanes acquire their next strided task.
         acquire = idle & (task < 0) & (nxt < n_tasks)
         task = jnp.where(acquire, nxt, task)
-        nxt = jnp.where(acquire, nxt + lane_stride, nxt)
+        nxt = jnp.where(acquire, nxt + stride, nxt)
 
         # 3. Recompute pixel/run for the (possibly new) task; advance sid.
         pid = task // tpp
@@ -325,7 +340,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
          rkey) = state
 
         seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
-                            options.t_min, rows=rows)
+                            options.t_min, rows=rows, active=active,
+                            group_params=group_params)
         hit = seg["hit"] > 0
         nx, ny, nz = seg["nx"], seg["ny"], seg["nz"]
         mt = seg["mt"]
@@ -435,7 +451,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     fb0 = jnp.zeros((n_pixels,), jnp.float32)
     state0 = (
         jnp.int32(0),         # iteration counter
-        lane + lane_offset,   # per-lane next task id (strided ownership)
+        lane0,                # per-lane next task id (strided ownership)
         izero - 1,            # task (-1 = none)
         izero,                # sid
         jnp.zeros((r_rows, LANES), bool),  # active

@@ -51,7 +51,7 @@ def shard_map(f, *, mesh, in_specs, out_specs):
 from ..config import RenderConfig, TraceOptions
 from ..models.camera import Camera
 from ..models.scene import Scene
-from ..ops.wavefront import pool_lanes, wavefront_fb
+from ..ops.wavefront import wavefront_fb
 from ..render import render_pixels_impl
 
 AXIS = "rays"
@@ -161,14 +161,13 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, base_key, *,
     pool_size is PER DEVICE: total in-flight lanes = pool * n_devices.
     """
     n_dev = mesh.size
-    p = pool_lanes(pool_size, width, height, spp)
 
     def shard_fn(scene, cam, key):
         d = jax.lax.axis_index(AXIS)
         fb = wavefront_fb(
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, camera_mode=camera_mode, options=options,
-            pool_size=pool_size, lane_offset=d * p, lane_stride=n_dev * p)
+            pool_size=pool_size, worker_index=d, n_workers=n_dev)
         return jax.lax.psum(fb, AXIS)
 
     sharded = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P()),

@@ -67,3 +67,30 @@ def test_wavefront_render_with_pallas_intersect():
     b = np.asarray(render_wavefront(scene, cam, key, options=opts_pallas,
                                     **kwargs))
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_grouped_kernel_matches_ungrouped():
+    """The depth-band culled kernel must agree with the plain one (the
+    bound test is conservative) on the huge scene."""
+    import jax
+
+    from raytracinginoneweekend_tpu.ops.pallas_segment import (
+        group_scene, sphere_params_from_scene, trace_segment)
+
+    scene = huge_scene(0)
+    sp = sphere_params_from_scene(scene)
+    sp_sorted, groups = group_scene(sp)
+    rng = np.random.default_rng(5)
+    R = 8
+    rays = tuple(jnp.asarray(rng.normal(size=(R, 128)).astype(np.float32))
+                 for _ in range(6))
+    a = trace_segment(rays, sp, T_MIN, rows=R)
+    b = trace_segment(rays, sp_sorted, T_MIN, rows=R, group_params=groups)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    hit = np.asarray(a["hit"]) > 0
+    np.testing.assert_allclose(np.asarray(a["t"])[hit],
+                               np.asarray(b["t"])[hit], rtol=2e-4, atol=1e-3)
+    for k in ("ar", "ag", "ab", "fz", "io", "mt"):
+        np.testing.assert_allclose(np.asarray(a[k])[hit],
+                                   np.asarray(b[k])[hit], rtol=1e-6,
+                                   atol=1e-6)

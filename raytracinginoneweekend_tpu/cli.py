@@ -27,11 +27,12 @@ import time
 def _build_scene(name: str, seed: int):
     from .models import scene as scenes
 
-    return {
+    built = {
         "simple-cuda": lambda: scenes.simple_scene_cuda(),
         "simple-cpu": lambda: scenes.simple_scene_cpu(),
         "huge": lambda: scenes.huge_scene(seed),
     }[name]()
+    return scenes.validate_scene(built)
 
 
 def _build_camera(name: str, width: int, height: int):

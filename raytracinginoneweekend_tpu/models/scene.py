@@ -176,3 +176,40 @@ def huge_scene(seed: int = 0) -> Scene:
                      0.0, 1.5))
             spheres.append((center, 0.2, len(materials) - 1))
     return _build(materials, spheres)
+
+
+def validate_scene(scene: Scene) -> Scene:
+    """Host-side structural validation; returns the scene or raises.
+
+    Guards the failure class the reference actually ships: its disabled
+    huge-scene generator emplaces a sphere whose material_index points
+    past the end of the materials vector (main.cxx:141-173, quirk Q8) --
+    undefined behavior at render time. Also rejects non-finite
+    parameters and zero radii (a zero radius can never be hit and its
+    inverse poisons normals).
+    """
+    centers = np.asarray(scene.centers)
+    radii = np.asarray(scene.radii)
+    mi = np.asarray(scene.material_index)
+    mtype = np.asarray(scene.mtype)
+    s, m = centers.shape[0], mtype.shape[0]
+    if radii.shape != (s,) or mi.shape != (s,):
+        raise ValueError(f"ragged sphere arrays: centers {centers.shape}, "
+                         f"radii {radii.shape}, material_index {mi.shape}")
+    if s and (mi.min() < 0 or mi.max() >= m):
+        bad = int(np.argmax((mi < 0) | (mi >= m)))
+        raise ValueError(
+            f"sphere {bad} has material_index {int(mi[bad])} outside "
+            f"[0, {m}) -- the reference's quirk Q8 (main.cxx:141-173) "
+            f"made this undefined behavior; here it is an error")
+    for name in ("centers", "radii", "albedo", "fuzz", "ior"):
+        a = np.asarray(getattr(scene, name))
+        if not np.isfinite(a).all():
+            raise ValueError(f"non-finite values in scene.{name}")
+    if s and (radii == 0).any():
+        raise ValueError("zero-radius sphere (unhittable; 1/r poisons "
+                         "normals)")
+    known = {LAMBERT, METAL, DIELECTRIC}
+    if m and not set(np.unique(mtype)).issubset(known):
+        raise ValueError(f"unknown material type in {np.unique(mtype)}")
+    return scene

@@ -2,7 +2,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raytracinginoneweekend_tpu.config import RenderConfig, TraceOptions
+from raytracinginoneweekend_tpu.config import DEFAULT, RenderConfig, TraceOptions
 from raytracinginoneweekend_tpu.models.camera import reference_cuda_camera
 from raytracinginoneweekend_tpu.models.scene import simple_scene_cuda
 from raytracinginoneweekend_tpu.ops.postprocess import to_u8
@@ -86,3 +86,47 @@ def test_postprocess_u8():
     assert u8[0, 1, 1] == 0  # negative clamped
     expect_half = int(0.5 ** (1 / 2.2) * 255)
     assert abs(int(u8[0, 0, 1]) - expect_half) <= 1
+
+
+def test_validate_scene_catches_quirk_q8():
+    """A dangling material_index (reference quirk Q8) must raise."""
+    import pytest
+
+    from raytracinginoneweekend_tpu.models.scene import (simple_scene_cuda,
+                                                         validate_scene)
+
+    scene = simple_scene_cuda()
+    assert validate_scene(scene) is scene
+    bad = scene._replace(
+        material_index=scene.material_index.at[2].set(99))
+    with pytest.raises(ValueError, match="Q8"):
+        validate_scene(bad)
+    nan = scene._replace(albedo=scene.albedo.at[0, 0].set(jnp.nan))
+    with pytest.raises(ValueError, match="non-finite"):
+        validate_scene(nan)
+    zr = scene._replace(radii=scene.radii.at[0].set(0.0))
+    with pytest.raises(ValueError, match="zero-radius"):
+        validate_scene(zr)
+
+
+def test_degenerate_inputs_produce_no_nans():
+    """Robustness: near-degenerate rays/scenes stay NaN-free end to end."""
+    from raytracinginoneweekend_tpu.models.scene import Scene, LAMBERT
+
+    # ior exactly 1 (no refraction bending), tiny radius, huge radius.
+    scene = Scene(
+        centers=jnp.asarray([[0., 0., -1.], [0., -100.5, -1.],
+                             [0.5, 0., -1.]], jnp.float32),
+        radii=jnp.asarray([1e-4, 100.0, 0.5], jnp.float32),
+        material_index=jnp.asarray([0, 0, 1], jnp.int32),
+        mtype=jnp.asarray([LAMBERT, 2], jnp.int32),
+        albedo=jnp.asarray([[.5, .5, .5], [1., 1., 1.]], jnp.float32),
+        fuzz=jnp.zeros((2,), jnp.float32),
+        ior=jnp.asarray([1.0, 1.0], jnp.float32),
+    )
+    cam = reference_cuda_camera(16, 8)
+    out = render_pixels(scene, cam, jnp.arange(128, dtype=jnp.int32),
+                        jax.random.key(0), width=16, height=8, spp=2,
+                        wave_spp=2, max_depth=6, camera_mode="thinlens",
+                        options=DEFAULT)
+    assert np.isfinite(np.asarray(out)).all()

@@ -134,13 +134,6 @@ def _normalize3(x, y, z):
 # Engine
 # ---------------------------------------------------------------------------
 
-def _pick_rows(r_total: int) -> int:
-    for rows in (128, 64, 32, 16, 8):
-        if r_total % rows == 0:
-            return rows
-    return 8
-
-
 TASK_SAMPLES = 8  # samples of one pixel accumulated per task (in-register)
 FLUSH_EVERY = 16  # iterations between pending->framebuffer scatter flushes
 

@@ -185,3 +185,25 @@ def test_grad_geometric_leaves_finite_and_structured():
         assert np.abs(arr).max() > 0.0, name
     # The dielectric's ior gradient is nonzero (refraction bends smoothly).
     assert abs(float(g["ior"][2])) > 1e-7
+
+
+def test_fit_with_mesh_psums_gradients():
+    """fit(mesh=...) must work end to end on the 8-device CPU mesh and
+    agree with the unsharded optimization (same batches, psum'd grads)."""
+    from raytracinginoneweekend_tpu.parallel import make_mesh
+
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    target = render(scene, cam, CFG, jax.random.key(0))
+    bad = scene._replace(
+        albedo=scene.albedo.at[0].set(jnp.array([0.9, 0.9, 0.9])))
+
+    _, p_single, _, l_single = fit(
+        bad, cam, target, CFG, which=("albedo",), steps=4,
+        learning_rate=5e-2, batch_pixels=64, spp=2)
+    _, p_mesh, _, l_mesh = fit(
+        bad, cam, target, CFG, which=("albedo",), steps=4,
+        learning_rate=5e-2, batch_pixels=64, spp=2, mesh=make_mesh())
+    np.testing.assert_allclose(np.asarray(p_single["albedo"]),
+                               np.asarray(p_mesh["albedo"]), rtol=1e-4,
+                               atol=1e-6)

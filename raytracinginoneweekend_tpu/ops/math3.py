@@ -68,9 +68,14 @@ def normalize(v):
 
     Reference (math.hxx:226-233): divides only when |len| > FLT_MIN,
     otherwise returns the vector unchanged (the zero vector stays zero).
+    The guard is applied UNDER the sqrt too: sqrt's backward is inf at
+    exactly 0, and inf * (masked 0) = NaN would otherwise leak through
+    reverse-mode even though the forward value is masked.
     """
-    l = length(v)[..., None]
-    return jnp.where(l > FLT_MIN, v / jnp.where(l > FLT_MIN, l, 1.0), v)
+    l2 = norm2(v)[..., None]
+    good = l2 > FLT_MIN * FLT_MIN
+    l = jnp.sqrt(jnp.where(good, l2, 1.0))
+    return jnp.where(good, v / l, v)
 
 
 def cross(a, b):
@@ -100,8 +105,11 @@ def refract(i, n, eta):
     cos_i = dot(n, i)[..., None]
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
     tir = k[..., 0] < 0.0
-    k_safe = jnp.maximum(k, 0.0)
-    refracted = eta * i - (eta * cos_i + jnp.sqrt(k_safe)) * n
+    # Double-where: sqrt's backward is inf at k == 0 (the grazing/TIR
+    # boundary) and would NaN the masked branch in reverse mode.
+    pos = k > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, k, 1.0)), 0.0)
+    refracted = eta * i - (eta * cos_i + sq) * n
     return jnp.where(tir[..., None], 0.0, refracted), tir
 
 
@@ -119,8 +127,9 @@ def refract_reference(i, n, eta):
     cos_i = dot(n, i)[..., None]
     k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
     tir = k[..., 0] < 0.0
-    k_safe = jnp.maximum(k, 0.0)
-    refracted = i * eta - (n * jnp.sqrt(k_safe) + cos_i * eta)
+    pos = k > 0.0  # double-where, see refract()
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, k, 1.0)), 0.0)
+    refracted = i * eta - (n * sq + cos_i * eta)
     return jnp.where(tir[..., None], 0.0, refracted), tir
 
 

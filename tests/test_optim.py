@@ -207,3 +207,28 @@ def test_fit_with_mesh_psums_gradients():
     np.testing.assert_allclose(np.asarray(p_single["albedo"]),
                                np.asarray(p_mesh["albedo"]), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_fit_metal_fuzz_no_nan_regression():
+    """Regression: optimizing fuzz once produced NaN gradients -- sqrt's
+    backward is inf at exactly 0 (normalize of a near-null lambert bounce,
+    the dielectric's k==0 TIR boundary) and inf * masked-0 = NaN leaked
+    through the masks, then spread to every material via the one-hot
+    gather transpose. The double-where fixes in math3 keep this finite."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    cfg = RenderConfig(width=W, height=H, spp=8, max_depth=8,
+                       camera_mode="thinlens", options=DEFAULT)
+    target = render(scene, cam, cfg, jax.random.key(0))
+    k = jax.random.key(99)
+    pert = scene._replace(
+        albedo=jnp.clip(scene.albedo
+                        + 0.35 * jax.random.normal(k, scene.albedo.shape),
+                        0.05, 0.95),
+        fuzz=jnp.clip(scene.fuzz + 0.3, 0.0, 1.0))
+    _, params, _, losses = fit(
+        pert, cam, target, cfg, which=("albedo", "fuzz"), steps=6,
+        learning_rate=2e-2, batch_pixels=256, spp=8, base_key=jax.random.key(7))
+    for leaf in params.values():
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert all(np.isfinite(losses))

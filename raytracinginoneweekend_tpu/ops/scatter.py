@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..models.scene import DIELECTRIC, LAMBERT, METAL
+from ..models.scene import DIELECTRIC, METAL
 from . import math3
 from ..config import TraceOptions
 

@@ -67,9 +67,14 @@ def _kernel(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM scalar-prefetch (S,)
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
+        # Candidates compared in q = t*a space (a > 0 is per-ray
+        # constant): saves the two inv_a multiplies per sphere. The
+        # t_min window test becomes q > t_min*a -- the same inequality
+        # scaled by a positive constant.
+        q_min = t_min * a
 
         def body(s, carry):
-            t_b, s_b = carry
+            q_b, s_b = carry
             cx, cy, cz, r = cx_ref[s], cy_ref[s], cz_ref[s], r_ref[s]
             ocx = ox - cx
             ocy = oy - cy
@@ -79,19 +84,20 @@ def _kernel(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM scalar-prefetch (S,)
             disc = b * b - a * c
             pos = disc > 0.0
             sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
-            t0 = (-b - sq) * inv_a
-            t1 = (-b + sq) * inv_a
-            v0 = pos & (t0 > t_min)
-            v1 = pos & (t1 > t_min)
-            tc = jnp.where(v0, t0, jnp.where(v1, t1, _BIG))
-            w = tc < t_b
-            return jnp.where(w, tc, t_b), jnp.where(w, s, s_b)
+            q0 = -b - sq
+            q1 = -b + sq
+            v0 = pos & (q0 > q_min)
+            v1 = pos & (q1 > q_min)
+            qc = jnp.where(v0, q0, jnp.where(v1, q1, _BIG))
+            w = qc < q_b
+            return jnp.where(w, qc, q_b), jnp.where(w, s, s_b)
 
-        t_b = jnp.full((rows, LANES), _BIG, jnp.float32)
+        q_b = jnp.full((rows, LANES), _BIG, jnp.float32)
         s_b = jnp.zeros((rows, LANES), jnp.int32)
-        t_b, s_b = jax.lax.fori_loop(0, n_spheres, body, (t_b, s_b))
-        hit_ref[:] = (t_b < _BIG).astype(jnp.int32)
-        t_ref[:] = t_b
+        q_b, s_b = jax.lax.fori_loop(0, n_spheres, body, (q_b, s_b))
+        hit = q_b < _BIG
+        hit_ref[:] = hit.astype(jnp.int32)
+        t_ref[:] = jnp.where(hit, q_b * inv_a, _BIG)
         sb_ref[:] = s_b
 
 

@@ -191,6 +191,11 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     task_samples = min(TASK_SAMPLES, spp)
     tpp = -(-spp // task_samples)  # tasks per pixel
     n_tasks = n_pixels * tpp
+    if n_pixels * spp >= 2 ** 31:
+        raise ValueError(
+            f"{width}x{height} @ {spp}spp = {n_pixels * spp} rays overflows "
+            "the int32 ray-id space; render in passes (e.g. split spp and "
+            "average)")
     rows = ROWS_DEFAULT
     p = pool_lanes(pool_size, width, height, spp, rows)
     r_rows = p // LANES

@@ -72,3 +72,27 @@ def test_wavefront_reference_compat_options():
         scene, cam, key, width=w, height=h, spp=spp, max_depth=depth,
         camera_mode="cuda", options=REFERENCE_CUDA, pool_size=128))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_wavefront_edge_shapes():
+    """spp=1, single-pixel-ish images, pool far larger than the work."""
+    scene = simple_scene_cuda()
+    for w, h, spp in ((1, 1, 1), (3, 2, 1), (2, 2, 5)):
+        cam = reference_cuda_camera(w, h)
+        out = np.asarray(render_wavefront(
+            scene, cam, jax.random.key(1), width=w, height=h, spp=spp,
+            max_depth=3, camera_mode="pinhole", options=DEFAULT,
+            pool_size=1 << 16))
+        assert out.shape == (w * h, 3)
+        assert np.isfinite(out).all()
+
+
+def test_wavefront_ray_id_overflow_guard():
+    import pytest
+
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(4, 4)
+    with pytest.raises(ValueError, match="overflows"):
+        render_wavefront(scene, cam, jax.random.key(0), width=40000,
+                         height=40000, spp=4096, max_depth=2,
+                         camera_mode="pinhole", options=DEFAULT)

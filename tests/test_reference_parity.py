@@ -93,3 +93,67 @@ def test_image_matches_reference_cpp():
     lb = ref[0].mean(-1).ravel() - ref[0].mean()
     corr = float((la @ lb) / np.sqrt((la @ la) * (lb @ lb)))
     assert corr > 0.995, corr
+
+
+def _write_scene_bin(path, scene):
+    import struct
+
+    c = np.asarray(scene.centers, np.float32)
+    r = np.asarray(scene.radii, np.float32)
+    mi = np.asarray(scene.material_index, np.int32)
+    mt = np.asarray(scene.mtype, np.int32)
+    alb = np.asarray(scene.albedo, np.float32)
+    fz = np.asarray(scene.fuzz, np.float32)
+    io_ = np.asarray(scene.ior, np.float32)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", c.shape[0], mt.shape[0]))
+        for i in range(c.shape[0]):
+            f.write(struct.pack("<ffffi", c[i, 0], c[i, 1], c[i, 2],
+                                r[i], int(mi[i])))
+        for i in range(mt.shape[0]):
+            f.write(struct.pack("<ifffff", int(mt[i]), alb[i, 0], alb[i, 1],
+                                alb[i, 2], fz[i], io_[i]))
+
+
+@pytest.mark.slow
+def test_huge_scene_matches_reference_cpp():
+    """The BASELINE huge scene rendered by the reference's own math vs this
+    framework -- the scene arrays are exported to the harness so both sides
+    see the identical geometry/materials (the reference's generator itself
+    is dead code with the Q8 dangling-material bug)."""
+    import tempfile
+
+    import jax
+
+    from raytracinginoneweekend_tpu.config import REFERENCE_CPU, RenderConfig
+    from raytracinginoneweekend_tpu.models.camera import make_camera
+    from raytracinginoneweekend_tpu.models.scene import huge_scene
+    from raytracinginoneweekend_tpu.render import render
+
+    scene = huge_scene(0)
+    with tempfile.TemporaryDirectory() as tmp:
+        exe = _build_harness(tmp)
+        scene_bin = os.path.join(tmp, "scene.bin")
+        _write_scene_bin(scene_bin, scene)
+        out = os.path.join(tmp, "ref.bin")
+        ref = []
+        for seed in (123, 456):
+            subprocess.run(
+                [exe, str(W), str(H), "512", str(DEPTH), str(seed), "0",
+                 out, scene_bin], check=True, timeout=600)
+            ref.append(np.fromfile(out, np.float32).reshape(H, W, 3))
+
+        pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
+        focus = float(np.linalg.norm(np.subtract(pos, lookat)))
+        cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
+        cfg = RenderConfig(width=W, height=H, spp=128, max_depth=DEPTH,
+                           camera_mode="cpu", options=REFERENCE_CPU)
+        ours = np.asarray(render(scene, cam, cfg, jax.random.key(0)))
+
+    self_noise = np.abs(ref[0] - ref[1]).mean()
+    diff = np.abs(ours - ref[0]).mean()
+    assert diff < max(4.0 * self_noise, 0.015), (diff, self_noise)
+    la = ours.mean(-1).ravel() - ours.mean()
+    lb = ref[0].mean(-1).ravel() - ref[0].mean()
+    corr = float((la @ lb) / np.sqrt((la @ la) * (lb @ lb)))
+    assert corr > 0.99, corr

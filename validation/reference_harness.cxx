@@ -18,7 +18,15 @@
 // (main.cxx:71, quirk Q6). Output: raw little-endian float32 RGB, H*W*3.
 //
 // Build: g++ -O2 -std=c++20 -I$REF/src reference_harness.cxx -o harness -ltbb
-// Usage: harness WIDTH HEIGHT SPP MAX_DEPTH SEED APERTURE OUT.BIN
+// Usage: harness WIDTH HEIGHT SPP MAX_DEPTH SEED APERTURE OUT.BIN [SCENE.BIN]
+//
+// SCENE.BIN (optional; default = the built-in CPU scene): little-endian
+//   int32 S, M; then per sphere cx cy cz r (f32) + mat_index (i32); then
+//   per material mtype (i32: 0 lambert, 1 metal, 2 dielectric) +
+//   albedo r g b, fuzz, ior (f32). Written by tests/test_reference_parity
+//   from the Python scene builders so BOTH renderers see the identical
+//   scene (the reference's own huge-scene generator is dead code with a
+//   dangling-material bug, SURVEY Q8).
 
 #include <cstdint>
 #include <cstdio>
@@ -63,9 +71,10 @@ math::vec3 color(raytracer::data &rt, math::ray ray, unsigned max_depth) {
 }  // namespace
 
 int main(int argc, char **argv) {
-    if (argc != 8) {
+    if (argc != 8 && argc != 9) {
         std::fprintf(stderr,
-                     "usage: %s W H SPP DEPTH SEED APERTURE OUT\n", argv[0]);
+                     "usage: %s W H SPP DEPTH SEED APERTURE OUT [SCENE]\n",
+                     argv[0]);
         return 2;
     }
     int const width = std::atoi(argv[1]);
@@ -78,17 +87,47 @@ int main(int argc, char **argv) {
     raytracer::data rt;
     rt.generator.seed(seed);
 
-    // Scene: main.cxx:120-129 (CPU scene; hollow glass r = -.99).
-    rt.materials.emplace_back(material::lambert{math::vec3{.1, .2, .5}});
-    rt.materials.emplace_back(material::metal{math::vec3{.8, .6, .2}, 0});
-    rt.materials.emplace_back(material::dielectric{math::vec3{1}, 1.5});
-    rt.materials.emplace_back(material::lambert{math::vec3{.64, .8, 0}});
+    if (argc == 9) {
+        std::FILE *sf = std::fopen(argv[8], "rb");
+        if (!sf) return 3;
+        std::int32_t ns = 0, nm = 0;
+        if (std::fread(&ns, 4, 1, sf) != 1 ||
+            std::fread(&nm, 4, 1, sf) != 1) return 3;
+        for (std::int32_t i = 0; i < ns; ++i) {
+            float c[4];
+            std::int32_t mi;
+            if (std::fread(c, 4, 4, sf) != 4 ||
+                std::fread(&mi, 4, 1, sf) != 1) return 3;
+            rt.spheres.emplace_back(math::vec3{c[0], c[1], c[2]}, c[3],
+                                    static_cast<unsigned>(mi));
+        }
+        for (std::int32_t i = 0; i < nm; ++i) {
+            std::int32_t mt;
+            float v[5];
+            if (std::fread(&mt, 4, 1, sf) != 1 ||
+                std::fread(v, 4, 5, sf) != 5) return 3;
+            math::vec3 alb{v[0], v[1], v[2]};
+            if (mt == 0)
+                rt.materials.emplace_back(material::lambert{alb});
+            else if (mt == 1)
+                rt.materials.emplace_back(material::metal{alb, v[3]});
+            else
+                rt.materials.emplace_back(material::dielectric{alb, v[4]});
+        }
+        std::fclose(sf);
+    } else {
+        // Scene: main.cxx:120-129 (CPU scene; hollow glass r = -.99).
+        rt.materials.emplace_back(material::lambert{math::vec3{.1, .2, .5}});
+        rt.materials.emplace_back(material::metal{math::vec3{.8, .6, .2}, 0});
+        rt.materials.emplace_back(material::dielectric{math::vec3{1}, 1.5});
+        rt.materials.emplace_back(material::lambert{math::vec3{.64, .8, 0}});
 
-    rt.spheres.emplace_back(math::vec3{0, 1, 0}, 1.f, 0u);
-    rt.spheres.emplace_back(math::vec3{0, -1000.125f, 0}, 1000.f, 3u);
-    rt.spheres.emplace_back(math::vec3{+2, 1, 0}, 1.f, 1u);
-    rt.spheres.emplace_back(math::vec3{-2, 1, 0}, 1.f, 2u);
-    rt.spheres.emplace_back(math::vec3{-2, 1, 0}, -.99f, 2u);
+        rt.spheres.emplace_back(math::vec3{0, 1, 0}, 1.f, 0u);
+        rt.spheres.emplace_back(math::vec3{0, -1000.125f, 0}, 1000.f, 3u);
+        rt.spheres.emplace_back(math::vec3{+2, 1, 0}, 1.f, 1u);
+        rt.spheres.emplace_back(math::vec3{-2, 1, 0}, 1.f, 2u);
+        rt.spheres.emplace_back(math::vec3{-2, 1, 0}, -.99f, 2u);
+    }
 
     // Camera: main.cxx:179-183.
     auto const position = math::vec3{-4, 3.2f, 5};

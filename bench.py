@@ -22,6 +22,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The system `python` has no scientific stack; the working interpreter is
+# /opt/venv/bin/python. Re-exec once if invoked with the wrong one.
+try:
+    import jax  # noqa: F401
+except ModuleNotFoundError:  # pragma: no cover
+    _venv = "/opt/venv/bin/python"
+    if os.path.exists(_venv) and os.environ.get("RTW_BENCH_REEXEC") != "1":
+        os.environ["RTW_BENCH_REEXEC"] = "1"
+        os.execv(_venv, [_venv] + sys.argv)
+    raise
+
 
 def _previous_value() -> float | None:
     best_round, value = -1, None

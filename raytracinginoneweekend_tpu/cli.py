@@ -71,7 +71,7 @@ def _add_render_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--engine", default="wavefront",
                    choices=["wavefront", "wavefront-sharded", "tiled"])
-    p.add_argument("--pool-size", type=int, default=1 << 15)
+    p.add_argument("--pool-size", type=int, default=1 << 16)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
 

@@ -154,7 +154,7 @@ def pool_lanes(pool_size: int, width: int, height: int, spp: int,
 
 def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                  height: int, spp: int, max_depth: int, camera_mode: str,
-                 options: TraceOptions, pool_size: int = 1 << 15,
+                 options: TraceOptions, pool_size: int = 1 << 16,
                  worker_index=0, n_workers: int = 1):
     """Trace this worker's task chunks -> UNNORMALIZED (H*W, 3) fb sums.
 
@@ -476,7 +476,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
 def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
                      height: int, spp: int, max_depth: int,
                      camera_mode: str, options: TraceOptions,
-                     pool_size: int = 1 << 15):
+                     pool_size: int = 1 << 16):
     """Render the full image -> (H*W, 3) linear radiance means (1 device)."""
     fb = wavefront_fb(scene, cam, base_key, width=width, height=height,
                       spp=spp, max_depth=max_depth, camera_mode=camera_mode,

@@ -147,7 +147,7 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, base_key, *,
                              mesh: Mesh, width: int, height: int, spp: int,
                              max_depth: int, camera_mode: str,
                              options: TraceOptions,
-                             pool_size: int = 1 << 15):
+                             pool_size: int = 1 << 16):
     """Multi-chip wavefront render -> (H*W, 3) linear radiance means.
 
     Each device runs an independent persistent-wavefront loop over a

@@ -32,13 +32,21 @@ def build(force: bool = False) -> str | None:
     if not force and os.path.exists(_SO) and (
             os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return _SO
+    # Per-process tmp name: concurrent first-use builders (e.g. the two
+    # jax.distributed test workers) must not interleave g++ output into one
+    # shared tmp file; each writes its own, and os.replace stays atomic.
+    tmp = f"{_SO}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o",
-           _SO + ".tmp", "-lz", "-lpthread"]
+           tmp, "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return _SO
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 

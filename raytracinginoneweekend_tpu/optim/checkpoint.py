@@ -53,6 +53,11 @@ def load_checkpoint(path: str, params_template: dict, opt_state_template):
             raise ValueError(
                 f"checkpoint leaf shape {np.shape(new)} != template "
                 f"{np.shape(tmpl)}")
+        tdt = np.asarray(tmpl).dtype
+        if tdt != np.asarray(new).dtype:
+            raise ValueError(
+                f"checkpoint leaf dtype {np.asarray(new).dtype} != "
+                f"template {tdt}")
     params = jax.tree_util.tree_unflatten(p_def, new_p)
     opt_state = jax.tree_util.tree_unflatten(o_def, new_o)
     return params, opt_state, step

@@ -121,8 +121,18 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
 
     target_flat = jnp.asarray(target_image).reshape(-1, 3)
     n_pixels = cfg.width * cfg.height
+    # choice(replace=False) requires batch_pixels <= n_pixels; clamp for
+    # small images, and round DOWN to the mesh multiple when clamped (up
+    # would overflow again).
+    batch_pixels = min(batch_pixels, n_pixels)
     if mesh is not None:
-        batch_pixels = -(-batch_pixels // mesh.size) * mesh.size
+        up = -(-batch_pixels // mesh.size) * mesh.size
+        batch_pixels = up if up <= n_pixels else (
+            (batch_pixels // mesh.size) * mesh.size)
+        if batch_pixels <= 0:
+            raise ValueError(
+                f"image of {n_pixels} pixels is smaller than the "
+                f"{mesh.size}-device mesh batch granularity")
 
     step_fn = make_train_step(
         optimizer, width=cfg.width, height=cfg.height, spp=spp,

@@ -72,14 +72,34 @@ def test_huge_scene_small_crop():
 
 
 def test_depth_exhausted_is_black():
-    """depth=0 -> every ray 'exhausts' immediately -> black
-    (main.cxx:74 falls through to vec3{0})."""
+    """A ray still alive after max_depth bounces contributes BLACK
+    (main.cxx:74 / cuda_impl.cu:296 fall through to vec3{0}).
+
+    Asserted directly: rays that hit geometry at depth 1 (so they'd need a
+    2nd bounce) must be exactly zero; rays that miss must be sky-colored
+    (nonzero). The hit mask comes from closest_hit on the same camera
+    rays/keys the renderer uses."""
+    from raytracinginoneweekend_tpu.ops.intersect import closest_hit
+    from raytracinginoneweekend_tpu.render import make_primary_rays
+
+    w, h = 8, 6
     scene = simple_scene_cuda()
-    cam = reference_cuda_camera(8, 6)
-    out = render_pixels(scene, cam, jnp.arange(48, dtype=jnp.int32),
-                        jax.random.key(0), width=8, height=6, spp=1,
-                        wave_spp=1, max_depth=1, camera_mode="cuda",
-                        options=REFERENCE_CUDA)
-    # depth=1: rays that hit anything and would need a 2nd bounce are black;
-    # sky rays are sky. Nothing is NaN.
-    assert np.all(np.isfinite(np.asarray(out)))
+    cam = reference_cuda_camera(w, h)
+    key = jax.random.key(0)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    out = np.asarray(render_pixels(scene, cam, ids, key, width=w, height=h,
+                                   spp=1, wave_spp=1, max_depth=1,
+                                   camera_mode="cuda",
+                                   options=REFERENCE_CUDA))
+    o, d, _ = make_primary_rays(cam, ids, jnp.zeros_like(ids), key, w, h,
+                                "cuda")
+    _, _, hit = closest_hit(o, d, scene.centers, scene.radii,
+                            REFERENCE_CUDA.t_min)
+    hit = np.asarray(hit)
+    assert hit.any() and (~hit).any()  # the view sees both geometry and sky
+    # Hit-then-exhausted rays: exactly black. (Metal absorbs are also black,
+    # so every hit lane at depth 1 is black regardless of material.)
+    np.testing.assert_array_equal(out[hit], 0.0)
+    # Miss rays: the sky gradient, never black.
+    assert (out[~hit] > 0.0).all()
+    assert np.all(np.isfinite(out))

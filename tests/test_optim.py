@@ -97,6 +97,32 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
         load_checkpoint(path, bad_tmpl, opt.init(bad_tmpl))
 
 
+def test_checkpoint_dtype_mismatch_raises(tmp_path):
+    """A checkpoint must not silently restore leaves of the wrong dtype
+    (e.g. f64 arrays into an f32 param tree)."""
+    scene = simple_scene_cuda()
+    params = params_from_scene(scene, ("albedo",))
+    opt = optax.adam(1e-2)
+    path = os.path.join(tmp_path, "ckpt.npz")
+    save_checkpoint(path, params, opt.init(params), step=0)
+    bad_tmpl = {"albedo": np.zeros(scene.albedo.shape, np.float64)}
+    with pytest.raises(ValueError, match="dtype"):
+        load_checkpoint(path, bad_tmpl, opt.init(bad_tmpl))
+
+
+def test_fit_batch_larger_than_image():
+    """batch_pixels > width*height must clamp, not raise (small CLI fits)."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(8, 6)
+    cfg = RenderConfig(width=8, height=6, spp=1, max_depth=2,
+                       camera_mode="pinhole", options=DEFAULT)
+    target = render(scene, cam, cfg, jax.random.key(0))
+    _, params, _, losses = fit(
+        scene, cam, target, cfg, which=("albedo",), steps=1,
+        learning_rate=1e-2, batch_pixels=4096, spp=1)
+    assert np.isfinite(losses[0])
+
+
 def test_fit_resume_from_checkpoint(tmp_path):
     """fit -> checkpoint -> resume must continue, not restart."""
     scene = simple_scene_cuda()

@@ -10,7 +10,6 @@ from raytracinginoneweekend_tpu.models.scene import (huge_scene,
                                                      simple_scene_cuda)
 from raytracinginoneweekend_tpu.ops.intersect import closest_hit
 from raytracinginoneweekend_tpu.ops.pallas_intersect import closest_hit_pallas
-from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
 
 T_MIN = 0.008
 
@@ -53,20 +52,27 @@ def test_pallas_negative_radius_hollow_glass():
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=2e-4, atol=1e-3)  # grazing hits amplify fma-ordering cancellation; hit/idx exact
 
 
-def test_wavefront_render_with_pallas_intersect():
-    """End-to-end: options.intersect='pallas' must match 'jnp' bitwise."""
+def test_tiled_render_with_pallas_intersect():
+    """End-to-end through the TILED engine: options.intersect='pallas'
+    dispatches closest_hit_pallas inside trace_fast (integrate.
+    closest_hit_opt) and must match the 'jnp' tiled render. (The wavefront
+    engine always uses the pallas_segment megakernel and never reads
+    options.intersect, so driving it would compare identical paths.)"""
+    from raytracinginoneweekend_tpu.render import render_pixels
+
     w, h, spp, depth = 16, 8, 2, 4
     scene = simple_scene_cuda()
     cam = reference_cuda_camera(w, h)
     key = jax.random.key(4)
-    opts_pallas = TraceOptions(intersect="pallas")
-    kwargs = dict(width=w, height=h, spp=spp, max_depth=depth,
-                  camera_mode="thinlens", pool_size=128)
-    a = np.asarray(render_wavefront(scene, cam, key, options=DEFAULT,
-                                    **kwargs))
-    b = np.asarray(render_wavefront(scene, cam, key, options=opts_pallas,
-                                    **kwargs))
-    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    kwargs = dict(width=w, height=h, spp=spp, wave_spp=spp,
+                  max_depth=depth, camera_mode="thinlens")
+    a = np.asarray(render_pixels(scene, cam, ids, key, options=DEFAULT,
+                                 **kwargs))
+    b = np.asarray(render_pixels(scene, cam, ids, key,
+                                 options=TraceOptions(intersect="pallas"),
+                                 **kwargs))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
 
 
 def test_grouped_kernel_matches_ungrouped():

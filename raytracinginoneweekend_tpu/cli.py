@@ -213,7 +213,8 @@ def cmd_fit(args) -> int:
     _, params, opt_state, losses = fit(
         perturbed, cam, target, cfg, which=which, steps=args.steps,
         learning_rate=args.lr, batch_pixels=args.batch_pixels,
-        spp=args.fit_spp, optimizer=optimizer, callback=callback, **init)
+        spp=args.fit_spp, optimizer=optimizer, callback=callback,
+        boundary_samples=args.boundary_samples, **init)
     if ckpt_path:
         save_checkpoint(ckpt_path, params, opt_state,
                         init.get("start_step", 0) + args.steps)
@@ -250,6 +251,10 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-2)
     p.add_argument("--batch-pixels", type=int, default=4096)
     p.add_argument("--fit-spp", type=int, default=4)
+    p.add_argument("--boundary-samples", type=int, default=0,
+                   help="edge samples/sphere for silhouette gradients "
+                        "(0 = interior AD only; needed to optimize "
+                        "centers/radii through visibility changes)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every", type=int, default=25)

@@ -49,10 +49,17 @@ def scene_with_params(scene: Scene, params: dict) -> Scene:
 
 def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 pixel_ids, base_key, *, width: int, height: int, spp: int,
-                max_depth: int, camera_mode: str, options, mesh=None):
+                max_depth: int, camera_mode: str, options, mesh=None,
+                boundary_samples: int = 0):
     """Mean-squared error between rendered and target pixel radiance.
 
     target_pixels: (P, 3) linear radiance for the same pixel_ids.
+
+    boundary_samples > 0 adds the edge-sampled silhouette boundary term
+    (ops/silhouette.py) to the loss GRADIENT (the loss value is
+    unchanged): interior AD alone cannot move a silhouette, so gradients
+    w.r.t. centers/radii would otherwise miss the visibility term the
+    BASELINE finite-difference metric measures.
     """
     full_scene = scene_with_params(scene, params)
     kwargs = dict(width=width, height=height, spp=spp, wave_spp=spp,
@@ -70,12 +77,27 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
             f, mesh=mesh, in_specs=(P(), P(), P(AXIS), P()),
             out_specs=P(AXIS))(full_scene, cam, pixel_ids, base_key)
     diff = rendered - target_pixels
-    return jnp.mean(diff * diff)
+    loss = jnp.mean(diff * diff)
+    if boundary_samples:
+        from ..ops.silhouette import boundary_surrogate
+
+        # dL/dI for each batch pixel, scattered into a dense image so edge
+        # samples can look their pixel up (pixels outside the batch
+        # contribute nothing). pixel_ids are unique (choice replace=False).
+        cot = 2.0 * jax.lax.stop_gradient(diff) / diff.size
+        cot_image = jnp.zeros((width * height, 3), cot.dtype
+                              ).at[pixel_ids].set(cot)
+        sur = boundary_surrogate(
+            full_scene, cam, camera_mode, cot_image, width, height,
+            jax.random.fold_in(base_key, 0x51170), max_depth, options,
+            n_angles=boundary_samples)
+        loss = loss + sur - jax.lax.stop_gradient(sur)
+    return loss
 
 
 def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
                     height: int, spp: int, max_depth: int, camera_mode: str,
-                    options, mesh=None):
+                    options, mesh=None, boundary_samples: int = 0):
     """Build a jitted (params, opt_state, ...) -> (params, opt_state, loss).
 
     The returned step is a single compiled program: forward render, backward
@@ -88,7 +110,8 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
         loss, grads = jax.value_and_grad(render_loss)(
             params, scene, cam, target_pixels, pixel_ids, base_key,
             width=width, height=height, spp=spp, max_depth=max_depth,
-            camera_mode=camera_mode, options=options, mesh=mesh)
+            camera_mode=camera_mode, options=options, mesh=mesh,
+            boundary_samples=boundary_samples)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -102,13 +125,15 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         spp: int | None = None, base_key=None, mesh=None,
         optimizer: optax.GradientTransformation | None = None,
         callback=None, init_params: dict | None = None,
-        init_opt_state=None, start_step: int = 0):
+        init_opt_state=None, start_step: int = 0,
+        boundary_samples: int = 0):
     """Optimize scene params toward a target image.
 
     target_image: (H, W, 3) linear radiance (as produced by render.render).
     Returns (optimized_scene, params, opt_state, losses).
     ``init_params``/``init_opt_state``/``start_step`` resume from a
-    checkpoint (optim.checkpoint).
+    checkpoint (optim.checkpoint). ``boundary_samples`` > 0 enables
+    edge-sampled silhouette gradients for centers/radii (see render_loss).
     """
     if base_key is None:
         base_key = jax.random.key(7)
@@ -137,7 +162,8 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
     step_fn = make_train_step(
         optimizer, width=cfg.width, height=cfg.height, spp=spp,
         max_depth=cfg.max_depth, camera_mode=cfg.camera_mode,
-        options=cfg.options, mesh=mesh)
+        options=cfg.options, mesh=mesh,
+        boundary_samples=boundary_samples)
 
     losses = []
     for i in range(start_step, start_step + steps):

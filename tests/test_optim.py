@@ -186,11 +186,11 @@ def test_grad_smooth_leaves_match_finite_differences(leaf, index, eps):
 def test_grad_geometric_leaves_finite_and_structured():
     """Geometry/branch parameters (centers, radii, ior) have DISCONTINUOUS
     contributions (silhouettes, reflect/refract branch flips at fixed RNG)
-    that plain finite differences measure but interior AD cannot -- the
-    standard limitation of a non-edge-sampled differentiable renderer. What
-    the framework guarantees: gradients are finite, flow to every leaf, and
-    are largest where shading actually depends on the parameter (the metal
-    sphere's mirror direction tracks its normal)."""
+    that interior AD alone cannot see; the boundary term is supplied by
+    edge sampling (ops/silhouette.py, FD-parity-tested in
+    tests/test_silhouette.py). This test covers the INTERIOR half on the
+    full simple scene: gradients are finite, flow to every leaf, and the
+    dielectric's smooth ior dependence is nonzero."""
     scene = simple_scene_cuda()
     cam = reference_cuda_camera(W, H)
     key = jax.random.key(13)

@@ -44,7 +44,9 @@ def _previous_value() -> float | None:
         try:
             with open(path) as f:
                 data = json.load(f)
-            v = float(data.get("value"))
+            # The round driver wraps the printed record under "parsed".
+            rec = data.get("parsed", data)
+            v = float(rec.get("value"))
         except (ValueError, TypeError, OSError, json.JSONDecodeError):
             continue
         if int(m.group(1)) > best_round:

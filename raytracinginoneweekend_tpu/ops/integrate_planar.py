@@ -1,0 +1,363 @@
+"""Planar (R, 128) differentiable integrator: the fast AD engine.
+
+The tiled AD path (ops/integrate.trace over (N, 3) arrays) pays the
+(N, 3)-layout taxes the forward wavefront engine was built to avoid --
+strided component extraction and XLA's appetite for per-ray gathers
+(ops/wavefront.py's measured numbers). This module is the wavefront
+engine's PLANAR formulation made reverse-mode differentiable:
+
+  * ray state is (R, 128) planes end to end (camera generation included,
+    ops/planar.py);
+  * closest-hit runs the forward-only Pallas megakernel
+    (ops/pallas_segment.segment_closest_hit) wrapped in a custom VJP whose
+    backward pass is the same analytic implicit-function formula as
+    ops/intersect.closest_hit_diff -- O(N) elementwise plus one
+    scatter-add, no (N, S) transpose, and the non-differentiable kernel
+    becomes legal under reverse-mode AD;
+  * per-ray sphere/material parameters come from ONE one-hot matmul
+    against a differentiable (S, 10) table (exact gather on the MXU; its
+    transpose -- the table gradient -- is another matmul);
+  * the scatter/material math is the wavefront segment's planar code with
+    AD-safe double-where guards (sqrt/normalize never see values whose
+    backward would be inf on masked lanes);
+  * bounces run under lax.scan with per-step rematerialization
+    (jax.checkpoint): backward memory O(R*128), not O(R*128*depth).
+
+RNG discipline is EXACTLY ops/rng.py's (the planar helpers are nested
+vmaps of the scalar API), so radiance agrees per-ray with the tiled
+engine, the wavefront engine and the scalar oracle.
+
+Semantics parity (reference): same bounce-loop contract as
+ops/integrate.py -- hit -> scatter -> attenuation *= albedo; metal absorb
+-> black; miss -> sky * attenuation; depth exhausted -> black
+(main.cxx:52-75, cuda_impl.cu:265-297).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TraceOptions
+from ..models.camera import Camera
+from ..models.scene import DIELECTRIC, METAL, Scene
+from . import planar, rng
+from .pallas_segment import segment_closest_hit
+
+LANES = 128
+SKY_WHITE = (1.0, 1.0, 1.0)
+SKY_BLUE = (0.5, 0.7, 1.0)  # main.cxx:49; cuda_impl.cu:125
+
+
+# ---------------------------------------------------------------------------
+# Planar closest hit with analytic backward (custom VJP around the kernel)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def closest_hit_planar(rays, geom, t_min, rows):
+    """Closest hit over planar rays via the Pallas megakernel.
+
+    Args:
+      rays: 6-tuple of (R, 128) f32 planes (ox oy oz dx dy dz).
+      geom: (centers (S, 3), radii (S,)) -- the differentiable leaves.
+      t_min, rows: static.
+    Returns (t, sphere_idx, hit_i): (R, 128) planes (f32, i32, i32).
+
+    Backward: implicit differentiation of the winning sphere's quadratic
+    F = |o + t d - c|^2 - r^2 = 0 (see ops/intersect.closest_hit_diff) --
+    dt = [(p-c).dc + r dr - (p-c).do - t (p-c).dd] / ((p-c).d).
+    """
+    return _chp_fwd_impl(rays, geom, t_min, rows)
+
+
+def _chp_fwd_impl(rays, geom, t_min, rows):
+    centers, radii = geom
+    hit_i, t, sb = segment_closest_hit(
+        rays, centers[:, 0], centers[:, 1], centers[:, 2], radii, t_min,
+        rows=rows)
+    return t, sb, hit_i
+
+
+def _chp_fwd(rays, geom, t_min, rows):
+    out = _chp_fwd_impl(rays, geom, t_min, rows)
+    t, sb, hit_i = out
+    return out, (rays, geom, t, sb, hit_i)
+
+
+def _chp_bwd(t_min, rows, res, g):
+    rays, (centers, radii), t, sb, hit_i = res
+    g_t = g[0]  # idx/hit are integer outputs: zero cotangent
+    ox, oy, oz, dx, dy, dz = rays
+    hit = hit_i > 0
+    s = centers.shape[0]
+    r_total = ox.shape[0]
+
+    # Winning sphere's center/radius: exact one-hot gather on the MXU.
+    oh = (sb.reshape(-1, 1) == jnp.arange(s, dtype=sb.dtype)[None, :]
+          ).astype(jnp.bfloat16)
+    ctab = jnp.concatenate([centers, radii[:, None]], axis=1)  # (S, 4)
+    p4 = jnp.dot(oh, ctab.astype(jnp.float32),
+                 preferred_element_type=jnp.float32)
+
+    def col(i):
+        return p4[:, i].reshape(r_total, LANES)
+
+    chx, chy, chz, rh = col(0), col(1), col(2), col(3)
+    t_safe = jnp.where(hit, t, 1.0)
+    pcx = ox + t_safe * dx - chx
+    pcy = oy + t_safe * dy - chy
+    pcz = oz + t_safe * dz - chz
+    denom = pcx * dx + pcy * dy + pcz * dz  # (p-c).d
+    # Grazing hits (denom -> 0) have unbounded dt; zero them like the
+    # sanitized no-hit lanes (standard for silhouette-adjacent samples).
+    good = hit & (jnp.abs(denom) > 1e-12)
+    scale = jnp.where(good, g_t / jnp.where(good, denom, 1.0), 0.0)
+
+    gcx, gcy, gcz = scale * pcx, scale * pcy, scale * pcz  # dt/dc rows
+    g_r_rows = scale * rh  # dt/dr = r/denom
+    idx_dep = jnp.where(good, sb, s).reshape(-1)
+    g_rows = jnp.stack([gcx.reshape(-1), gcy.reshape(-1),
+                        gcz.reshape(-1)], axis=-1)
+    g_centers = jnp.zeros_like(centers).at[idx_dep].add(g_rows, mode="drop")
+    g_radii = jnp.zeros_like(radii).at[idx_dep].add(
+        g_r_rows.reshape(-1), mode="drop")
+    g_rays = (-gcx, -gcy, -gcz,
+              -t_safe * gcx, -t_safe * gcy, -t_safe * gcz)
+    return g_rays, (g_centers, g_radii)
+
+
+closest_hit_planar.defvjp(_chp_fwd, _chp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# One differentiable planar bounce
+# ---------------------------------------------------------------------------
+
+def _material_table(scene: Scene):
+    """Differentiable per-sphere (S, 10) parameter table:
+    [cx cy cz r mtype ar ag ab fuzz ior] (only (S,)-sized gathers)."""
+    mi = scene.material_index
+    alb = scene.albedo[mi]
+    return jnp.concatenate([
+        scene.centers,
+        scene.radii[:, None],
+        scene.mtype[mi].astype(jnp.float32)[:, None],
+        alb,
+        scene.fuzz[mi][:, None],
+        scene.ior[mi][:, None],
+    ], axis=1)
+
+
+def _bounce_step_planar(scene: Scene, options: TraceOptions, rows: int,
+                        state, bounce):
+    (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb, alive,
+     rkeys) = state
+    s = scene.num_spheres
+    r_total = ox.shape[0]
+
+    t, sb, hit_i = closest_hit_planar(
+        (ox, oy, oz, dx, dy, dz), (scene.centers, scene.radii),
+        options.t_min, rows)
+    hit = hit_i > 0
+
+    # One-hot gather of the winning sphere's geometry + material. The
+    # one-hot matrix is a piecewise-constant function of sb (no gradient);
+    # the TABLE carries the scene-leaf gradients through the matmul
+    # transpose.
+    table = _material_table(scene)
+    oh = (sb.reshape(-1, 1) == jnp.arange(s, dtype=sb.dtype)[None, :]
+          ).astype(jnp.float32)
+    params = jnp.dot(oh, table, preferred_element_type=jnp.float32)
+
+    def col(i):
+        return params[:, i].reshape(r_total, LANES)
+
+    chx, chy, chz, rh = col(0), col(1), col(2), col(3)
+    mt = col(4).astype(jnp.int32)
+    alr, alg, alb_ = col(5), col(6), col(7)
+    fz, io = col(8), col(9)
+
+    t_safe = jnp.where(hit, t, 1.0)
+    px = ox + t_safe * dx
+    py = oy + t_safe * dy
+    pz = oz + t_safe * dz
+    r_safe = jnp.where(hit, rh, 1.0)
+    inv_r = 1.0 / jnp.where(r_safe != 0.0, r_safe, 1.0)
+    nx = (px - chx) * inv_r
+    ny = (py - chy) * inv_r
+    nz = (pz - chz) * inv_r
+
+    # Per-bounce randomness (ops/rng.py draw-order contract); ``bounce``
+    # may be a traced scalar.
+    kb = planar.fold_c(rkeys, rng.TAG_BOUNCE + bounce)
+    kv = planar.fold_c(kb, 0)
+    kr = planar.fold_c(kb, 1)
+    if options.scatter_sample == "unit":
+        rvx, rvy, rvz = planar.unit_vector(kv)
+    else:
+        rvx, rvy, rvz = planar.in_unit_sphere(kv)
+    ru = planar.uniform(kr)
+
+    ux, uy, uz = planar.normalize3(dx, dy, dz)
+
+    # lambert (cuda_impl.cu:204-213)
+    ldx, ldy, ldz = nx + rvx, ny + rvy, nz + rvz
+    # metal (cuda_impl.cu:216-229)
+    du = ux * nx + uy * ny + uz * nz
+    rfx = ux - 2.0 * du * nx
+    rfy = uy - 2.0 * du * ny
+    rfz = uz - 2.0 * du * nz
+    mdx, mdy, mdz = rfx + rvx * fz, rfy + rvy * fz, rfz + rvz * fz
+    metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+    # dielectric (cuda_impl.cu:232-262) with AD-safe sqrt guards
+    cos = du
+    entering = cos <= 0.0
+    sgn = jnp.where(entering, 1.0, -1.0)
+    owx, owy, owz = nx * sgn, ny * sgn, nz * sgn
+    ri = jnp.where(entering, 1.0 / jnp.where(io != 0.0, io, 1.0), io)
+    cosab = jnp.abs(cos)
+    cos_i = owx * ux + owy * uy + owz * uz
+    kk = 1.0 - ri * ri * (1.0 - cos_i * cos_i)
+    pos = kk > 0.0
+    # double-where: sqrt never sees <=0, so its backward never sees inf
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, kk, 1.0)), 0.0)
+    tir = kk < 0.0
+    if options.refract == "physical":
+        tx = ri * ux - (ri * cos_i + sq) * owx
+        ty = ri * uy - (ri * cos_i + sq) * owy
+        tz = ri * uz - (ri * cos_i + sq) * owz
+    else:
+        # math.hxx:304-308: dot*eta broadcast-added per component.
+        tx = ux * ri - (owx * sq + cos_i * ri)
+        ty = uy * ri - (owy * sq + cos_i * ri)
+        tz = uz * ri - (owz * sq + cos_i * ri)
+    tx = jnp.where(tir, 0.0, tx)
+    ty = jnp.where(tir, 0.0, ty)
+    tz = jnp.where(tir, 0.0, tz)
+    r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
+    schlick = r0 + (1.0 - r0) * (1.0 - cosab) ** 5
+    prob = jnp.where(tir, 1.0, schlick)
+    refl = ru < prob
+    gdx = jnp.where(refl, rfx, tx)
+    gdy = jnp.where(refl, rfy, ty)
+    gdz = jnp.where(refl, rfz, tz)
+
+    is_metal = mt == METAL
+    is_diel = mt == DIELECTRIC
+    ndx = jnp.where(is_diel, gdx, jnp.where(is_metal, mdx, ldx))
+    ndy = jnp.where(is_diel, gdy, jnp.where(is_metal, mdy, ldy))
+    ndz = jnp.where(is_diel, gdz, jnp.where(is_metal, mdz, ldz))
+    valid = jnp.where(is_metal, metal_ok, True)
+
+    miss_now = alive & ~hit
+    scatter_now = alive & hit & valid
+
+    # sky (cuda_impl.cu:123-126 / main.cxx:47-50), unclamped mix
+    sky_bias = 0.5 if options.sky == "cuda" else 1.0
+    tsky = 0.5 * uy + sky_bias
+    miss_f = miss_now.astype(jnp.float32)
+    resr = resr + miss_f * ax * (SKY_WHITE[0] * (1.0 - tsky)
+                                 + SKY_BLUE[0] * tsky)
+    resg = resg + miss_f * ay * (SKY_WHITE[1] * (1.0 - tsky)
+                                 + SKY_BLUE[1] * tsky)
+    resb = resb + miss_f * az * (SKY_WHITE[2] * (1.0 - tsky)
+                                 + SKY_BLUE[2] * tsky)
+
+    ox = jnp.where(scatter_now, px, ox)
+    oy = jnp.where(scatter_now, py, oy)
+    oz = jnp.where(scatter_now, pz, oz)
+    dx = jnp.where(scatter_now, ndx, dx)
+    dy = jnp.where(scatter_now, ndy, dy)
+    dz = jnp.where(scatter_now, ndz, dz)
+    ax = jnp.where(scatter_now, ax * alr, ax)
+    ay = jnp.where(scatter_now, ay * alg, ay)
+    az = jnp.where(scatter_now, az * alb_, az)
+    return (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb,
+            scatter_now, rkeys)
+
+
+def trace_planar(scene: Scene, rays, rkeys, max_depth: int,
+                 options: TraceOptions, rows: int = 64):
+    """Differentiable fixed-depth planar trace -> (resr, resg, resb) planes.
+
+    rays: 6-tuple of (R, 128) planes; rkeys: (R, 128) per-ray keys; R must
+    be a multiple of ``rows``.
+    """
+    r_total = rays[0].shape[0]
+    zero = jnp.zeros((r_total, LANES), jnp.float32)
+    one = zero + 1.0
+    state = (*rays, one, one, one, zero, zero, zero,
+             jnp.ones((r_total, LANES), bool), rkeys)
+    step = functools.partial(_bounce_step_planar, scene, options, rows)
+
+    @jax.checkpoint
+    def body(st, bounce):
+        return step(st, bounce), None
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
+    return state[9], state[10], state[11]
+
+
+# ---------------------------------------------------------------------------
+# Pixel-chunk renderer (the planar drop-in for render.render_pixels_impl)
+# ---------------------------------------------------------------------------
+
+def _pick_rows(n_lanes_min: int) -> int:
+    """Kernel rows per block: full 128-row blocks for big batches, small
+    blocks for tiny ones (tests)."""
+    for rows in (64, 8):
+        if n_lanes_min >= rows * LANES:
+            return rows
+    return 8
+
+
+def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
+                              base_key, *, width: int, height: int,
+                              spp: int, max_depth: int, camera_mode: str,
+                              options: TraceOptions,
+                              differentiable: bool = True):
+    """Render a flat chunk of pixels -> (P, 3) linear radiance means.
+
+    Signature-compatible with render.render_pixels_impl (wave_spp is
+    implicit: the whole P*spp wavefront is one planar wave). Rays are
+    laid out ray-major (pixel*spp + sample), padded to the (rows*128)
+    layout multiple, and masked out of the pixel reduction.
+    """
+    del differentiable  # the planar engine is always the AD-safe scan
+    p = pixel_ids.shape[0]
+    n = p * spp
+    rows = _pick_rows(n)
+    blk = rows * LANES
+    n_pad = -(-n // blk) * blk
+    r_total = n_pad // LANES
+
+    pid_flat = jnp.repeat(pixel_ids.astype(jnp.int32), spp)
+    sid_flat = jnp.tile(jnp.arange(spp, dtype=jnp.int32), p)
+    pad = n_pad - n
+    if pad:
+        pid_flat = jnp.concatenate(
+            [pid_flat, jnp.zeros((pad,), jnp.int32)])
+        sid_flat = jnp.concatenate(
+            [sid_flat, jnp.zeros((pad,), jnp.int32)])
+    pid = pid_flat.reshape(r_total, LANES)
+    sid = sid_flat.reshape(r_total, LANES)
+
+    ox, oy, oz, dx, dy, dz, rkeys = planar.camera_rays(
+        cam, pid, sid, base_key, width, height, camera_mode)
+    resr, resg, resb = trace_planar(
+        scene, (ox, oy, oz, dx, dy, dz), rkeys, max_depth, options,
+        rows=rows)
+
+    def reduce(plane):
+        flat = plane.reshape(-1)[:n]
+        return flat.reshape(p, spp).sum(axis=1) / spp
+
+    return jnp.stack([reduce(resr), reduce(resg), reduce(resb)], axis=-1)
+
+
+render_pixels_planar = jax.jit(
+    render_pixels_planar_impl,
+    static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
+                     "options", "differentiable"))

@@ -48,10 +48,33 @@ GROUP = 16  # spheres per cull group
 MIN_SPHERES_FOR_GROUPS = 64
 
 
-def _kernel(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM scalar-prefetch (S,)
+UNROLL = 8  # spheres per min-loop iteration (measured: -11% vs 1 on v5e)
+
+
+def _kernel(cx_ref, cy_ref, cz_ref, rr_ref,  # SMEM scalar-prefetch (S_pad,)
             act_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # VMEM
             hit_ref, t_ref, sb_ref,
             *, rows: int, n_spheres: int, t_min: float):
+    """Closest-hit min loop, measured micro-opts (v5e, see git history):
+
+    * NaN-tolerant candidates: sqrt(disc) is taken unguarded; disc < 0
+      yields NaN, every NaN comparison is False, so misses fall through to
+      the BIG sentinel with no `pos` mask ops at all (-6%). (Semantics
+      delta vs a guarded disc>0 test: an EXACT disc==0 graze now counts as
+      a hit -- measure-zero in f32 and absent from every parity suite.)
+    * rr prefetch: the per-sphere r*r is precomputed host-side; padding
+      spheres carry rr = -1 so c = |oc|^2 + 1 > 0 keeps disc < 0 by a
+      >= a margin -- pads can never produce a candidate even with
+      rounding (n_spheres is padded to a multiple of UNROLL).
+    * UNROLL-way unrolling with a pairwise tournament before the single
+      carried (q, idx) select: breaks the loop-carried dependency and
+      feeds the VPU independent chains (-11%).
+
+    Candidates are compared in q = t*a space (a > 0 per-ray constant),
+    saving two inv_a multiplies per sphere; the t_min window becomes
+    q > t_min*a. Strict < everywhere keeps the EARLIEST sphere on ties
+    (CUDA running-min semantics, cuda_impl.cu:183-188).
+    """
     any_active = jnp.any(act_ref[:] > 0)
 
     @pl.when(jnp.logical_not(any_active))
@@ -67,34 +90,38 @@ def _kernel(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM scalar-prefetch (S,)
         dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
-        # Candidates compared in q = t*a space (a > 0 is per-ray
-        # constant): saves the two inv_a multiplies per sphere. The
-        # t_min window test becomes q > t_min*a -- the same inequality
-        # scaled by a positive constant.
         q_min = t_min * a
 
-        def body(s, carry):
-            q_b, s_b = carry
-            cx, cy, cz, r = cx_ref[s], cy_ref[s], cz_ref[s], r_ref[s]
+        def cand(s):
+            cx, cy, cz, rr = cx_ref[s], cy_ref[s], cz_ref[s], rr_ref[s]
             ocx = ox - cx
             ocy = oy - cy
             ocz = oz - cz
             b = ocx * dx + ocy * dy + ocz * dz
-            c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            disc = b * b - a * c
-            pos = disc > 0.0
-            sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
-            q0 = -b - sq
-            q1 = -b + sq
-            v0 = pos & (q0 > q_min)
-            v1 = pos & (q1 > q_min)
-            qc = jnp.where(v0, q0, jnp.where(v1, q1, _BIG))
-            w = qc < q_b
-            return jnp.where(w, qc, q_b), jnp.where(w, s, s_b)
+            c = ocx * ocx + ocy * ocy + ocz * ocz - rr
+            sq = jnp.sqrt(b * b - a * c)  # NaN when disc < 0 (see above)
+            nb = -b
+            q0 = nb - sq
+            q1 = nb + sq
+            return jnp.where(q0 > q_min, q0,
+                             jnp.where(q1 > q_min, q1, _BIG))
+
+        def body(i, carry):
+            q_b, s_b = carry
+            s = i * UNROLL
+            qs = [cand(s + k) for k in range(UNROLL)]
+            qp, ip = qs[0], s
+            for k in range(1, UNROLL):
+                wk = qs[k] < qp
+                qp = jnp.where(wk, qs[k], qp)
+                ip = jnp.where(wk, s + k, ip)
+            w = qp < q_b
+            return jnp.where(w, qp, q_b), jnp.where(w, ip, s_b)
 
         q_b = jnp.full((rows, LANES), _BIG, jnp.float32)
         s_b = jnp.zeros((rows, LANES), jnp.int32)
-        q_b, s_b = jax.lax.fori_loop(0, n_spheres, body, (q_b, s_b))
+        q_b, s_b = jax.lax.fori_loop(0, n_spheres // UNROLL, body,
+                                     (q_b, s_b))
         hit = q_b < _BIG
         hit_ref[:] = hit.astype(jnp.int32)
         t_ref[:] = jnp.where(hit, q_b * inv_a, _BIG)
@@ -172,6 +199,50 @@ def _kernel_grouped(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM (S_pad,) sorted
         sb_ref[:] = s_b
 
 
+def segment_closest_hit(rays, cx, cy, cz, r, t_min, rows: int = 128,
+                        interpret: bool | None = None, active=None):
+    """Raw closest-hit kernel over planar rays -> (hit_i, t, sphere_idx).
+
+    The forward-only Pallas call shared by trace_segment and the
+    planar-AD engine's custom-VJP wrapper (ops/integrate_planar.py).
+    rays: 6-tuple of (R, 128) planes; cx/cy/cz/r: (S,) sphere geometry.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r_total = rays[0].shape[0]
+    assert r_total % rows == 0, (r_total, rows)
+    s = cx.shape[0]
+    grid = r_total // rows
+    # Pad the sphere tables to the kernel's UNROLL multiple. Pad spheres
+    # carry rr = -1: their discriminant is b^2 - a(|oc|^2 + 1) <= -a < 0
+    # robustly (Cauchy-Schwarz plus a >= a margin over f32 rounding), so
+    # they can never win and sb stays in [0, s).
+    rr = r * r
+    pad = -s % UNROLL
+    if pad:
+        zf = jnp.zeros((pad,), cx.dtype)
+        cx = jnp.concatenate([cx, zf])
+        cy = jnp.concatenate([cy, zf])
+        cz = jnp.concatenate([cz, zf])
+        rr = jnp.concatenate([rr, zf - 1.0])
+    if active is None:
+        act = jnp.ones((r_total, LANES), jnp.int32)
+    else:
+        act = active.astype(jnp.int32)
+    bs = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
+                      memory_space=pltpu.VMEM)
+    shapes = [jax.ShapeDtypeStruct((r_total, LANES), dt) for dt in
+              (jnp.int32, jnp.float32, jnp.int32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4, grid=(grid,),
+        in_specs=[bs] * 7, out_specs=[bs] * 3)
+    return pl.pallas_call(
+        functools.partial(_kernel, rows=rows, n_spheres=s + pad,
+                          t_min=float(t_min)),
+        grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
+    )(cx, cy, cz, rr, act, *rays)
+
+
 @functools.partial(
     jax.jit, static_argnames=("t_min", "rows", "interpret"))
 def trace_segment(rays, sphere_params, t_min, rows: int = 128,
@@ -224,14 +295,9 @@ def trace_segment(rays, sphere_params, t_min, rows: int = 128,
             grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
         )(cx, cy, cz, r, *group_params, act, *rays)
     else:
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4, grid=(grid,),
-            in_specs=[bs] * 7, out_specs=[bs] * 3)
-        hit_i, t_b, s_b = pl.pallas_call(
-            functools.partial(_kernel, rows=rows, n_spheres=s,
-                              t_min=float(t_min)),
-            grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
-        )(cx, cy, cz, r, act, *rays)
+        hit_i, t_b, s_b = segment_closest_hit(
+            rays, cx, cy, cz, r, t_min, rows=rows, interpret=interpret,
+            active=active)
 
     # Exact gather of the winning sphere's params WITHOUT per-ray scatter/
     # gather ops (measured ~80ns/element on v5e): a one-hot matmul on the

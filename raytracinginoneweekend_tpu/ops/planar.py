@@ -1,0 +1,160 @@
+"""Planar (R, 128) primitives shared by the wavefront and planar-AD engines.
+
+PLANAR layout is the TPU-native ray-state representation (measured on v5e,
+see ops/wavefront.py): every per-ray quantity is its own (R, 128) f32/i32
+plane, so every op is a full-width VPU op and nothing ever does a strided
+(N, 3) component extraction (~4 ms relayout at 512k rays) or a per-ray
+gather (~80 ns/element).
+
+Two layers live here:
+  * planar wrappers over the scalar jax.random contract of ops/rng.py --
+    nested vmaps keep every DRAW bit-identical to the scalar API, so all
+    engines (tiled, wavefront, planar-AD, oracle) agree per-ray;
+  * planar camera-ray generation for all four camera modes (the planar
+    re-expression of models/camera.camera_ray, quirks Q1/Q2/Q11 included).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.camera import Camera
+from . import rng
+from .math3 import FLT_MIN
+
+LANES = 128
+
+
+def _vv(f):
+    return jax.vmap(jax.vmap(f))
+
+
+def fold_base(base_key, data):
+    """fold_in(scalar_key, (R,128) data) -> (R,128) keys."""
+    return jax.vmap(jax.vmap(jax.random.fold_in, (None, 0)),
+                    (None, 0))(base_key, data)
+
+
+def fold(keys, data):
+    """fold_in((R,128) keys, (R,128) data) -> (R,128) keys."""
+    return _vv(jax.random.fold_in)(keys, data)
+
+
+def fold_c(keys, const):
+    """fold_in((R,128) keys, scalar) -- the scalar may be traced."""
+    return _vv(lambda k: jax.random.fold_in(k, const))(keys)
+
+
+def uniform(keys):
+    return _vv(lambda k: jax.random.uniform(k))(keys)
+
+
+def uniform2(keys):
+    u = _vv(lambda k: jax.random.uniform(k, (2,)))(keys)
+    return u[..., 0], u[..., 1]
+
+
+def normal3(keys):
+    v = _vv(lambda k: jax.random.normal(k, (3,)))(keys)
+    return v[..., 0], v[..., 1], v[..., 2]
+
+
+def split2(keys):
+    ks = _vv(lambda k: jax.random.split(k))(keys)
+    return ks[..., 0], ks[..., 1]
+
+
+def unit_vector(keys):
+    """Planar rng.unit_vector: same draws, components as planes."""
+    vx, vy, vz = normal3(keys)
+    n = jnp.sqrt(vx * vx + vy * vy + vz * vz)
+    good = n > 1e-12
+    inv = 1.0 / jnp.where(good, n, 1.0)
+    return (jnp.where(good, vx * inv, 1.0), jnp.where(good, vy * inv, 0.0),
+            jnp.where(good, vz * inv, 0.0))
+
+
+def in_unit_sphere(keys):
+    """Planar rng.in_unit_sphere: unit vector scaled by U^(1/3)."""
+    kd, kr = split2(keys)
+    ux, uy, uz = unit_vector(kd)
+    r = uniform(kr) ** (1.0 / 3.0)
+    return ux * r, uy * r, uz * r
+
+
+def in_unit_disk(keys):
+    kt, kr = split2(keys)
+    theta = uniform(kt) * (2.0 * jnp.pi)
+    r = jnp.sqrt(uniform(kr))
+    return jnp.cos(theta) * r, jnp.sin(theta) * r
+
+
+def normalize3(x, y, z):
+    """Planar math3.normalize (FLT_MIN guard, math.hxx:226-233)."""
+    l = jnp.sqrt(x * x + y * y + z * z)
+    good = l > FLT_MIN
+    inv = 1.0 / jnp.where(good, l, 1.0)
+    return (jnp.where(good, x * inv, x), jnp.where(good, y * inv, y),
+            jnp.where(good, z * inv, z))
+
+
+def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
+                camera_mode: str):
+    """Planar camera-ray generation for (pixel, sample) planes.
+
+    pid, sid: (R, 128) i32 planes. Returns (ox, oy, oz, dx, dy, dz, rkey)
+    with rkey the per-ray key plane (the ops/rng.py ray_key contract --
+    draws are bit-identical to the scalar path).
+
+    Modes mirror models/camera.camera_ray exactly: "cuda" (no defocus +
+    quirk Q11 direction), "pinhole", "cpu" (quirks Q2+Q11), "thinlens".
+    """
+    origin = cam.origin
+    ll, hor, ver = cam.lower_left, cam.horizontal, cam.vertical
+    bu, bv = cam.basis_u, cam.basis_v
+    lens_r = cam.lens_radius
+
+    rkey = fold(fold_base(base_key, pid), sid)
+    jux, juy = uniform2(fold_c(rkey, rng.TAG_JITTER))
+    y = pid // width
+    x = pid - y * width
+    u = (x.astype(jnp.float32) + jux) / width
+    v = (y.astype(jnp.float32) + juy) / height
+
+    def film(k):
+        return ll[k] + hor[k] * u + ver[k] * (1.0 - v)
+
+    fx, fy, fz_ = film(0), film(1), film(2)
+    if camera_mode == "cuda":
+        ox, oy, oz = (jnp.broadcast_to(origin[k], u.shape)
+                      for k in range(3))
+        dx, dy, dz = fx, fy, fz_  # quirk Q11: no -origin
+    elif camera_mode == "pinhole":
+        ox, oy, oz = (jnp.broadcast_to(origin[k], u.shape)
+                      for k in range(3))
+        dx, dy, dz = fx - origin[0], fy - origin[1], fz_ - origin[2]
+    elif camera_mode == "cpu":
+        # camera.hxx:51-56 (quirks Q2 + Q11): unit-SPHERE lens sample,
+        # world-axis offset scaled by screen (u, v).
+        rdx, rdy, _rdz = in_unit_sphere(fold_c(rkey, rng.TAG_LENS))
+        offx = u * rdx * lens_r
+        offy = v * rdy * lens_r
+        ox, oy = origin[0] + offx, origin[1] + offy
+        oz = jnp.broadcast_to(origin[2], u.shape)
+        dx, dy, dz = fx - offx, fy - offy, fz_
+    elif camera_mode == "thinlens":
+        r0, r1 = in_unit_disk(fold_c(rkey, rng.TAG_LENS))
+        r0, r1 = r0 * lens_r, r1 * lens_r
+        offx = bu[0] * r0 + bv[0] * r1
+        offy = bu[1] * r0 + bv[1] * r1
+        offz = bu[2] * r0 + bv[2] * r1
+        ox = origin[0] + offx
+        oy = origin[1] + offy
+        oz = origin[2] + offz
+        dx = fx - origin[0] - offx
+        dy = fy - origin[1] - offy
+        dz = fz_ - origin[2] - offz
+    else:
+        raise ValueError(f"unknown camera mode: {camera_mode!r}")
+    return ox, oy, oz, dx, dy, dz, rkey

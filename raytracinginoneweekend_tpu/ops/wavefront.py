@@ -45,7 +45,6 @@ from ..config import TraceOptions
 from ..models.camera import Camera
 from ..models.scene import DIELECTRIC, METAL, Scene
 from . import rng
-from .math3 import FLT_MIN
 from .pallas_segment import sphere_params_from_scene, trace_segment
 
 LANES = 128
@@ -53,82 +52,14 @@ SKY_WHITE = (1.0, 1.0, 1.0)
 SKY_BLUE = (0.5, 0.7, 1.0)  # main.cxx:49; cuda_impl.cu:125
 
 
-# ---------------------------------------------------------------------------
-# Planar (R, 128) wrappers over the scalar jax.random contract of ops/rng.py.
-# Nested vmap keeps the DRAWS bit-identical to the scalar API.
-# ---------------------------------------------------------------------------
-
-def _vv(f):
-    return jax.vmap(jax.vmap(f))
-
-
-def _fold_base(base_key, data):
-    """fold_in(scalar_key, (R,128) data) -> (R,128) keys."""
-    return jax.vmap(jax.vmap(jax.random.fold_in, (None, 0)),
-                    (None, 0))(base_key, data)
-
-
-def _fold(keys, data):
-    """fold_in((R,128) keys, (R,128) data) -> (R,128) keys."""
-    return _vv(jax.random.fold_in)(keys, data)
-
-
-def _fold_c(keys, const: int):
-    return _vv(lambda k: jax.random.fold_in(k, const))(keys)
-
-
-def _uniform(keys):
-    return _vv(lambda k: jax.random.uniform(k))(keys)
-
-
-def _uniform2(keys):
-    u = _vv(lambda k: jax.random.uniform(k, (2,)))(keys)
-    return u[..., 0], u[..., 1]
-
-
-def _normal3(keys):
-    v = _vv(lambda k: jax.random.normal(k, (3,)))(keys)
-    return v[..., 0], v[..., 1], v[..., 2]
-
-
-def _split2(keys):
-    ks = _vv(lambda k: jax.random.split(k))(keys)
-    return ks[..., 0], ks[..., 1]
-
-
-def _unit_vector(keys):
-    """Planar rng.unit_vector: same draws, components as planes."""
-    vx, vy, vz = _normal3(keys)
-    n = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-    good = n > 1e-12
-    inv = 1.0 / jnp.where(good, n, 1.0)
-    return (jnp.where(good, vx * inv, 1.0), jnp.where(good, vy * inv, 0.0),
-            jnp.where(good, vz * inv, 0.0))
-
-
-def _in_unit_sphere(keys):
-    """Planar rng.in_unit_sphere: unit vector scaled by U^(1/3)."""
-    kd, kr = _split2(keys)
-    ux, uy, uz = _unit_vector(kd)
-    r = _uniform(kr) ** (1.0 / 3.0)
-    return ux * r, uy * r, uz * r
-
-
-def _in_unit_disk(keys):
-    kt, kr = _split2(keys)
-    theta = _uniform(kt) * (2.0 * jnp.pi)
-    r = jnp.sqrt(_uniform(kr))
-    return jnp.cos(theta) * r, jnp.sin(theta) * r
-
-
-def _normalize3(x, y, z):
-    """Planar math3.normalize (FLT_MIN guard, math.hxx:226-233)."""
-    l = jnp.sqrt(x * x + y * y + z * z)
-    good = l > FLT_MIN
-    inv = 1.0 / jnp.where(good, l, 1.0)
-    return (jnp.where(good, x * inv, x), jnp.where(good, y * inv, y),
-            jnp.where(good, z * inv, z))
-
+# Planar RNG/vector helpers and camera-ray generation live in ops/planar.py
+# (shared with the planar-AD engine); the aliases keep this module's
+# measured hot-loop code identical.
+from .planar import (camera_rays as _planar_camera_rays,  # noqa: E402
+                     fold as _fold, fold_c as _fold_c,
+                     in_unit_sphere as _in_unit_sphere,
+                     normalize3 as _normalize3, uniform as _uniform,
+                     unit_vector as _unit_vector)
 
 # ---------------------------------------------------------------------------
 # Engine
@@ -138,7 +69,9 @@ TASK_SAMPLES = 8  # samples of one pixel accumulated per task (in-register)
 FLUSH_EVERY = 16  # iterations between pending->framebuffer scatter flushes
 
 
-ROWS_DEFAULT = 128  # kernel rows per block (16384-lane programs)
+ROWS_DEFAULT = 64  # kernel rows per block (8192-lane programs; measured
+# fastest on v5e -- r64 8.53 vs r128 9.01 vs r256 10.42 ns/segment -- and
+# it halves the granularity of the drained-block skip)
 
 
 def pool_lanes(pool_size: int, width: int, height: int, spp: int,
@@ -212,10 +145,6 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     lane0 = worker_index * p + lane
     stride = n_workers * p
 
-    origin = cam.origin
-    ll, hor, ver = cam.lower_left, cam.horizontal, cam.vertical
-    bu, bv = cam.basis_u, cam.basis_v
-    lens_r = cam.lens_radius
     sky_bias = 0.5 if options.sky == "cuda" else 1.0
     unit_sample = options.scatter_sample == "unit"
     phys_refract = options.refract == "physical"
@@ -272,49 +201,9 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         issue = acquire | next_sample
 
         # 4. Camera ray for issued (pixel, sample) pairs -- RNG contract
-        #    identical to ops/rng.py / the tiled renderer.
-        rkey = _fold(_fold_base(base_key, pid), sid)
-        jux, juy = _uniform2(_fold_c(rkey, rng.TAG_JITTER))
-        y = pid // width
-        x = pid - y * width
-        u = (x.astype(jnp.float32) + jux) / width
-        v = (y.astype(jnp.float32) + juy) / height
-
-        def film(k):
-            return ll[k] + hor[k] * u + ver[k] * (1.0 - v)
-
-        fx, fy, fz_ = film(0), film(1), film(2)
-        if camera_mode == "cuda":
-            nox, noy, noz = (jnp.broadcast_to(origin[k], u.shape)
-                             for k in range(3))
-            ndx, ndy, ndz = fx, fy, fz_  # quirk Q11: no -origin
-        elif camera_mode == "pinhole":
-            nox, noy, noz = (jnp.broadcast_to(origin[k], u.shape)
-                             for k in range(3))
-            ndx, ndy, ndz = fx - origin[0], fy - origin[1], fz_ - origin[2]
-        elif camera_mode == "cpu":
-            # camera.hxx:51-56 (quirks Q2 + Q11): unit-SPHERE lens sample,
-            # world-axis offset scaled by screen (u, v).
-            rdx, rdy, _rdz = _in_unit_sphere(_fold_c(rkey, rng.TAG_LENS))
-            offx = u * rdx * lens_r
-            offy = v * rdy * lens_r
-            nox, noy = origin[0] + offx, origin[1] + offy
-            noz = jnp.broadcast_to(origin[2], u.shape)
-            ndx, ndy, ndz = fx - offx, fy - offy, fz_
-        elif camera_mode == "thinlens":
-            r0, r1 = _in_unit_disk(_fold_c(rkey, rng.TAG_LENS))
-            r0, r1 = r0 * lens_r, r1 * lens_r
-            offx = bu[0] * r0 + bv[0] * r1
-            offy = bu[1] * r0 + bv[1] * r1
-            offz = bu[2] * r0 + bv[2] * r1
-            nox = origin[0] + offx
-            noy = origin[1] + offy
-            noz = origin[2] + offz
-            ndx = fx - origin[0] - offx
-            ndy = fy - origin[1] - offy
-            ndz = fz_ - origin[2] - offz
-        else:
-            raise ValueError(f"unknown camera mode: {camera_mode!r}")
+        #    identical to ops/rng.py / the tiled renderer (ops/planar.py).
+        nox, noy, noz, ndx, ndy, ndz, rkey = _planar_camera_rays(
+            cam, pid, sid, base_key, width, height, camera_mode)
 
         one = jnp.float32(1.0)
         ox = jnp.where(issue, nox, ox)

@@ -50,7 +50,7 @@ def scene_with_params(scene: Scene, params: dict) -> Scene:
 def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 pixel_ids, base_key, *, width: int, height: int, spp: int,
                 max_depth: int, camera_mode: str, options, mesh=None,
-                boundary_samples: int = 0):
+                boundary_samples: int = 0, engine: str = "planar"):
     """Mean-squared error between rendered and target pixel radiance.
 
     target_pixels: (P, 3) linear radiance for the same pixel_ids.
@@ -60,19 +60,32 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     unchanged): interior AD alone cannot move a silhouette, so gradients
     w.r.t. centers/radii would otherwise miss the visibility term the
     BASELINE finite-difference metric measures.
+
+    engine: "planar" (default -- (R, 128) planes + Pallas closest-hit with
+    the analytic custom VJP, ops/integrate_planar.py) or "tiled" (the
+    (N, 3) scan engine). Same RNG contract, radiance agrees to f32
+    reassociation.
     """
+    if engine == "planar":
+        from ..ops.integrate_planar import render_pixels_planar_impl
+        impl = render_pixels_planar_impl
+    elif engine == "tiled":
+        impl = render_pixels_impl
+    else:
+        raise ValueError(f"unknown AD engine: {engine!r}")
     full_scene = scene_with_params(scene, params)
-    kwargs = dict(width=width, height=height, spp=spp, wave_spp=spp,
+    kwargs = dict(width=width, height=height, spp=spp,
                   max_depth=max_depth, camera_mode=camera_mode,
                   options=options, differentiable=True)
+    if engine == "tiled":
+        kwargs["wave_spp"] = spp
     if mesh is None:
-        rendered = render_pixels_impl(full_scene, cam, pixel_ids, base_key,
-                                      **kwargs)
+        rendered = impl(full_scene, cam, pixel_ids, base_key, **kwargs)
     else:
         from ..parallel.mesh import AXIS, shard_map
         from jax.sharding import PartitionSpec as P
 
-        f = functools.partial(render_pixels_impl, **kwargs)
+        f = functools.partial(impl, **kwargs)
         rendered = shard_map(
             f, mesh=mesh, in_specs=(P(), P(), P(AXIS), P()),
             out_specs=P(AXIS))(full_scene, cam, pixel_ids, base_key)
@@ -97,7 +110,8 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
 
 def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
                     height: int, spp: int, max_depth: int, camera_mode: str,
-                    options, mesh=None, boundary_samples: int = 0):
+                    options, mesh=None, boundary_samples: int = 0,
+                    engine: str = "planar"):
     """Build a jitted (params, opt_state, ...) -> (params, opt_state, loss).
 
     The returned step is a single compiled program: forward render, backward
@@ -111,7 +125,7 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
             params, scene, cam, target_pixels, pixel_ids, base_key,
             width=width, height=height, spp=spp, max_depth=max_depth,
             camera_mode=camera_mode, options=options, mesh=mesh,
-            boundary_samples=boundary_samples)
+            boundary_samples=boundary_samples, engine=engine)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -126,7 +140,7 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         optimizer: optax.GradientTransformation | None = None,
         callback=None, init_params: dict | None = None,
         init_opt_state=None, start_step: int = 0,
-        boundary_samples: int = 0):
+        boundary_samples: int = 0, engine: str = "planar"):
     """Optimize scene params toward a target image.
 
     target_image: (H, W, 3) linear radiance (as produced by render.render).
@@ -163,7 +177,7 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         optimizer, width=cfg.width, height=cfg.height, spp=spp,
         max_depth=cfg.max_depth, camera_mode=cfg.camera_mode,
         options=cfg.options, mesh=mesh,
-        boundary_samples=boundary_samples)
+        boundary_samples=boundary_samples, engine=engine)
 
     losses = []
     for i in range(start_step, start_step + steps):

@@ -18,7 +18,13 @@
 // (main.cxx:71, quirk Q6). Output: raw little-endian float32 RGB, H*W*3.
 //
 // Build: g++ -O2 -std=c++20 -I$REF/src reference_harness.cxx -o harness -ltbb
-// Usage: harness WIDTH HEIGHT SPP MAX_DEPTH SEED APERTURE OUT.BIN [SCENE.BIN]
+// Usage: harness W H SPP MAX_DEPTH SEED APERTURE OUT.BIN [SCENE.BIN [OUT.PPM]]
+//   SCENE.BIN may be "-" to use the built-in CPU scene.
+//   OUT.PPM additionally writes the reference's END PRODUCT: the gamma+u8
+//   PPM, byte-for-byte as main.cxx does it -- gamma_correction
+//   (math::pow(color, 1/2.2), main.cxx:39-45), normalize_rgb_to_8bit
+//   (255*x raw uint8 cast, NO clamp, main.cxx:77-85), save_to_file's
+//   "P6\nW H\n255\n" header + raw texels (main.cxx:87-101).
 //
 // SCENE.BIN (optional; default = the built-in CPU scene): little-endian
 //   int32 S, M; then per sphere cx cy cz r (f32) + mat_index (i32); then
@@ -71,10 +77,11 @@ math::vec3 color(raytracer::data &rt, math::ray ray, unsigned max_depth) {
 }  // namespace
 
 int main(int argc, char **argv) {
-    if (argc != 8 && argc != 9) {
-        std::fprintf(stderr,
-                     "usage: %s W H SPP DEPTH SEED APERTURE OUT [SCENE]\n",
-                     argv[0]);
+    if (argc < 8 || argc > 10) {
+        std::fprintf(
+            stderr,
+            "usage: %s W H SPP DEPTH SEED APERTURE OUT [SCENE [PPM]]\n",
+            argv[0]);
         return 2;
     }
     int const width = std::atoi(argv[1]);
@@ -87,7 +94,7 @@ int main(int argc, char **argv) {
     raytracer::data rt;
     rt.generator.seed(seed);
 
-    if (argc == 9) {
+    if (argc >= 9 && std::string_view{argv[8]} != "-") {
         std::FILE *sf = std::fopen(argv[8], "rb");
         if (!sf) return 3;
         std::int32_t ns = 0, nm = 0;
@@ -163,5 +170,25 @@ int main(int argc, char **argv) {
     if (!f) return 1;
     std::fwrite(out.data(), sizeof(float), out.size(), f);
     std::fclose(f);
+
+    if (argc == 10) {
+        // The reference's end product, byte-exact: gamma_correction
+        // (main.cxx:39-45) + normalize_rgb_to_8bit raw cast (77-85) +
+        // save_to_file's header (96-100).
+        auto constexpr gamma = math::vec3{1.f / 2.2f};
+        std::vector<std::uint8_t> texels(out.size());
+        for (std::size_t i = 0; i < out.size(); i += 3) {
+            auto const c =
+                math::pow(math::vec3{out[i], out[i + 1], out[i + 2]}, gamma);
+            texels[i + 0] = static_cast<std::uint8_t>(255.f * c.x);
+            texels[i + 1] = static_cast<std::uint8_t>(255.f * c.y);
+            texels[i + 2] = static_cast<std::uint8_t>(255.f * c.z);
+        }
+        std::FILE *pf = std::fopen(argv[9], "wb");
+        if (!pf) return 1;
+        std::fprintf(pf, "P6\n%d %d\n255\n", width, height);
+        std::fwrite(texels.data(), 1, texels.size(), pf);
+        std::fclose(pf);
+    }
     return 0;
 }

@@ -69,8 +69,12 @@ def _add_render_flags(p: argparse.ArgumentParser):
     p.add_argument("--spp", type=int, default=48)
     p.add_argument("--depth", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--engine", default="wavefront",
-                   choices=["wavefront", "wavefront-sharded", "tiled"])
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "wavefront", "wavefront-dual",
+                            "wavefront-sharded", "wavefront-dual-sharded",
+                            "tiled"],
+                   help="auto: dual-pool for many-sphere scenes (the "
+                        "coherence-split engine), single-pool otherwise")
     p.add_argument("--pool-size", type=int, default=1 << 16)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
@@ -92,20 +96,38 @@ def _render_image(args):
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, camera_mode=args.mode,
                        options=options)
-    if args.engine == "wavefront":
-        img = render_wavefront(
-            scene, cam, key, width=args.width, height=args.height,
-            spp=args.spp, max_depth=args.depth, camera_mode=args.mode,
-            options=options, pool_size=args.pool_size)
+    engine = args.engine
+    if engine == "auto":
+        # Coherence-split dual pool wins when the brute-force sphere loop
+        # dominates (many spheres); the single pool wins on tiny scenes.
+        from .ops.pallas_segment import MIN_SPHERES_FOR_GROUPS
+
+        engine = ("wavefront-dual"
+                  if int(scene.num_spheres) >= MIN_SPHERES_FOR_GROUPS
+                  else "wavefront")
+    kw = dict(width=args.width, height=args.height, spp=args.spp,
+              max_depth=args.depth, camera_mode=args.mode,
+              options=options, pool_size=args.pool_size)
+    if engine == "wavefront":
+        img = render_wavefront(scene, cam, key, **kw)
         img = img.reshape(args.height, args.width, 3)
-    elif args.engine == "wavefront-sharded":
+    elif engine == "wavefront-dual":
+        from .ops.wavefront_dual import render_wavefront_dual
+
+        img = render_wavefront_dual(scene, cam, key, **kw)
+        img = img.reshape(args.height, args.width, 3)
+    elif engine == "wavefront-sharded":
         from .parallel import make_mesh, render_wavefront_sharded
 
-        img = render_wavefront_sharded(
-            scene, cam, key, mesh=make_mesh(), width=args.width,
-            height=args.height, spp=args.spp, max_depth=args.depth,
-            camera_mode=args.mode, options=options,
-            pool_size=args.pool_size)
+        img = render_wavefront_sharded(scene, cam, key, mesh=make_mesh(),
+                                       **kw)
+        img = img.reshape(args.height, args.width, 3)
+    elif engine == "wavefront-dual-sharded":
+        from .parallel.mesh import (make_mesh,
+                                    render_wavefront_dual_sharded)
+
+        img = render_wavefront_dual_sharded(scene, cam, key,
+                                            mesh=make_mesh(), **kw)
         img = img.reshape(args.height, args.width, 3)
     else:
         img = render(scene, cam, cfg, key)

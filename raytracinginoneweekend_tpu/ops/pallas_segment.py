@@ -49,6 +49,7 @@ MIN_SPHERES_FOR_GROUPS = 64
 
 
 UNROLL = 8  # spheres per min-loop iteration (measured: -11% vs 1 on v5e)
+UNROLL_LIST = 4  # list-kernel unroll (candidate counts are small)
 
 
 def _kernel(cx_ref, cy_ref, cz_ref, rr_ref,  # SMEM scalar-prefetch (S_pad,)
@@ -126,6 +127,116 @@ def _kernel(cx_ref, cy_ref, cz_ref, rr_ref,  # SMEM scalar-prefetch (S_pad,)
         hit_ref[:] = hit.astype(jnp.int32)
         t_ref[:] = jnp.where(hit, q_b * inv_a, _BIG)
         sb_ref[:] = s_b
+
+
+def _kernel_list(cnt_ref, lst_ref, cx_ref, cy_ref, cz_ref, rr_ref,  # SMEM
+                 act_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                 hit_ref, t_ref, sb_ref,
+                 *, rows: int, t_min: float):
+    """Closest-hit over a per-BLOCK candidate LIST (coherent workloads).
+
+    Block b's grid program loops only over lst_ref[b, :cnt_ref[b]] --
+    sphere ids selected by a conservative bounding-cone cull
+    (ops/cull.py) computed per block on the XLA side. The candidate math
+    is identical to _kernel (q-space, NaN-tolerant, rr prefetch), the
+    list is ascending in sphere id and the tournament keeps the earliest
+    id on exact q ties, so outputs are bit-identical to the full loop
+    whenever the cull is conservative. cnt is pre-rounded to a multiple
+    of UNROLL_LIST; pad entries index the rr = -1 pad sphere (can never
+    produce a candidate).
+    """
+    b = pl.program_id(0)
+    any_active = jnp.any(act_ref[:] > 0)
+
+    @pl.when(jnp.logical_not(any_active))
+    def _():
+        hit_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+
+    @pl.when(any_active)
+    def _():
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        q_min = t_min * a
+
+        def cand(s):
+            cx, cy, cz, rr = cx_ref[s], cy_ref[s], cz_ref[s], rr_ref[s]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            bq = ocx * dx + ocy * dy + ocz * dz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - rr
+            sq = jnp.sqrt(bq * bq - a * c)  # NaN when disc < 0
+            nb = -bq
+            q0 = nb - sq
+            q1 = nb + sq
+            return jnp.where(q0 > q_min, q0,
+                             jnp.where(q1 > q_min, q1, _BIG))
+
+        def body(i, carry):
+            q_b, s_b = carry
+            base = i * UNROLL_LIST
+            ss = [lst_ref[b, base + k] for k in range(UNROLL_LIST)]
+            qs = [cand(s) for s in ss]
+            qp, ip = qs[0], jnp.full((rows, LANES), ss[0], jnp.int32)
+            for k in range(1, UNROLL_LIST):
+                wk = qs[k] < qp
+                qp = jnp.where(wk, qs[k], qp)
+                ip = jnp.where(wk, ss[k], ip)
+            w = qp < q_b
+            return jnp.where(w, qp, q_b), jnp.where(w, ip, s_b)
+
+        q_b = jnp.full((rows, LANES), _BIG, jnp.float32)
+        s_b = jnp.zeros((rows, LANES), jnp.int32)
+        q_b, s_b = jax.lax.fori_loop(0, cnt_ref[b] // UNROLL_LIST, body,
+                                     (q_b, s_b))
+        hit = q_b < _BIG
+        hit_ref[:] = hit.astype(jnp.int32)
+        t_ref[:] = jnp.where(hit, q_b * inv_a, _BIG)
+        sb_ref[:] = s_b
+
+
+def segment_closest_hit_list(rays, cx, cy, cz, r, counts, lists, t_min,
+                             rows: int = 128, interpret: bool | None = None,
+                             active=None):
+    """List-driven closest-hit: block b tests only its candidate spheres.
+
+    counts: (B,) i32 candidates per kernel block (B = R/rows), each a
+      multiple of UNROLL_LIST (ops/cull.py rounds and pads).
+    lists: (B, L) i32 sphere ids, ascending per block; entries past the
+      count (and rounding pads) must index the appended pad sphere (id
+      S), whose rr = -1 guarantees it never wins.
+    Returns (hit_i, t, sphere_idx) exactly like segment_closest_hit.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    r_total = rays[0].shape[0]
+    assert r_total % rows == 0, (r_total, rows)
+    assert counts.shape[0] == r_total // rows, (counts.shape, r_total, rows)
+    s = cx.shape[0]
+    grid = r_total // rows
+    # One pad sphere at id S with rr = -1 (see segment_closest_hit).
+    zf = jnp.zeros((1,), cx.dtype)
+    cx = jnp.concatenate([cx, zf])
+    cy = jnp.concatenate([cy, zf])
+    cz = jnp.concatenate([cz, zf])
+    rr = jnp.concatenate([r * r, zf - 1.0])
+    if active is None:
+        act = jnp.ones((r_total, LANES), jnp.int32)
+    else:
+        act = active.astype(jnp.int32)
+    bs = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
+                      memory_space=pltpu.VMEM)
+    shapes = [jax.ShapeDtypeStruct((r_total, LANES), dt) for dt in
+              (jnp.int32, jnp.float32, jnp.int32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6, grid=(grid,),
+        in_specs=[bs] * 7, out_specs=[bs] * 3)
+    return pl.pallas_call(
+        functools.partial(_kernel_list, rows=rows, t_min=float(t_min)),
+        grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
+    )(counts, lists, cx, cy, cz, rr, act, *rays)
 
 
 def _kernel_grouped(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM (S_pad,) sorted
@@ -299,10 +410,20 @@ def trace_segment(rays, sphere_params, t_min, rows: int = 128,
             rays, cx, cy, cz, r, t_min, rows=rows, interpret=interpret,
             active=active)
 
-    # Exact gather of the winning sphere's params WITHOUT per-ray scatter/
-    # gather ops (measured ~80ns/element on v5e): a one-hot matmul on the
-    # MXU. The bf16 one-hot is exact (values 0/1) and the contraction has
-    # exactly one nonzero term per row, so the result is bit-exact f32.
+    return resolve_segment(rays, sphere_params, hit_i, t_b, s_b)
+
+
+def resolve_segment(rays, sphere_params, hit_i, t_b, s_b):
+    """Winning (hit, t, idx) -> full surface/material planes.
+
+    Exact gather of the winning sphere's params WITHOUT per-ray scatter/
+    gather ops (measured ~80ns/element on v5e): a one-hot matmul on the
+    MXU. The bf16 one-hot is exact (values 0/1) and the contraction has
+    exactly one nonzero term per row, so the result is bit-exact f32.
+    """
+    r_total = rays[0].shape[0]
+    s = sphere_params[0].shape[0]
+    cx, cy, cz, r = sphere_params[:4]
     table = jnp.zeros((s, TABLE_COLS), jnp.float32)
     table = table.at[:, 0].set(cx)
     table = table.at[:, 1].set(cy)
@@ -336,6 +457,21 @@ def trace_segment(rays, sphere_params, t_min, rows: int = 128,
         "mt": col(4).astype(jnp.int32), "ar": col(5), "ag": col(6),
         "ab": col(7), "fz": col(8), "io": col(9),
     }
+
+
+def trace_segment_list(rays, sphere_params, counts, lists, t_min,
+                       rows: int = 128, interpret: bool | None = None,
+                       active=None):
+    """trace_segment driven by per-block candidate lists (ops/cull.py).
+
+    Same outputs as trace_segment; winners are bit-identical whenever the
+    lists are conservative (they contain every possible closest hit).
+    """
+    cx, cy, cz, r = sphere_params[:4]
+    hit_i, t_b, s_b = segment_closest_hit_list(
+        rays, cx, cy, cz, r, counts, lists, t_min, rows=rows,
+        interpret=interpret, active=active)
+    return resolve_segment(rays, sphere_params, hit_i, t_b, s_b)
 
 
 def sphere_params_from_scene(scene):

@@ -99,6 +99,102 @@ def normalize3(x, y, z):
             jnp.where(good, z * inv, z))
 
 
+SKY_WHITE = (1.0, 1.0, 1.0)
+SKY_BLUE = (0.5, 0.7, 1.0)  # main.cxx:49; cuda_impl.cu:125
+
+
+def bounce_planar(seg, dirs, rkey, depth, *, unit_sample: bool,
+                  phys_refract: bool, sky_bias: float):
+    """One bounce of material scatter + sky, on planar ray state.
+
+    The single shared implementation of the per-segment shading math for
+    every wavefront-style engine (single-pool ops/wavefront.py and both
+    pools of ops/wavefront_dual.py). Semantics per material mirror the
+    reference exactly: lambert cuda_impl.cu:204-213, metal :216-229
+    (absorb -> valid False), dielectric :232-262 (Schlick + TIR), sky
+    mix main.cxx:47-50 / cuda_impl.cu:123-126 (unclamped).
+
+    seg: trace_segment output dict; dirs: (dx, dy, dz) planes; rkey:
+    per-ray key plane; depth: i32 plane. Statics come from TraceOptions.
+    Returns (ndx, ndy, ndz, valid, sky_r, sky_g, sky_b): the scattered
+    direction, whether the scatter survives (metal absorb kills), and
+    the UNATTENUATED sky radiance for miss lanes.
+    """
+    from ..models.scene import DIELECTRIC, METAL
+    from . import rng
+
+    dx, dy, dz = dirs
+    nx, ny, nz = seg["nx"], seg["ny"], seg["nz"]
+    mt = seg["mt"]
+    fz, io = seg["fz"], seg["io"]
+
+    # Per-bounce randomness (ops/rng.py draw-order contract).
+    kb = fold(rkey, rng.TAG_BOUNCE + depth)
+    kv = fold_c(kb, 0)
+    kr = fold_c(kb, 1)
+    if unit_sample:
+        rvx, rvy, rvz = unit_vector(kv)
+    else:
+        rvx, rvy, rvz = in_unit_sphere(kv)
+    ru = uniform(kr)
+
+    ux, uy, uz = normalize3(dx, dy, dz)
+
+    # lambert (cuda_impl.cu:204-213)
+    ldx, ldy, ldz = nx + rvx, ny + rvy, nz + rvz
+    # metal (cuda_impl.cu:216-229)
+    du = ux * nx + uy * ny + uz * nz
+    rfx = ux - 2.0 * du * nx
+    rfy = uy - 2.0 * du * ny
+    rfz = uz - 2.0 * du * nz
+    mdx, mdy, mdz = rfx + rvx * fz, rfy + rvy * fz, rfz + rvz * fz
+    metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+    # dielectric (cuda_impl.cu:232-262)
+    cos = du  # dot(unit_dir, normal)
+    entering = cos <= 0.0
+    sgn = jnp.where(entering, 1.0, -1.0)
+    owx, owy, owz = nx * sgn, ny * sgn, nz * sgn
+    ri = jnp.where(entering, 1.0 / io, io)
+    cosab = jnp.abs(cos)
+    cos_i = owx * ux + owy * uy + owz * uz  # dot(outward, unit_dir)
+    kk = 1.0 - ri * ri * (1.0 - cos_i * cos_i)
+    tir = kk < 0.0
+    sq = jnp.sqrt(jnp.maximum(kk, 0.0))
+    if phys_refract:
+        tx = ri * ux - (ri * cos_i + sq) * owx
+        ty = ri * uy - (ri * cos_i + sq) * owy
+        tz = ri * uz - (ri * cos_i + sq) * owz
+    else:
+        # math.hxx:304-308: dot*eta broadcast-added per component.
+        tx = ux * ri - (owx * sq + cos_i * ri)
+        ty = uy * ri - (owy * sq + cos_i * ri)
+        tz = uz * ri - (owz * sq + cos_i * ri)
+    tx = jnp.where(tir, 0.0, tx)
+    ty = jnp.where(tir, 0.0, ty)
+    tz = jnp.where(tir, 0.0, tz)
+    r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
+    schlick = r0 + (1.0 - r0) * (1.0 - cosab) ** 5
+    prob = jnp.where(tir, 1.0, schlick)
+    refl = ru < prob
+    gdx = jnp.where(refl, rfx, tx)
+    gdy = jnp.where(refl, rfy, ty)
+    gdz = jnp.where(refl, rfz, tz)
+
+    is_metal = mt == METAL
+    is_diel = mt == DIELECTRIC
+    ndx = jnp.where(is_diel, gdx, jnp.where(is_metal, mdx, ldx))
+    ndy = jnp.where(is_diel, gdy, jnp.where(is_metal, mdy, ldy))
+    ndz = jnp.where(is_diel, gdz, jnp.where(is_metal, mdz, ldz))
+    valid = jnp.where(is_metal, metal_ok, True)
+
+    # sky (cuda_impl.cu:123-126 / main.cxx:47-50), unclamped mix.
+    tsky = 0.5 * uy + sky_bias
+    sky_r = SKY_WHITE[0] * (1.0 - tsky) + SKY_BLUE[0] * tsky
+    sky_g = SKY_WHITE[1] * (1.0 - tsky) + SKY_BLUE[1] * tsky
+    sky_b = SKY_WHITE[2] * (1.0 - tsky) + SKY_BLUE[2] * tsky
+    return ndx, ndy, ndz, valid, sky_r, sky_g, sky_b
+
+
 def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
                 camera_mode: str):
     """Planar camera-ray generation for (pixel, sample) planes.

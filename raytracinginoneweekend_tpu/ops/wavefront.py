@@ -43,23 +43,17 @@ import jax.numpy as jnp
 
 from ..config import TraceOptions
 from ..models.camera import Camera
-from ..models.scene import DIELECTRIC, METAL, Scene
-from . import rng
+from ..models.scene import Scene
 from .pallas_segment import sphere_params_from_scene, trace_segment
 
 LANES = 128
-SKY_WHITE = (1.0, 1.0, 1.0)
-SKY_BLUE = (0.5, 0.7, 1.0)  # main.cxx:49; cuda_impl.cu:125
 
 
-# Planar RNG/vector helpers and camera-ray generation live in ops/planar.py
-# (shared with the planar-AD engine); the aliases keep this module's
-# measured hot-loop code identical.
-from .planar import (camera_rays as _planar_camera_rays,  # noqa: E402
-                     fold as _fold, fold_c as _fold_c,
-                     in_unit_sphere as _in_unit_sphere,
-                     normalize3 as _normalize3, uniform as _uniform,
-                     unit_vector as _unit_vector)
+# Planar RNG/vector helpers, camera-ray generation and the per-bounce
+# material/sky shading live in ops/planar.py (shared with the planar-AD
+# and dual-pool engines).
+from .planar import (bounce_planar as _bounce,  # noqa: E402
+                     camera_rays as _planar_camera_rays)
 
 # ---------------------------------------------------------------------------
 # Engine
@@ -230,87 +224,21 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                             options.t_min, rows=rows, active=active,
                             group_params=group_params)
         hit = seg["hit"] > 0
-        nx, ny, nz = seg["nx"], seg["ny"], seg["nz"]
-        mt = seg["mt"]
         alr, alg, alb_ = seg["ar"], seg["ag"], seg["ab"]
-        fz, io = seg["fz"], seg["io"]
 
-        # Per-bounce randomness (ops/rng.py draw-order contract).
-        kb = _fold(rkey, rng.TAG_BOUNCE + depth)
-        kv = _fold_c(kb, 0)
-        kr = _fold_c(kb, 1)
-        if unit_sample:
-            rvx, rvy, rvz = _unit_vector(kv)
-        else:
-            rvx, rvy, rvz = _in_unit_sphere(kv)
-        ru = _uniform(kr)
-
-        ux, uy, uz = _normalize3(dx, dy, dz)
-
-        # lambert (cuda_impl.cu:204-213)
-        ldx, ldy, ldz = nx + rvx, ny + rvy, nz + rvz
-        # metal (cuda_impl.cu:216-229)
-        du = ux * nx + uy * ny + uz * nz
-        rfx = ux - 2.0 * du * nx
-        rfy = uy - 2.0 * du * ny
-        rfz = uz - 2.0 * du * nz
-        mdx, mdy, mdz = rfx + rvx * fz, rfy + rvy * fz, rfz + rvz * fz
-        metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
-        # dielectric (cuda_impl.cu:232-262)
-        cos = du  # dot(unit_dir, normal)
-        entering = cos <= 0.0
-        sgn = jnp.where(entering, 1.0, -1.0)
-        owx, owy, owz = nx * sgn, ny * sgn, nz * sgn
-        ri = jnp.where(entering, 1.0 / io, io)
-        cosab = jnp.abs(cos)
-        cos_i = owx * ux + owy * uy + owz * uz  # dot(outward, unit_dir)
-        kk = 1.0 - ri * ri * (1.0 - cos_i * cos_i)
-        tir = kk < 0.0
-        sq = jnp.sqrt(jnp.maximum(kk, 0.0))
-        if phys_refract:
-            tx = ri * ux - (ri * cos_i + sq) * owx
-            ty = ri * uy - (ri * cos_i + sq) * owy
-            tz = ri * uz - (ri * cos_i + sq) * owz
-        else:
-            # math.hxx:304-308: dot*eta broadcast-added per component.
-            tx = ux * ri - (owx * sq + cos_i * ri)
-            ty = uy * ri - (owy * sq + cos_i * ri)
-            tz = uz * ri - (owz * sq + cos_i * ri)
-        tx = jnp.where(tir, 0.0, tx)
-        ty = jnp.where(tir, 0.0, ty)
-        tz = jnp.where(tir, 0.0, tz)
-        r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
-        schlick = r0 + (1.0 - r0) * (1.0 - cosab) ** 5
-        prob = jnp.where(tir, 1.0, schlick)
-        refl = ru < prob
-        gdx = jnp.where(refl, rfx, tx)
-        gdy = jnp.where(refl, rfy, ty)
-        gdz = jnp.where(refl, rfz, tz)
-
-        is_metal = mt == METAL
-        is_diel = mt == DIELECTRIC
-        ndx = jnp.where(is_diel, gdx, jnp.where(is_metal, mdx, ldx))
-        ndy = jnp.where(is_diel, gdy, jnp.where(is_metal, mdy, ldy))
-        ndz = jnp.where(is_diel, gdz, jnp.where(is_metal, mdz, ldz))
-        valid = jnp.where(is_metal, metal_ok, True)
+        ndx, ndy, ndz, valid, sky_r, sky_g, sky_b = _bounce(
+            seg, (dx, dy, dz), rkey, depth, unit_sample=unit_sample,
+            phys_refract=phys_refract, sky_bias=sky_bias)
 
         miss_now = active & ~hit
         scatter_now = active & hit & valid
         depth_out = scatter_now & (depth + 1 >= max_depth)
         keep = scatter_now & ~depth_out
 
-        # sky (cuda_impl.cu:123-126 / main.cxx:47-50), unclamped mix;
-        # accumulate into the lane's task registers -- NO scatter here.
-        tsky = 0.5 * uy + sky_bias
-        accr = jnp.where(miss_now,
-                         accr + ax * (SKY_WHITE[0] * (1.0 - tsky)
-                                      + SKY_BLUE[0] * tsky), accr)
-        accg = jnp.where(miss_now,
-                         accg + ay * (SKY_WHITE[1] * (1.0 - tsky)
-                                      + SKY_BLUE[1] * tsky), accg)
-        accb = jnp.where(miss_now,
-                         accb + az * (SKY_WHITE[2] * (1.0 - tsky)
-                                      + SKY_BLUE[2] * tsky), accb)
+        # Sky accumulates into the lane's task registers -- NO scatter.
+        accr = jnp.where(miss_now, accr + ax * sky_r, accr)
+        accg = jnp.where(miss_now, accg + ay * sky_g, accg)
+        accb = jnp.where(miss_now, accb + az * sky_b, accb)
 
         ox = jnp.where(keep, seg["px"], ox)
         oy = jnp.where(keep, seg["py"], oy)

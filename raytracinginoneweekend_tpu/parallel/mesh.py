@@ -52,6 +52,7 @@ from ..config import RenderConfig, TraceOptions
 from ..models.camera import Camera
 from ..models.scene import Scene
 from ..ops.wavefront import wavefront_fb
+from ..ops.wavefront_dual import SECONDARY_COPIES, wavefront_dual_fb
 from ..render import render_pixels_impl
 
 AXIS = "rays"
@@ -168,6 +169,39 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, base_key, *,
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, camera_mode=camera_mode, options=options,
             pool_size=pool_size, worker_index=d, n_workers=n_dev)
+        return jax.lax.psum(fb, AXIS)
+
+    sharded = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P()),
+                        out_specs=P())
+    return sharded(scene, cam, base_key) / spp
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "height", "spp", "max_depth",
+                     "camera_mode", "options", "pool_size", "k_s"))
+def render_wavefront_dual_sharded(scene: Scene, cam: Camera, base_key, *,
+                                  mesh: Mesh, width: int, height: int,
+                                  spp: int, max_depth: int,
+                                  camera_mode: str, options: TraceOptions,
+                                  pool_size: int = 1 << 16,
+                                  k_s: int = SECONDARY_COPIES):
+    """Multi-chip dual-pool wavefront render -> (H*W, 3) radiance means.
+
+    Identical communication structure to render_wavefront_sharded (zero
+    forward collectives + one final framebuffer psum); each device runs
+    an independent dual-pool loop over a strided task subset.
+    pool_size is the PER-DEVICE total lane budget across both pools.
+    """
+    n_dev = mesh.size
+
+    def shard_fn(scene, cam, key):
+        d = jax.lax.axis_index(AXIS)
+        fb = wavefront_dual_fb(
+            scene, cam, key, width=width, height=height, spp=spp,
+            max_depth=max_depth, camera_mode=camera_mode, options=options,
+            pool_size=pool_size, k_s=k_s, worker_index=d,
+            n_workers=n_dev)
         return jax.lax.psum(fb, AXIS)
 
     sharded = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P()),

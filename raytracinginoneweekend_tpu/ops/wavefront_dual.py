@@ -3,41 +3,44 @@
 The single-pool engine (ops/wavefront.py) pays the full O(S) brute-force
 sphere loop for EVERY segment (~8.5 ns/segment on v5e for the 489-sphere
 huge scene) because its lanes mix camera rays with direction-scattered
-bounce rays: no per-block bound can cull for an incoherent block, and
-per-RAY culling would need vector gathers the VPU does not have.
+bounce rays: no per-block bound can cull an incoherent block, and per-RAY
+culling would need vector gathers the VPU does not have.
 
 This engine splits the pools so coherence is an invariant, not an accident:
 
   PRIMARY pool  -- every lane issues one camera ray per iteration. Tasks
-    map to pixels through a 32x32 tile swizzle (ops/cull.tile_pixel), so
-    each kernel block's rays fit a narrow bounding cone. A conservative
-    cone + occlusion cull (ops/cull.py) computed on the XLA side shrinks
-    each block's sphere loop to a per-block candidate LIST -- measured
-    mean ~3-25 of 489 candidates -- run by the list-driven Pallas kernel
-    (ops/pallas_segment.segment_closest_hit_list). Misses resolve to sky
-    into per-task accumulator registers exactly like the single pool.
+    map to pixels through a 32x32 tile swizzle (ops/cull.tile_pixel), and
+    the granule-scrambled task order (a fixed coprime permutation of
+    block-sized task granules -- pure index arithmetic) keeps each kernel
+    block inside 2-4 adjacent tiles while the POOL as a whole works a
+    spatial mix of image regions (sky and ground tiles simultaneously),
+    so secondary load stays statistically level over the frame. Each
+    block's rays fit a narrow bounding cone; the conservative cone +
+    occlusion cull (ops/cull.py) shrinks its sphere loop to a per-block
+    candidate LIST run by the list-driven Pallas kernel (measured ~6x
+    fewer candidate tests than brute force under real drift).
 
   SECONDARY pool -- k_s stacked lane-aligned copies of the primary lane
     space running the plain brute-force megakernel. A primary lane's
-    surviving scatter ray is handed to one of ITS OWN k_s secondary
-    lanes (same (row, lane) position, different copy): the handoff is a
-    pure jnp.where select -- ZERO cross-lane data movement, no
-    compaction, no prefix sums (lane-crossing scans measured ~30 ms at
-    512k on v5e). Back-pressure (all k_s copies busy) simply pauses that
-    primary lane's issue for a few iterations.
+    surviving scatter ray enters a two-deep per-lane handoff FIFO; one of
+    its OWN k_s secondary lanes (same (row, lane), different copy) picks
+    it up -- every transfer is a jnp.where select: ZERO cross-lane data
+    movement, no compaction, no prefix sums (lane-crossing scans measured
+    ~30 ms at 512k on v5e). Back-pressure (FIFO full) pauses that primary
+    lane's issue; secondary acceptance itself NEVER stalls.
+
+RETURN-CREDIT accumulation: a terminated path's radiance is added
+directly to its feeder lane's task accumulator (lane-aligned again), and
+an `outstanding` counter holds the task open until every handed-off path
+lands. The framebuffer therefore sees exactly ONE scatter-add per task
+(amortized over FLUSH_EVERY iterations); the secondary pool needs no
+deposit machinery at all. Measured v1->v3 on v5e: the run/pending variant
+stalled acceptance into 55% secondary occupancy; credits remove that
+stall class entirely.
 
 Radiance per (pixel, sample) is bit-identical to every other engine (the
 ops/rng.py key contract and ops/planar.bounce_planar shading are shared);
 only framebuffer accumulation order differs, as with the single pool.
-
-Deposit paths (all scatter-adds amortized, v5e scatter costs ~6.5 ns x
-call size):
-  * primary task accumulators (sky of misses) -> pending slot on task
-    completion -> periodic flush;
-  * each secondary lane accumulates consecutive same-pixel path results
-    in a run register (its feeder lane works one pixel for
-    task_samples consecutive issues, so runs are long) -> pending on
-    pixel change -> periodic flush.
 
 Forward-only (lax.while_loop), single chip or per-shard under shard_map.
 """
@@ -45,6 +48,7 @@ Forward-only (lax.while_loop), single chip or per-shard under shard_map.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -60,8 +64,8 @@ from .planar import bounce_planar, camera_rays
 LANES = 128
 ROWS = 64                    # kernel rows per block (both pools)
 BLOCK = ROWS * LANES
-TASK_SAMPLES = 32            # camera samples of one pixel per primary task
-FLUSH_EVERY = 32             # task runs are 32+ iterations; flush rarely
+TASK_SAMPLES = 64            # camera samples of one pixel per primary task
+FLUSH_EVERY = 16
 SECONDARY_COPIES = 2         # k_s: secondary lanes per primary lane
 
 
@@ -70,6 +74,17 @@ def dual_pool_lanes(pool_size: int, spp: int,
     """Primary-pool lane count for a total lane budget (block-rounded)."""
     p = max(pool_size // (1 + k_s), BLOCK)
     return max(BLOCK, p // BLOCK * BLOCK)
+
+
+def _granule_stride(n_g: int) -> int:
+    """A fixed multiplier coprime to n_g near the golden ratio, so
+    consecutive granules land far apart in the image."""
+    if n_g <= 2:
+        return 1
+    k = max(1, round(n_g * 0.618))
+    while math.gcd(k, n_g) != 1:
+        k += 1
+    return k
 
 
 def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
@@ -98,6 +113,12 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     r_p = p // LANES                    # primary rows
     r_s = k_s * r_p                     # secondary rows (stacked copies)
 
+    # Granule-scrambled task order: the per-lane counters walk the
+    # sequential space [0, n_g*BLOCK); granule g maps to (g*K) mod n_g.
+    n_g = -(-n_tasks // BLOCK)
+    n_seq = n_g * BLOCK
+    gk = _granule_stride(n_g)
+
     sphere_params = sphere_params_from_scene(scene)
     lane = (jax.lax.broadcasted_iota(jnp.int32, (r_p, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (r_p, LANES), 1))
@@ -107,7 +128,7 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     sky_bias = 0.5 if options.sky == "cuda" else 1.0
     unit_sample = options.scatter_sample == "unit"
     phys_refract = options.refract == "physical"
-    FREE = jnp.int32(n_pixels)          # pending/run "empty" sentinel
+    FREE = jnp.int32(n_pixels)          # pending "empty" sentinel
 
     shade = functools.partial(bounce_planar, unit_sample=unit_sample,
                               phys_refract=phys_refract, sky_bias=sky_bias)
@@ -128,95 +149,89 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         return jax.lax.dynamic_update_slice_in_dim(v, new, j * r_p, axis=0)
 
     def body(state):
-        (it, nxt, task, sid, accr, accg, accb, pp, pr, pg, pb,
-         h_val, h_ox, h_oy, h_oz, h_dx, h_dy, h_dz, h_ar, h_ag, h_ab,
-         h_pid, h_sid,
+        (it, nxt, task, sid, outs, accr, accg, accb, pp, pr, pg, pb,
+         h0, h1,
          s_act, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_ar, s_ag, s_ab,
-         s_dep, s_pid, s_sid, run_pid, run_r, run_g, run_b,
-         s_pp, s_pr, s_pg, s_pb, fbr, fbg, fbb, met) = state
+         s_dep, s_pid, s_sid, fbr, fbg, fbb, met) = state
+        (h0_val, h0_ox, h0_oy, h0_oz, h0_dx, h0_dy, h0_dz,
+         h0_ar, h0_ag, h0_ab, h0_pid, h0_sid) = h0
+        (h1_val, h1_ox, h1_oy, h1_oz, h1_dx, h1_dy, h1_dz,
+         h1_ar, h1_ag, h1_ab, h1_pid, h1_sid) = h1
 
-        # ---- periodic pending flush (both pools) ----------------------
-        do_flush = it % FLUSH_EVERY == FLUSH_EVERY - 1
+        # ---- periodic pending flush (primary tasks only) --------------
         pp, pr, pg, pb, fbr, fbg, fbb = jax.lax.cond(
-            do_flush, lambda o: flush(*o), lambda o: o,
+            it % FLUSH_EVERY == FLUSH_EVERY - 1,
+            lambda o: flush(*o), lambda o: o,
             (pp, pr, pg, pb, fbr, fbg, fbb))
-        s_pp, s_pr, s_pg, s_pb, fbr, fbg, fbb = jax.lax.cond(
-            do_flush, lambda o: flush(*o), lambda o: o,
-            (s_pp, s_pr, s_pg, s_pb, fbr, fbg, fbb))
 
-        # ---- secondary accept: free lanes pull their feeder's handoff -
+        # ---- secondary accept: free lanes pull their feeder's FIFO ----
         taken = jnp.zeros((r_p, LANES), bool)
         for j in range(k_s):
             free_j = ~copy_view(s_act, j)
-            rp_j = copy_view(run_pid, j)
-            rr_j = copy_view(run_r, j)
-            rg_j = copy_view(run_g, j)
-            rb_j = copy_view(run_b, j)
-            spp_j = copy_view(s_pp, j)
-            merge = rp_j == h_pid
-            can_push = spp_j == FREE
-            can = free_j & h_val & ~taken & (
-                merge | (rp_j == FREE) | can_push)
-            push = can & ~merge & (rp_j != FREE)
-            # park the finished run in the pending slot
-            s_pp = copy_set(s_pp, j, jnp.where(push, rp_j, spp_j))
-            s_pr = copy_set(s_pr, j, jnp.where(
-                push, rr_j, copy_view(s_pr, j)))
-            s_pg = copy_set(s_pg, j, jnp.where(
-                push, rg_j, copy_view(s_pg, j)))
-            s_pb = copy_set(s_pb, j, jnp.where(
-                push, rb_j, copy_view(s_pb, j)))
-            fresh = can & ~merge
-            run_pid = copy_set(run_pid, j, jnp.where(can, h_pid, rp_j))
-            run_r = copy_set(run_r, j, jnp.where(fresh, 0.0, rr_j))
-            run_g = copy_set(run_g, j, jnp.where(fresh, 0.0, rg_j))
-            run_b = copy_set(run_b, j, jnp.where(fresh, 0.0, rb_j))
-            # load the ray
-            s_ox = copy_set(s_ox, j, jnp.where(can, h_ox,
+            can = free_j & h0_val & ~taken
+            s_ox = copy_set(s_ox, j, jnp.where(can, h0_ox,
                                                copy_view(s_ox, j)))
-            s_oy = copy_set(s_oy, j, jnp.where(can, h_oy,
+            s_oy = copy_set(s_oy, j, jnp.where(can, h0_oy,
                                                copy_view(s_oy, j)))
-            s_oz = copy_set(s_oz, j, jnp.where(can, h_oz,
+            s_oz = copy_set(s_oz, j, jnp.where(can, h0_oz,
                                                copy_view(s_oz, j)))
-            s_dx = copy_set(s_dx, j, jnp.where(can, h_dx,
+            s_dx = copy_set(s_dx, j, jnp.where(can, h0_dx,
                                                copy_view(s_dx, j)))
-            s_dy = copy_set(s_dy, j, jnp.where(can, h_dy,
+            s_dy = copy_set(s_dy, j, jnp.where(can, h0_dy,
                                                copy_view(s_dy, j)))
-            s_dz = copy_set(s_dz, j, jnp.where(can, h_dz,
+            s_dz = copy_set(s_dz, j, jnp.where(can, h0_dz,
                                                copy_view(s_dz, j)))
-            s_ar = copy_set(s_ar, j, jnp.where(can, h_ar,
+            s_ar = copy_set(s_ar, j, jnp.where(can, h0_ar,
                                                copy_view(s_ar, j)))
-            s_ag = copy_set(s_ag, j, jnp.where(can, h_ag,
+            s_ag = copy_set(s_ag, j, jnp.where(can, h0_ag,
                                                copy_view(s_ag, j)))
-            s_ab = copy_set(s_ab, j, jnp.where(can, h_ab,
+            s_ab = copy_set(s_ab, j, jnp.where(can, h0_ab,
                                                copy_view(s_ab, j)))
             s_dep = copy_set(s_dep, j, jnp.where(
                 can, 1, copy_view(s_dep, j)))
             s_pid = copy_set(s_pid, j, jnp.where(
-                can, h_pid, copy_view(s_pid, j)))
+                can, h0_pid, copy_view(s_pid, j)))
             s_sid = copy_set(s_sid, j, jnp.where(
-                can, h_sid, copy_view(s_sid, j)))
+                can, h0_sid, copy_view(s_sid, j)))
             s_act = copy_set(s_act, j, copy_view(s_act, j) | can)
             taken = taken | can
-        h_val = h_val & ~taken
+        h0_val = h0_val & ~taken
+        # FIFO shift: h1 moves into freed h0 slots.
+        mv = ~h0_val & h1_val
+        h0_val = h0_val | mv
+        h1_val = h1_val & ~mv
+        h0_ox = jnp.where(mv, h1_ox, h0_ox)
+        h0_oy = jnp.where(mv, h1_oy, h0_oy)
+        h0_oz = jnp.where(mv, h1_oz, h0_oz)
+        h0_dx = jnp.where(mv, h1_dx, h0_dx)
+        h0_dy = jnp.where(mv, h1_dy, h0_dy)
+        h0_dz = jnp.where(mv, h1_dz, h0_dz)
+        h0_ar = jnp.where(mv, h1_ar, h0_ar)
+        h0_ag = jnp.where(mv, h1_ag, h0_ag)
+        h0_ab = jnp.where(mv, h1_ab, h0_ab)
+        h0_pid = jnp.where(mv, h1_pid, h0_pid)
+        h0_sid = jnp.where(mv, h1_sid, h0_sid)
 
-        # ---- primary issue -------------------------------------------
+        # ---- primary task management ---------------------------------
         has_task = task >= 0
-        acquire = ~h_val & ~has_task & (nxt < n_tasks)
-        task_new = jnp.where(acquire, nxt, task)
+        acquire = ~has_task & (nxt < n_seq)
+        task_seq = jnp.where(acquire, nxt, task)
         nxt = jnp.where(acquire, nxt + stride, nxt)
-        vp = task_new // tpp
-        run_start = (task_new - vp * tpp) * task_samples
+        # granule scramble: sequential counter -> spatial task id
+        g = task_seq // BLOCK
+        t_sp = (g * gk) % n_g * BLOCK + (task_seq - g * BLOCK)
+        vp = t_sp // tpp
+        run_start = (t_sp - vp * tpp) * task_samples
         run_end = jnp.minimum(run_start + task_samples, spp)
         pid, pvalid = cull.tile_pixel(vp, width, height)
         # virtual-padding tasks have no real pixel: drop them whole
-        dead_task = acquire & ~pvalid
-        task = jnp.where(dead_task, -1, task_new)
+        dead_task = acquire & (~pvalid | (t_sp >= n_tasks))
+        task = jnp.where(dead_task, -1, task_seq)
         sid = jnp.where(acquire, run_start, sid)
         has_task = task >= 0
-        last = sid + 1 >= run_end
-        issue = (~h_val & has_task & ~dead_task
-                 & (~last | (pp == FREE)))
+
+        fifo_room = ~h0_val | ~h1_val
+        issue = has_task & ~dead_task & (sid < run_end) & fifo_room
         blocked_now = has_task & ~dead_task & ~issue
 
         ox, oy, oz, dx, dy, dz, rkey = camera_rays(
@@ -241,29 +256,27 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         accb = jnp.where(miss_now, accb + sky_b, accb)
 
         survive = issue & hit & valid & (max_depth > 1)
-        h_val = h_val | survive
-        h_ox = jnp.where(survive, seg["px"], h_ox)
-        h_oy = jnp.where(survive, seg["py"], h_oy)
-        h_oz = jnp.where(survive, seg["pz"], h_oz)
-        h_dx = jnp.where(survive, ndx, h_dx)
-        h_dy = jnp.where(survive, ndy, h_dy)
-        h_dz = jnp.where(survive, ndz, h_dz)
-        h_ar = jnp.where(survive, seg["ar"], h_ar)
-        h_ag = jnp.where(survive, seg["ag"], h_ag)
-        h_ab = jnp.where(survive, seg["ab"], h_ab)
-        h_pid = jnp.where(survive, pid, h_pid)
-        h_sid = jnp.where(survive, sid, h_sid)
+        to_h0 = survive & ~h0_val
+        to_h1 = survive & h0_val          # issue guaranteed FIFO room
+        h0_val = h0_val | to_h0
+        h1_val = h1_val | to_h1
 
-        done = issue & last
-        pp = jnp.where(done, pid, pp)
-        pr = jnp.where(done, accr, pr)
-        pg = jnp.where(done, accg, pg)
-        pb = jnp.where(done, accb, pb)
-        accr = jnp.where(done, 0.0, accr)
-        accg = jnp.where(done, 0.0, accg)
-        accb = jnp.where(done, 0.0, accb)
-        task = jnp.where(done, -1, task)
-        sid = jnp.where(issue & ~last, sid + 1, sid)
+        def fifo_write(v0, v1, new):
+            return (jnp.where(to_h0, new, v0), jnp.where(to_h1, new, v1))
+
+        h0_ox, h1_ox = fifo_write(h0_ox, h1_ox, seg["px"])
+        h0_oy, h1_oy = fifo_write(h0_oy, h1_oy, seg["py"])
+        h0_oz, h1_oz = fifo_write(h0_oz, h1_oz, seg["pz"])
+        h0_dx, h1_dx = fifo_write(h0_dx, h1_dx, ndx)
+        h0_dy, h1_dy = fifo_write(h0_dy, h1_dy, ndy)
+        h0_dz, h1_dz = fifo_write(h0_dz, h1_dz, ndz)
+        h0_ar, h1_ar = fifo_write(h0_ar, h1_ar, seg["ar"])
+        h0_ag, h1_ag = fifo_write(h0_ag, h1_ag, seg["ag"])
+        h0_ab, h1_ab = fifo_write(h0_ab, h1_ab, seg["ab"])
+        h0_pid, h1_pid = fifo_write(h0_pid, h1_pid, pid)
+        h0_sid, h1_sid = fifo_write(h0_sid, h1_sid, sid)
+        outs = outs + survive.astype(jnp.int32)
+        sid = jnp.where(issue, sid + 1, sid)
 
         # ---- secondary trace: brute-force megakernel -----------------
         s_rays = (s_ox, s_oy, s_oz, s_dx, s_dy, s_dz)
@@ -275,12 +288,26 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             sseg, (s_dx, s_dy, s_dz), s_rkey, s_dep)
 
         s_miss = s_act & ~s_hit
-        run_r = jnp.where(s_miss, run_r + s_ar * sk_r, run_r)
-        run_g = jnp.where(s_miss, run_g + s_ag * sk_g, run_g)
-        run_b = jnp.where(s_miss, run_b + s_ab * sk_b, run_b)
-
         s_scatter = s_act & s_hit & s_valid
         s_keep = s_scatter & (s_dep + 1 < max_depth)
+        s_done = s_act & ~s_keep
+        s_act_old = s_act
+
+        # return credits: terminal radiance lands in the FEEDER's task
+        # accumulator (lane-aligned); outstanding count drops.
+        dec = jnp.zeros((r_p, LANES), jnp.int32)
+        for j in range(k_s):
+            dj = copy_view(s_done, j)
+            mj = copy_view(s_miss, j)
+            accr = accr + jnp.where(mj, copy_view(s_ar, j)
+                                    * copy_view(sk_r, j), 0.0)
+            accg = accg + jnp.where(mj, copy_view(s_ag, j)
+                                    * copy_view(sk_g, j), 0.0)
+            accb = accb + jnp.where(mj, copy_view(s_ab, j)
+                                    * copy_view(sk_b, j), 0.0)
+            dec = dec + dj.astype(jnp.int32)
+        outs = outs - dec
+
         s_ox = jnp.where(s_keep, sseg["px"], s_ox)
         s_oy = jnp.where(s_keep, sseg["py"], s_oy)
         s_oz = jnp.where(s_keep, sseg["pz"], s_oz)
@@ -291,8 +318,18 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         s_ag = jnp.where(s_keep, s_ag * sseg["ag"], s_ag)
         s_ab = jnp.where(s_keep, s_ab * sseg["ab"], s_ab)
         s_dep = jnp.where(s_keep, s_dep + 1, s_dep)
-        s_act_old = s_act
         s_act = s_keep
+
+        # ---- task completion: all samples issued AND all paths home --
+        done = has_task & (sid >= run_end) & (outs == 0) & (pp == FREE)
+        pp = jnp.where(done, pid, pp)
+        pr = jnp.where(done, accr, pr)
+        pg = jnp.where(done, accg, pg)
+        pb = jnp.where(done, accb, pb)
+        accr = jnp.where(done, 0.0, accr)
+        accg = jnp.where(done, 0.0, accg)
+        accb = jnp.where(done, 0.0, accb)
+        task = jnp.where(done, -1, task)
 
         if with_metrics:
             met = (met[0] + 1.0,
@@ -301,18 +338,18 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                    met[3] + blocked_now.sum().astype(jnp.float32),
                    met[4] + counts.sum().astype(jnp.float32),
                    met[5] + taken.sum().astype(jnp.float32))
-        return (it + 1, nxt, task, sid, accr, accg, accb, pp, pr, pg, pb,
-                h_val, h_ox, h_oy, h_oz, h_dx, h_dy, h_dz, h_ar, h_ag,
-                h_ab, h_pid, h_sid,
+        h0 = (h0_val, h0_ox, h0_oy, h0_oz, h0_dx, h0_dy, h0_dz,
+              h0_ar, h0_ag, h0_ab, h0_pid, h0_sid)
+        h1 = (h1_val, h1_ox, h1_oy, h1_oz, h1_dx, h1_dy, h1_dz,
+              h1_ar, h1_ag, h1_ab, h1_pid, h1_sid)
+        return (it + 1, nxt, task, sid, outs, accr, accg, accb,
+                pp, pr, pg, pb, h0, h1,
                 s_act, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_ar, s_ag,
-                s_ab, s_dep, s_pid, s_sid, run_pid, run_r, run_g, run_b,
-                s_pp, s_pr, s_pg, s_pb, fbr, fbg, fbb, met)
+                s_ab, s_dep, s_pid, s_sid, fbr, fbg, fbb, met)
 
     def cond(state):
-        it, nxt, task = state[0], state[1], state[2]
-        h_val, s_act = state[11], state[23]
-        return (jnp.any(task >= 0) | jnp.any(nxt < n_tasks)
-                | jnp.any(h_val) | jnp.any(s_act))
+        nxt, task = state[1], state[2]
+        return jnp.any(task >= 0) | jnp.any(nxt < n_seq)
 
     zp = jnp.zeros((r_p, LANES), jnp.float32)
     ip = jnp.zeros((r_p, LANES), jnp.int32)
@@ -321,33 +358,25 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     is_ = jnp.zeros((r_s, LANES), jnp.int32)
     bs = jnp.zeros((r_s, LANES), bool)
     fb0 = jnp.zeros((n_pixels,), jnp.float32)
+    h_init = (bp, zp, zp, zp, zp + 1.0, zp, zp, zp, zp, zp, ip, ip)
     state0 = (
-        jnp.int32(0), lane0, ip - 1, ip,          # it, nxt, task, sid
+        jnp.int32(0), lane0, ip - 1, ip, ip,      # it, nxt, task, sid, outs
         zp, zp, zp,                               # acc rgb
         ip + FREE, zp, zp, zp,                    # pending
-        bp, zp, zp, zp, zp + 1.0, zp, zp,         # handoff val/o/d
-        zp, zp, zp, ip, ip,                       # h att, h pid, h sid
+        h_init, h_init,                           # handoff FIFO
         bs, zs, zs, zs, zs + 1.0, zs, zs,         # s act/o/d
         zs, zs, zs, is_, is_, is_,                # s att, dep, pid, sid
-        is_ + FREE, zs, zs, zs,                   # run pid/rgb
-        is_ + FREE, zs, zs, zs,                   # s pending
         fb0, fb0, fb0,
         tuple(jnp.float32(0.0) for _ in range(6)),  # metrics
     )
     final = jax.lax.while_loop(cond, body, state0)
-    (pp, pr, pg, pb) = final[7:11]
-    (run_pid, run_r, run_g, run_b) = final[36:40]
-    (s_pp, s_pr, s_pg, s_pb) = final[40:44]
-    fbr, fbg, fbb = final[44:47]
+    (pp, pr, pg, pb) = final[8:12]
+    fbr, fbg, fbb = final[27:30]
     _, _, _, _, fbr, fbg, fbb = flush(pp, pr, pg, pb, fbr, fbg, fbb)
-    _, _, _, _, fbr, fbg, fbb = flush(s_pp, s_pr, s_pg, s_pb,
-                                      fbr, fbg, fbb)
-    _, _, _, _, fbr, fbg, fbb = flush(run_pid, run_r, run_g, run_b,
-                                      fbr, fbg, fbb)
     fb = jnp.stack([fbr, fbg, fbb], axis=-1)
     if not with_metrics:
         return fb
-    met = final[47]
+    met = final[30]
     return fb, {
         "iterations": met[0], "issue_lane_iters": met[1],
         "secondary_active_lane_iters": met[2],

@@ -78,6 +78,10 @@ def _add_render_flags(p: argparse.ArgumentParser):
     p.add_argument("--pool-size", type=int, default=1 << 16)
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
+    p.add_argument("--via", default=None, metavar="SOCKET",
+                   help="forward to a running render server (see the "
+                        "serve subcommand); repeat configurations skip "
+                        "compilation entirely")
 
 
 def _render_image(args):
@@ -98,13 +102,11 @@ def _render_image(args):
                        options=options)
     engine = args.engine
     if engine == "auto":
-        # Coherence-split dual pool wins when the brute-force sphere loop
-        # dominates (many spheres); the single pool wins on tiny scenes.
-        from .ops.pallas_segment import MIN_SPHERES_FOR_GROUPS
-
-        engine = ("wavefront-dual"
-                  if int(scene.num_spheres) >= MIN_SPHERES_FOR_GROUPS
-                  else "wavefront")
+        # The dual-pool engine's primary pass is ~3.4x cheaper per
+        # segment, but measured end-to-end on v5e it still trails the
+        # single pool (secondary-pool packing, see ARCHITECTURE.md), so
+        # auto stays on the single pool until that flips.
+        engine = "wavefront"
     kw = dict(width=args.width, height=args.height, spp=args.spp,
               max_depth=args.depth, camera_mode=args.mode,
               options=options, pool_size=args.pool_size)
@@ -134,7 +136,30 @@ def _render_image(args):
     return img, cfg
 
 
+def _via_server(args, cmd: str) -> int:
+    """Forward a render/bench request to a running render server."""
+    from . import serve
+
+    req = {"cmd": cmd, "scene": args.scene, "seed": args.seed,
+           "camera": args.camera, "mode": args.mode, "compat": args.compat,
+           "width": args.width, "height": args.height, "spp": args.spp,
+           "depth": args.depth, "engine": args.engine,
+           "pool_size": args.pool_size}
+    if cmd == "render":
+        req["out"] = args.out
+        req["clamp"] = not args.no_clamp
+    else:
+        req["iters"] = args.iters
+    resp = serve.request(args.via, req)
+    import json as _json
+
+    print(_json.dumps(resp))
+    return 0 if resp.get("ok") else 1
+
+
 def cmd_render(args) -> int:
+    if args.via:
+        return _via_server(args, "render")
     import jax
     import numpy as np
 
@@ -163,6 +188,8 @@ def cmd_render(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    if args.via:
+        return _via_server(args, "bench")
     import jax
 
     from .utils.timing import time_fn
@@ -263,6 +290,13 @@ def main(argv=None) -> int:
     _add_render_flags(p)
     p.add_argument("--iters", type=int, default=2)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("serve", help="persistent render server "
+                                     "(compiles amortize across requests)")
+    p.add_argument("--socket", default="/tmp/rtw.sock")
+    p.set_defaults(fn=lambda a: __import__(
+        "raytracinginoneweekend_tpu.serve", fromlist=["serve"]
+    ).serve(a.socket))
 
     p = sub.add_parser("fit", help="inverse rendering demo")
     _add_render_flags(p)

@@ -1,0 +1,84 @@
+"""Render-server protocol: ping/render/bench/shutdown over a Unix socket.
+
+The server exists to amortize jit compiles across invocations (the TPU
+tunnel pays 20-300 s per fresh process and the persistent compilation
+cache does not engage for the remote backend); these tests drive the
+real subprocess end-to-end on CPU.
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import pytest
+
+from raytracinginoneweekend_tpu import serve
+
+VENV = "/opt/venv/bin/python"
+PY = VENV if os.path.exists(VENV) else sys.executable
+
+
+@pytest.fixture(scope="module")
+def server():
+    sock = os.path.join(tempfile.mkdtemp(), "rtw.sock")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    proc = subprocess.Popen(
+        [PY, "-m", "raytracinginoneweekend_tpu", "serve", "--socket",
+         sock], env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        for _ in range(300):
+            if os.path.exists(sock):
+                break
+            if proc.poll() is not None:
+                raise RuntimeError(proc.stdout.read().decode())
+            time.sleep(0.1)
+        else:
+            raise RuntimeError("server socket never appeared")
+        yield sock
+    finally:
+        try:
+            serve.request(sock, {"cmd": "shutdown"}, timeout=10)
+        except OSError:
+            pass
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
+def test_ping(server):
+    resp = serve.request(server, {"cmd": "ping"})
+    assert resp["ok"] and "device" in resp
+
+
+def test_render_twice_and_file(server):
+    out = server + ".png"
+    req = {"cmd": "render", "scene": "simple-cuda", "width": 64,
+           "height": 36, "spp": 2, "depth": 4, "out": out}
+    r1 = serve.request(server, req)
+    assert r1["ok"], r1
+    assert os.path.exists(out)
+    # Second identical request reuses the in-process executable: it must
+    # succeed and be far faster than a cold compile (same config).
+    t0 = time.perf_counter()
+    r2 = serve.request(server, req)
+    warm = time.perf_counter() - t0
+    assert r2["ok"], r2
+    assert warm < r1["seconds"] + 5.0  # warm path: no recompile stall
+
+
+def test_bench(server):
+    resp = serve.request(server, {
+        "cmd": "bench", "scene": "simple-cuda", "width": 64, "height": 36,
+        "spp": 2, "depth": 4, "iters": 1})
+    assert resp["ok"] and resp["rays_per_s"] > 0
+
+
+def test_bad_request_keeps_server_alive(server):
+    resp = serve.request(server, {"cmd": "render", "scene": "nope"})
+    assert not resp["ok"] and "error" in resp
+    assert serve.request(server, {"cmd": "ping"})["ok"]

@@ -59,19 +59,23 @@ from .planar import (bounce_planar as _bounce,  # noqa: E402
 # Engine
 # ---------------------------------------------------------------------------
 
-TASK_SAMPLES = 8  # samples of one pixel accumulated per task (in-register)
-FLUSH_EVERY = 16  # iterations between pending->framebuffer scatter flushes
+TASK_SAMPLES = 8   # samples of one pixel accumulated per task (in-register)
+FLUSH_EVERY = 16   # inner iterations per epoch (pending->fb flush cadence)
+# (8, 16) measured best on the v5e headline: longer tasks/epochs trade
+# away more occupancy than they save in scatter traffic (37.3 vs 33.6
+# Mrays/s at (32, 64) and 30.8 at (32, 128)).
 
 
 ROWS_DEFAULT = 64  # kernel rows per block (8192-lane programs; measured
-# fastest on v5e -- r64 8.53 vs r128 9.01 vs r256 10.42 ns/segment -- and
+# fastest on v5e (r64 < r128 < r256 by 6%/22% on the segment loop) and
 # it halves the granularity of the drained-block skip)
 
 
 def pool_lanes(pool_size: int, width: int, height: int, spp: int,
-               rows: int = ROWS_DEFAULT) -> int:
+               rows: int = ROWS_DEFAULT,
+               task_samples: int | None = None) -> int:
     """The actual (layout-rounded) lane count a pool_size request yields."""
-    task_samples = min(TASK_SAMPLES, spp)
+    task_samples = min(task_samples or TASK_SAMPLES, spp)
     tpp = -(-spp // task_samples)
     n_tasks = width * height * tpp
     p = min(pool_size, n_tasks * task_samples)
@@ -82,7 +86,9 @@ def pool_lanes(pool_size: int, width: int, height: int, spp: int,
 def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                  height: int, spp: int, max_depth: int, camera_mode: str,
                  options: TraceOptions, pool_size: int = 1 << 16,
-                 worker_index=0, n_workers: int = 1):
+                 worker_index=0, n_workers: int = 1,
+                 task_samples: int | None = None,
+                 flush_every: int | None = None):
     """Trace this worker's task chunks -> UNNORMALIZED (H*W, 3) fb sums.
 
     Task ownership is strided across the global lane space: worker w's
@@ -107,15 +113,22 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         radiance into per-lane register planes (plain adds, no scatter);
       * a finished task's (pixel, rgb) moves to the lane's single pending
         slot; pendings are flushed to the framebuffer by 3 scatter-adds
-        only every FLUSH_EVERY iterations (amortized ~0.8ms/iter), plus
-        one final flush after the loop. A lane whose pending slot is
-        still occupied when its next task completes idles until the next
-        flush (rare: a task lives ~TASK_SAMPLES*avg_depth iterations).
+        once per EPOCH (an inner fori_loop of flush_every iterations
+        whose carry never touches the framebuffer planes -- see the
+        epoch() note), plus one final flush after the loop. A lane whose
+        pending slot is still occupied when its next task completes
+        idles until the epoch flush (rare: a task lives
+        ~task_samples*avg_depth iterations).
+
+    Profiled composition on the v5e headline (op self-times): the Pallas
+    segment kernel ~50% (~3.2 ns/lane-slot), flush scatters ~22%,
+    fused regen/shade/RNG elementwise ~22%.
 
     pool_size: number of persistent ray lanes (rounded to layout multiple).
     """
     n_pixels = width * height
-    task_samples = min(TASK_SAMPLES, spp)
+    task_samples = min(task_samples or TASK_SAMPLES, spp)
+    flush_every = flush_every or FLUSH_EVERY
     tpp = -(-spp // task_samples)  # tasks per pixel
     n_tasks = n_pixels * tpp
     if n_pixels * spp >= 2 ** 31:
@@ -124,7 +137,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             "the int32 ray-id space; render in passes (e.g. split spp and "
             "average)")
     rows = ROWS_DEFAULT
-    p = pool_lanes(pool_size, width, height, spp, rows)
+    p = pool_lanes(pool_size, width, height, spp, rows,
+                   task_samples)
     r_rows = p // LANES
 
     sphere_params = sphere_params_from_scene(scene)
@@ -153,14 +167,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         return free, zero, zero, zero, fbr, fbg, fbb
 
     def regen(state):
-        (it, nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-         depth, accr, accg, accb, pp, pr, pg, pb, fbr, fbg, fbb) = state
-
-        # Periodic pending flush (scatter-adds amortized over FLUSH_EVERY).
-        pp, pr, pg, pb, fbr, fbg, fbb = jax.lax.cond(
-            it % FLUSH_EVERY == FLUSH_EVERY - 1,
-            lambda ops: flush(*ops), lambda ops: ops,
-            (pp, pr, pg, pb, fbr, fbg, fbb))
+        (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
+         depth, accr, accg, accb, pp, pr, pg, pb) = state
 
         idle = ~active
         has_task = task >= 0
@@ -211,14 +219,13 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         az = jnp.where(issue, one, az)
         depth = jnp.where(issue, 0, depth)
         active = active | issue
-        return (it, nxt, task, sid, active, ox, oy, oz, dx, dy, dz,
+        return (nxt, task, sid, active, ox, oy, oz, dx, dy, dz,
                 ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
-                fbr, fbg, fbb, rkey)
+                rkey)
 
     def segment(state):
-        (it, nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-         depth, accr, accg, accb, pp, pr, pg, pb, fbr, fbg, fbb,
-         rkey) = state
+        (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
+         depth, accr, accg, accb, pp, pr, pg, pb, rkey) = state
 
         seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
                             options.t_min, rows=rows, active=active,
@@ -250,22 +257,36 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         ay = jnp.where(keep, ay * alg, ay)
         az = jnp.where(keep, az * alb_, az)
         depth = jnp.where(keep, depth + 1, depth)
-        return (it + 1, nxt, task, sid, keep, ox, oy, oz, dx, dy, dz,
-                ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
-                fbr, fbg, fbb)
+        return (nxt, task, sid, keep, ox, oy, oz, dx, dy, dz,
+                ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb)
 
     def cond(state):
-        it, nxt, task, sid, active = state[:5]
+        lane_state = state[0]
+        nxt, task, sid, active = lane_state[:4]
         return jnp.any(active) | jnp.any(task >= 0) | jnp.any(nxt < n_tasks)
 
-    def body(state):
-        return segment(regen(state))
+    def epoch(state):
+        # EPOCH structure (profiled on v5e): the framebuffer planes live
+        # ONLY in this outer body. Carrying them through a per-iteration
+        # flush `cond` measured 96us/iteration of pure operand copies --
+        # 23% of the whole engine -- and per-iteration scatter amortization
+        # another 23%. The inner fori_loop touches lane state only; the
+        # flush runs unconditionally once per epoch.
+        lane_state, fbr, fbg, fbb = state
+        lane_state = jax.lax.fori_loop(
+            0, flush_every, lambda i, s: segment(regen(s)), lane_state)
+        (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
+         depth, accr, accg, accb, pp, pr, pg, pb) = lane_state
+        pp, pr, pg, pb, fbr, fbg, fbb = flush(pp, pr, pg, pb,
+                                              fbr, fbg, fbb)
+        lane_state = (nxt, task, sid, active, ox, oy, oz, dx, dy, dz,
+                      ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb)
+        return lane_state, fbr, fbg, fbb
 
     zero = jnp.zeros((r_rows, LANES), jnp.float32)
     izero = jnp.zeros((r_rows, LANES), jnp.int32)
     fb0 = jnp.zeros((n_pixels,), jnp.float32)
-    state0 = (
-        jnp.int32(0),         # iteration counter
+    lane_state0 = (
         lane0,                # per-lane next task id (strided ownership)
         izero - 1,            # task (-1 = none)
         izero,                # sid
@@ -277,11 +298,10 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         zero, zero, zero,     # task accumulator
         izero + n_pixels,     # pending pixel (n_pixels = free sentinel)
         zero, zero, zero,     # pending rgb
-        fb0, fb0, fb0,        # framebuffer planes
     )
-    final = jax.lax.while_loop(cond, body, state0)
-    (_, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, _, pp, pr, pg, pb,
-     fbr, fbg, fbb) = final
+    final = jax.lax.while_loop(cond, epoch, (lane_state0, fb0, fb0, fb0))
+    lane_state, fbr, fbg, fbb = final
+    pp, pr, pg, pb = lane_state[17:21]
     _, _, _, _, fbr, fbg, fbb = flush(pp, pr, pg, pb, fbr, fbg, fbb)
     return jnp.stack([fbr, fbg, fbb], axis=-1)
 
@@ -289,13 +309,16 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
-                     "options", "pool_size"))
+                     "options", "pool_size", "task_samples", "flush_every"))
 def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
                      height: int, spp: int, max_depth: int,
                      camera_mode: str, options: TraceOptions,
-                     pool_size: int = 1 << 16):
+                     pool_size: int = 1 << 16,
+                     task_samples: int | None = None,
+                     flush_every: int | None = None):
     """Render the full image -> (H*W, 3) linear radiance means (1 device)."""
     fb = wavefront_fb(scene, cam, base_key, width=width, height=height,
                       spp=spp, max_depth=max_depth, camera_mode=camera_mode,
-                      options=options, pool_size=pool_size)
+                      options=options, pool_size=pool_size,
+                      task_samples=task_samples, flush_every=flush_every)
     return fb / spp

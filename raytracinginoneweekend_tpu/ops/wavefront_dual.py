@@ -152,17 +152,11 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         (it, nxt, task, sid, outs, accr, accg, accb, pp, pr, pg, pb,
          h0, h1,
          s_act, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_ar, s_ag, s_ab,
-         s_dep, s_pid, s_sid, fbr, fbg, fbb, met) = state
+         s_dep, s_pid, s_sid, met) = state
         (h0_val, h0_ox, h0_oy, h0_oz, h0_dx, h0_dy, h0_dz,
          h0_ar, h0_ag, h0_ab, h0_pid, h0_sid) = h0
         (h1_val, h1_ox, h1_oy, h1_oz, h1_dx, h1_dy, h1_dz,
          h1_ar, h1_ag, h1_ab, h1_pid, h1_sid) = h1
-
-        # ---- periodic pending flush (primary tasks only) --------------
-        pp, pr, pg, pb, fbr, fbg, fbb = jax.lax.cond(
-            it % FLUSH_EVERY == FLUSH_EVERY - 1,
-            lambda o: flush(*o), lambda o: o,
-            (pp, pr, pg, pb, fbr, fbg, fbb))
 
         # ---- secondary accept: free lanes pull their feeder's FIFO ----
         taken = jnp.zeros((r_p, LANES), bool)
@@ -345,11 +339,25 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         return (it + 1, nxt, task, sid, outs, accr, accg, accb,
                 pp, pr, pg, pb, h0, h1,
                 s_act, s_ox, s_oy, s_oz, s_dx, s_dy, s_dz, s_ar, s_ag,
-                s_ab, s_dep, s_pid, s_sid, fbr, fbg, fbb, met)
+                s_ab, s_dep, s_pid, s_sid, met)
 
     def cond(state):
-        nxt, task = state[1], state[2]
+        lane_state = state[0]
+        nxt, task = lane_state[1], lane_state[2]
         return jnp.any(task >= 0) | jnp.any(nxt < n_seq)
+
+    def epoch(state):
+        # Framebuffer planes live only here (outer body): carrying them
+        # through a per-iteration flush cond measured ~50-100us/iteration
+        # of operand copies on v5e (see ops/wavefront.py's epoch note).
+        lane_state, fbr, fbg, fbb = state
+        lane_state = jax.lax.fori_loop(
+            0, FLUSH_EVERY, lambda i, s: body(s), lane_state)
+        pp, pr, pg, pb = lane_state[8:12]
+        pp, pr, pg, pb, fbr, fbg, fbb = flush(pp, pr, pg, pb,
+                                              fbr, fbg, fbb)
+        lane_state = lane_state[:8] + (pp, pr, pg, pb) + lane_state[12:]
+        return lane_state, fbr, fbg, fbb
 
     zp = jnp.zeros((r_p, LANES), jnp.float32)
     ip = jnp.zeros((r_p, LANES), jnp.int32)
@@ -359,24 +367,23 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     bs = jnp.zeros((r_s, LANES), bool)
     fb0 = jnp.zeros((n_pixels,), jnp.float32)
     h_init = (bp, zp, zp, zp, zp + 1.0, zp, zp, zp, zp, zp, ip, ip)
-    state0 = (
+    lane_state0 = (
         jnp.int32(0), lane0, ip - 1, ip, ip,      # it, nxt, task, sid, outs
         zp, zp, zp,                               # acc rgb
         ip + FREE, zp, zp, zp,                    # pending
         h_init, h_init,                           # handoff FIFO
         bs, zs, zs, zs, zs + 1.0, zs, zs,         # s act/o/d
         zs, zs, zs, is_, is_, is_,                # s att, dep, pid, sid
-        fb0, fb0, fb0,
         tuple(jnp.float32(0.0) for _ in range(6)),  # metrics
     )
-    final = jax.lax.while_loop(cond, body, state0)
-    (pp, pr, pg, pb) = final[8:12]
-    fbr, fbg, fbb = final[27:30]
+    final = jax.lax.while_loop(cond, epoch, (lane_state0, fb0, fb0, fb0))
+    lane_state, fbr, fbg, fbb = final
+    (pp, pr, pg, pb) = lane_state[8:12]
     _, _, _, _, fbr, fbg, fbb = flush(pp, pr, pg, pb, fbr, fbg, fbb)
     fb = jnp.stack([fbr, fbg, fbb], axis=-1)
     if not with_metrics:
         return fb
-    met = final[30]
+    met = lane_state[27]
     return fb, {
         "iterations": met[0], "issue_lane_iters": met[1],
         "secondary_active_lane_iters": met[2],

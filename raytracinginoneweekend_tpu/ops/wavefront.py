@@ -59,11 +59,13 @@ from .planar import (bounce_planar as _bounce,  # noqa: E402
 # Engine
 # ---------------------------------------------------------------------------
 
-TASK_SAMPLES = 8   # samples of one pixel accumulated per task (in-register)
-FLUSH_EVERY = 16   # inner iterations per epoch (pending->fb flush cadence)
-# (8, 16) measured best on the v5e headline: longer tasks/epochs trade
-# away more occupancy than they save in scatter traffic (37.3 vs 33.6
-# Mrays/s at (32, 64) and 30.8 at (32, 128)).
+TASK_SAMPLES = 16  # samples of one pixel accumulated per task (in-register)
+FLUSH_EVERY = 32   # inner iterations per epoch (pending->fb flush cadence)
+# (16, 32) measured best on the v5e headline (40.5 Mrays/s): longer
+# tasks lose occupancy faster than they save scatters ((32,16): 27.9,
+# (32,64): 33.6), shorter tasks under long epochs hit pending contention
+# ((8,32): 36.0), and the neighbors are all slightly worse ((8,16): 37.3,
+# (16,48): 39.0, (24,48): 39.7, (16,32)@128k-pool: 38.8).
 
 
 ROWS_DEFAULT = 64  # kernel rows per block (8192-lane programs; measured

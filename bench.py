@@ -59,6 +59,11 @@ def main() -> None:
 
     import jax
 
+    from raytracinginoneweekend_tpu.utils.compilecache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
+
     from raytracinginoneweekend_tpu.config import DEFAULT, RenderConfig
     from raytracinginoneweekend_tpu.models.camera import reference_cpu_camera
     from raytracinginoneweekend_tpu.models.scene import huge_scene

@@ -276,6 +276,9 @@ def cmd_fit(args) -> int:
 
 
 def main(argv=None) -> int:
+    from .utils.compilecache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(prog="raytracinginoneweekend_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

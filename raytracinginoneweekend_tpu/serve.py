@@ -2,12 +2,11 @@
 
 The reference is a run-once binary (main.cxx:103-139); this framework is
 meant to serve. On the TPU-tunnel environment a fresh process pays a
-20-300 s remote compile PER jit configuration and the local persistent
-compilation cache does not engage for the remote backend, so every
-bench/gallery invocation re-paid the dominant cost. The server keeps ONE
+20-300 s remote compile PER jit configuration; the server keeps ONE
 long-lived process whose in-memory executable cache makes every repeat
-configuration free: second and later requests for a config skip compile
-entirely.
+configuration free. (The on-disk persistent compilation cache,
+utils/compilecache.py, covers CPU runs; the remote-TPU backend never
+writes it -- measured -- which is exactly why this server exists.)
 
 Protocol: newline-delimited JSON over a Unix domain socket.
 
@@ -103,6 +102,9 @@ def handle_request(req):
 
 def serve(socket_path: str) -> int:
     """Run the blocking server loop until a shutdown request."""
+    from .utils.compilecache import enable_persistent_cache
+
+    enable_persistent_cache()
     if os.path.exists(socket_path):
         os.unlink(socket_path)
 

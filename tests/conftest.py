@@ -19,3 +19,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: repeat test runs skip recompiles (the
+# suite is compile-dominated). RTW_JAX_CACHE_DIR=off disables.
+from raytracinginoneweekend_tpu.utils.compilecache import (  # noqa: E402
+    enable_persistent_cache)
+
+enable_persistent_cache()

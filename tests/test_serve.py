@@ -22,19 +22,24 @@ PY = VENV if os.path.exists(VENV) else sys.executable
 
 @pytest.fixture(scope="module")
 def server():
-    sock = os.path.join(tempfile.mkdtemp(), "rtw.sock")
+    tmp = tempfile.mkdtemp()
+    sock = os.path.join(tmp, "rtw.sock")
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
                PYTHONPATH=os.path.dirname(os.path.dirname(
                    os.path.abspath(__file__))))
+    # Log to a FILE, never a pipe: jax chattiness (e.g. one line per
+    # persistent-cache write) fills an undrained 64 KB pipe and blocks
+    # the server mid-request.
+    log = open(os.path.join(tmp, "server.log"), "wb")
     proc = subprocess.Popen(
         [PY, "-m", "raytracinginoneweekend_tpu", "serve", "--socket",
-         sock], env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+         sock], env=env, stdout=log, stderr=subprocess.STDOUT)
     try:
         for _ in range(300):
             if os.path.exists(sock):
                 break
             if proc.poll() is not None:
-                raise RuntimeError(proc.stdout.read().decode())
+                raise RuntimeError(open(log.name).read())
             time.sleep(0.1)
         else:
             raise RuntimeError("server socket never appeared")
@@ -48,6 +53,7 @@ def server():
             proc.wait(timeout=15)
         except subprocess.TimeoutExpired:
             proc.kill()
+        log.close()
 
 
 def test_ping(server):

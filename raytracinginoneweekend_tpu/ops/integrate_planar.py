@@ -189,16 +189,14 @@ def _ohg_bwd(res, d_out):
 _onehot_gather.defvjp(_ohg_fwd, _ohg_bwd)
 
 
-def _bounce_step_planar(scene: Scene, options: TraceOptions, rows: int,
-                        state, bounce):
+def _shade_step_planar(scene: Scene, options: TraceOptions,
+                       state, khit, bounce):
+    """Everything in a bounce downstream of the closest-hit kernel."""
     (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb, alive,
      rkeys) = state
-    s = scene.num_spheres
     r_total = ox.shape[0]
 
-    t, sb, hit_i = closest_hit_planar(
-        (ox, oy, oz, dx, dy, dz), (scene.centers, scene.radii),
-        options.t_min, rows)
+    t, sb, hit_i = khit
     hit = hit_i > 0
 
     # One-hot gather of the winning sphere's geometry + material. The
@@ -327,11 +325,22 @@ def trace_planar(scene: Scene, rays, rkeys, max_depth: int,
     one = zero + 1.0
     state = (*rays, one, one, one, zero, zero, zero,
              jnp.ones((r_total, LANES), bool), rkeys)
-    step = functools.partial(_bounce_step_planar, scene, options, rows)
 
-    @jax.checkpoint
+    # Rematerialize the shading glue for backward, but keep the Pallas
+    # closest-hit OUTSIDE the checkpoint boundary: its three (R, 128)
+    # output planes per bounce are then saved by scan's AD as inputs of
+    # the rematted shade step, so the backward pass never re-runs the
+    # kernel (a custom_vjp call is a remat-opaque primitive -- naming its
+    # outputs with checkpoint_name cannot spare the replay, because the
+    # custom VJP's residuals are the raw pre-name jaxpr vars). Profiled:
+    # the kernel re-run was ~1/3 of the post-matmul-VJP train step.
+    shade = jax.checkpoint(
+        functools.partial(_shade_step_planar, scene, options))
+
     def body(st, bounce):
-        return step(st, bounce), None
+        t, sb, hit_i = closest_hit_planar(
+            st[:6], (scene.centers, scene.radii), options.t_min, rows)
+        return shade(st, (t, sb, hit_i), bounce), None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(max_depth))
     return state[9], state[10], state[11]

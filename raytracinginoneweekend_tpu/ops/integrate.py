@@ -69,11 +69,6 @@ def background_color(direction, options: TraceOptions):
     return math3.mix(white, blue, t[..., None])
 
 
-def _sphere_sample(key, options: TraceOptions):
-    if options.scatter_sample == "unit":
-        return rng.unit_vector(key)
-    return rng.in_unit_sphere(key)
-
 
 def closest_hit_opt(origin, direction, scene: Scene, options: TraceOptions,
                     allow_pallas: bool):
@@ -133,12 +128,11 @@ def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
         fuzz = scene.fuzz[mi]
         ior = scene.ior[mi]
 
-    # Per-bounce randomness (see ops/rng.py draw-order contract).
+    # Per-bounce randomness (see ops/rng.py draw-order contract): one
+    # folded key per bounce, all four draws off its counter stream.
     kb = jax.vmap(rng.bounce_key, in_axes=(0, None))(ray_keys, bounce)
-    k_vec = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 0)
-    k_rr = jax.vmap(jax.random.fold_in, in_axes=(0, None))(kb, 1)
-    rand_vec = jax.vmap(_sphere_sample, in_axes=(0, None))(k_vec, options)
-    ru = jax.vmap(rng.rr_uniform)(k_rr)
+    rand_vec, ru = jax.vmap(
+        lambda k: rng.bounce_draws(k, options.scatter_sample))(kb)
 
     new_dir, alb, valid = scatter(direction, normal, mtype, albedo, fuzz,
                                   ior, rand_vec, ru, options)

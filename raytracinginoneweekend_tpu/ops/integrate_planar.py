@@ -227,13 +227,8 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
     # Per-bounce randomness (ops/rng.py draw-order contract); ``bounce``
     # may be a traced scalar.
     kb = planar.fold_c(rkeys, rng.TAG_BOUNCE + bounce)
-    kv = planar.fold_c(kb, 0)
-    kr = planar.fold_c(kb, 1)
-    if options.scatter_sample == "unit":
-        rvx, rvy, rvz = planar.unit_vector(kv)
-    else:
-        rvx, rvy, rvz = planar.in_unit_sphere(kv)
-    ru = planar.uniform(kr)
+    rvx, rvy, rvz, ru = planar.bounce_draws(
+        kb, options.scatter_sample == "unit")
 
     ux, uy, uz = planar.normalize3(dx, dy, dz)
 

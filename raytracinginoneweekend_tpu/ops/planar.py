@@ -50,44 +50,43 @@ def uniform(keys):
     return _vv(lambda k: jax.random.uniform(k))(keys)
 
 
+def uniform_n(keys, n: int):
+    """n uniforms per lane off each key's counter stream -> n planes."""
+    u = _vv(lambda k: jax.random.uniform(k, (n,)))(keys)
+    return tuple(u[..., i] for i in range(n))
+
+
 def uniform2(keys):
-    u = _vv(lambda k: jax.random.uniform(k, (2,)))(keys)
-    return u[..., 0], u[..., 1]
-
-
-def normal3(keys):
-    v = _vv(lambda k: jax.random.normal(k, (3,)))(keys)
-    return v[..., 0], v[..., 1], v[..., 2]
-
-
-def split2(keys):
-    ks = _vv(lambda k: jax.random.split(k))(keys)
-    return ks[..., 0], ks[..., 1]
+    return uniform_n(keys, 2)
 
 
 def unit_vector(keys):
     """Planar rng.unit_vector: same draws, components as planes."""
-    vx, vy, vz = normal3(keys)
-    n = jnp.sqrt(vx * vx + vy * vy + vz * vz)
-    good = n > 1e-12
-    inv = 1.0 / jnp.where(good, n, 1.0)
-    return (jnp.where(good, vx * inv, 1.0), jnp.where(good, vy * inv, 0.0),
-            jnp.where(good, vz * inv, 0.0))
+    u0, u1 = uniform_n(keys, 2)
+    return rng.unit_from_uv(u0, u1)
 
 
 def in_unit_sphere(keys):
-    """Planar rng.in_unit_sphere: unit vector scaled by U^(1/3)."""
-    kd, kr = split2(keys)
-    ux, uy, uz = unit_vector(kd)
-    r = uniform(kr) ** (1.0 / 3.0)
-    return ux * r, uy * r, uz * r
+    """Planar rng.in_unit_sphere: polar unit vector scaled by U^(1/3)."""
+    u0, u1, u2 = uniform_n(keys, 3)
+    x, y, z = rng.unit_from_uv(u0, u1)
+    r = u2 ** (1.0 / 3.0)
+    return x * r, y * r, z * r
 
 
 def in_unit_disk(keys):
-    kt, kr = split2(keys)
-    theta = uniform(kt) * (2.0 * jnp.pi)
-    r = jnp.sqrt(uniform(kr))
-    return jnp.cos(theta) * r, jnp.sin(theta) * r
+    u0, u1 = uniform_n(keys, 2)
+    return rng.disk_from_uv(u0, u1)
+
+
+def bounce_draws(kb, unit_sample: bool):
+    """Planar rng.bounce_draws: (vec planes, rr plane) from one key plane."""
+    u0, u1, u2, u3 = uniform_n(kb, 4)
+    x, y, z = rng.unit_from_uv(u0, u1)
+    if not unit_sample:
+        r = u2 ** (1.0 / 3.0)
+        x, y, z = x * r, y * r, z * r
+    return x, y, z, u3
 
 
 def normalize3(x, y, z):
@@ -128,15 +127,10 @@ def bounce_planar(seg, dirs, rkey, depth, *, unit_sample: bool,
     mt = seg["mt"]
     fz, io = seg["fz"], seg["io"]
 
-    # Per-bounce randomness (ops/rng.py draw-order contract).
+    # Per-bounce randomness (ops/rng.py draw-order contract): one folded
+    # key, all four draws off its counter stream.
     kb = fold(rkey, rng.TAG_BOUNCE + depth)
-    kv = fold_c(kb, 0)
-    kr = fold_c(kb, 1)
-    if unit_sample:
-        rvx, rvy, rvz = unit_vector(kv)
-    else:
-        rvx, rvy, rvz = in_unit_sphere(kv)
-    ru = uniform(kr)
+    rvx, rvy, rvz, ru = bounce_draws(kb, unit_sample)
 
     ux, uy, uz = normalize3(dx, dy, dz)
 

@@ -20,8 +20,20 @@ Draw-order contract (both the wavefront renderer and ``oracle/`` follow it):
   jitter   : uniform(fold_in(ray_key, TAG_JITTER), (2,))        # pixel jitter
   lens     : fold_in(ray_key, TAG_LENS)                          # defocus disk
   bounce b : kb = fold_in(ray_key, TAG_BOUNCE + b)
-             sphere sample  <- fold_in(kb, 0)
-             RR uniform     <- fold_in(kb, 1)
+             u  = uniform(kb, (4,))  -- ONE counter-based draw:
+             scatter sample <- u[0:3] (polar; "unit" uses u[0:2], the
+                                       ball variant scales by u[2]^(1/3))
+             RR uniform     <- u[3]
+
+COST is a first-class property of this contract (the regen/shade RNG is
+the wavefront engine's per-iteration elementwise tax; profiled ~22% of
+the v5e headline frame): every sampler draws uniforms straight off its
+key's counter stream (one threefry block per 2 draws) and maps them
+analytically -- no key splits, no per-draw fold chains, no Gaussian
+erfinv, no normalization. The polar map is distributionally identical to
+the normalized-Gaussian direction it replaced, and per-ray radiance
+stays engine-invariant because every engine and the oracle share these
+functions.
 """
 
 from __future__ import annotations
@@ -32,6 +44,8 @@ import jax.numpy as jnp
 TAG_JITTER = 0
 TAG_LENS = 1
 TAG_BOUNCE = 2  # bounce b uses tag TAG_BOUNCE + b
+
+TWO_PI = 6.283185307179586
 
 
 def ray_key(base_key, pixel_id, sample_id):
@@ -48,6 +62,27 @@ def jitter_uv(rkey):
     return jax.random.uniform(jax.random.fold_in(rkey, TAG_JITTER), (2,))
 
 
+def unit_from_uv(u0, u1):
+    """Uniform unit direction from two uniforms (polar/Archimedes map).
+
+    z uniform on [-1, 1), azimuth uniform: distributionally identical to
+    a normalized Gaussian triple, with no erfinv and no normalization.
+    Works elementwise on scalars or (R, 128) planes alike. Returns a
+    tuple (x, y, z) of components.
+    """
+    z = 2.0 * u0 - 1.0
+    rho = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = TWO_PI * u1
+    return rho * jnp.cos(phi), rho * jnp.sin(phi), z
+
+
+def disk_from_uv(u0, u1):
+    """Uniform point in the unit disk from two uniforms (componentwise)."""
+    theta = TWO_PI * u0
+    r = jnp.sqrt(u1)
+    return jnp.cos(theta) * r, jnp.sin(theta) * r
+
+
 def unit_vector(key):
     """Uniform direction on the unit sphere (analytic, no rejection loop).
 
@@ -55,11 +90,8 @@ def unit_vector(key):
     rejection-sampled point in the unit ball (cuda_impl.cu:42-56 +
     normalize at cuda_impl.cu:206).
     """
-    v = jax.random.normal(key, (3,))
-    n = jnp.sqrt(jnp.sum(v * v))
-    # Guard against the (measure-zero) all-zeros draw.
-    return jnp.where(n > 1e-12, v / jnp.where(n > 1e-12, n, 1.0),
-                     jnp.array([1.0, 0.0, 0.0]))
+    u = jax.random.uniform(key, (2,))
+    return jnp.stack(unit_from_uv(u[0], u[1]))
 
 
 def in_unit_sphere(key):
@@ -69,18 +101,30 @@ def in_unit_sphere(key):
     (raytracer.hxx:32-43) without the data-dependent loop: a uniform unit
     direction scaled by U^(1/3).
     """
-    kd, kr = jax.random.split(key)
-    d = unit_vector(kd)
-    r = jax.random.uniform(kr) ** (1.0 / 3.0)
-    return d * r
+    u = jax.random.uniform(key, (3,))
+    x, y, z = unit_from_uv(u[0], u[1])
+    r = u[2] ** (1.0 / 3.0)
+    return jnp.stack((x, y, z)) * r
 
 
 def in_unit_disk(key):
     """Uniform point in the unit disk (for true thin-lens defocus)."""
-    kt, kr = jax.random.split(key)
-    theta = jax.random.uniform(kt) * (2.0 * jnp.pi)
-    r = jnp.sqrt(jax.random.uniform(kr))
-    return jnp.array([jnp.cos(theta), jnp.sin(theta)]) * r
+    u = jax.random.uniform(key, (2,))
+    return jnp.stack(disk_from_uv(u[0], u[1]))
+
+
+def bounce_draws(kb, sample: str):
+    """All per-bounce randomness from ONE key: (scatter vec (3,), rr u).
+
+    sample: "unit" (normalized direction, CUDA semantics) or "ball"
+    (unnormalized point in the unit sphere, CPU semantics).
+    """
+    u = jax.random.uniform(kb, (4,))
+    x, y, z = unit_from_uv(u[0], u[1])
+    vec = jnp.stack((x, y, z))
+    if sample != "unit":
+        vec = vec * u[2] ** (1.0 / 3.0)
+    return vec, u[3]
 
 
 def rr_uniform(key):

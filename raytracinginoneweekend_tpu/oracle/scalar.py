@@ -102,11 +102,7 @@ def _precompute_draws(base_key, pixel_ids, spp, depth, camera_mode, options):
 
         def per_bounce(b):
             kb = rng.bounce_key(rkey, b)
-            k_vec = jax.random.fold_in(kb, 0)
-            k_rr = jax.random.fold_in(kb, 1)
-            vec = (rng.unit_vector(k_vec) if options.scatter_sample == "unit"
-                   else rng.in_unit_sphere(k_vec))
-            return vec, rng.rr_uniform(k_rr)
+            return rng.bounce_draws(kb, options.scatter_sample)
 
         vecs, rrs = jax.vmap(per_bounce)(jnp.arange(depth))
         return jit_uv, lens, vecs, rrs

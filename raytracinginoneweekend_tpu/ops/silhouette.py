@@ -42,10 +42,17 @@ Everything except ``x_e(theta)`` is detached, so d surrogate/d theta is
 exactly the estimator above; the probe traces run on a stop_gradient'ed
 scene (forward only).
 
-Scope: the boundary is sampled from the CAMERA viewpoint (primary
-visibility -- the dominant silhouette term). Secondary-bounce silhouettes
-(a sphere's edge seen in a reflection) still carry interior-only
-gradients. Defocus: "pinhole"/"cuda" are exact; "thinlens" integrates
+Scope: ``boundary_surrogate`` samples the boundary from the CAMERA
+viewpoint (primary visibility -- the dominant silhouette term).
+``secondary_boundary_surrogate`` extends it one bounce: from each
+first-hit LAMBERT vertex, the cosine-lobe continuation integral picks up
+boundary contributions where sphere silhouettes (as seen from the
+vertex) sweep the direction sphere -- the "shadow"/ambient-occlusion
+term that moves when an occluder moves, invisible to both interior AD
+and the primary term. Edges seen through specular chains (metal
+reflections, dielectric refractions) and edges at bounce >= 2 still
+carry interior-only gradients. Defocus: "pinhole"/"cuda" are exact;
+"thinlens" integrates
 the boundary term over the APERTURE as well -- each edge sample draws
 its own lens point l, samples the silhouette as seen FROM l, projects
 through l (the thin-lens map: p is seen through l at the (u, v) whose
@@ -68,22 +75,19 @@ from ..models.scene import Scene
 TAG_EDGE_PHI = 101  # fold_in tags (disjoint from ops/rng.py's 0/1/2+b)
 TAG_EDGE_PROBE = 102
 TAG_EDGE_LENS = 103
+TAG_EDGE2_VERTEX = 104  # secondary (one-bounce) boundary term
+TAG_EDGE2_SPHERE = 105
+TAG_EDGE2_PHI = 106
+TAG_EDGE2_PROBE = 107
 
 
-def silhouette_points(centers, radii, eye, phis):
-    """Exact silhouette points of each sphere from viewpoint ``eye``.
+def silhouette_frame(centers, radii, eye, phis):
+    """Silhouette points of each sphere from ``eye`` plus the cone frame.
 
-    Args:
-      centers: (S, 3) f32 (differentiable).
-      radii:   (S,) f32 (differentiable; sign ignored -- a negative-radius
-               shell, quirk Q10, has the same silhouette as its mirror).
-      eye:     (3,) shared camera viewpoint, or (S, E, 3) per-sample
-               viewpoints (lens integration).
-      phis:    (S, E) angles parameterizing each silhouette circle.
-
-    Returns (p, valid): p (S, E, 3) world-space silhouette points;
-    valid (S, E) False where the viewpoint is inside the sphere (no
-    silhouette).
+    Returns (p, valid, frame) where frame = (m_hat, e1, e2, cos_a, sin_a)
+    with m = eye - center and m_hat its unit vector, so the silhouette
+    normal is n(phi) = cos_a*m_hat + sin_a*(cos(phi)*e1 + sin(phi)*e2)
+    and p = center + |r|*n. Frame entries are (S, E, 3) / (S, E) shaped.
     """
     e_count = phis.shape[1]
     rho = jnp.abs(radii)[:, None]  # (S, 1)
@@ -110,6 +114,25 @@ def silhouette_points(centers, radii, eye, phis):
          + sin_a[..., None] * (jnp.cos(phis)[..., None] * e1
                                + jnp.sin(phis)[..., None] * e2))
     p = centers[:, None, :] + rho[..., None] * n
+    return p, valid, (m_hat, e1, e2, cos_a, sin_a)
+
+
+def silhouette_points(centers, radii, eye, phis):
+    """Exact silhouette points of each sphere from viewpoint ``eye``.
+
+    Args:
+      centers: (S, 3) f32 (differentiable).
+      radii:   (S,) f32 (differentiable; sign ignored -- a negative-radius
+               shell, quirk Q10, has the same silhouette as its mirror).
+      eye:     (3,) shared camera viewpoint, or (S, E, 3) per-sample
+               viewpoints (lens integration).
+      phis:    (S, E) angles parameterizing each silhouette circle.
+
+    Returns (p, valid): p (S, E, 3) world-space silhouette points;
+    valid (S, E) False where the viewpoint is inside the sphere (no
+    silhouette).
+    """
+    p, valid, _ = silhouette_frame(centers, radii, eye, phis)
     return p, valid
 
 
@@ -290,3 +313,171 @@ def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
     w = jnp.where(valid, w, 0.0)
     w = jax.lax.stop_gradient(w)
     return jnp.sum(w * jnp.sum(x * jax.lax.stop_gradient(n_unit), axis=-1))
+
+
+def secondary_boundary_surrogate(scene: Scene, cam: Camera,
+                                 camera_mode: str, cot, pixel_ids,
+                                 width: int, height: int, base_key,
+                                 max_depth: int, options: TraceOptions,
+                                 n_angles: int = 8, n_spheres: int = 2,
+                                 probe_delta: float = 2e-3):
+    """Surrogate scalar for the ONE-BOUNCE visibility boundary term.
+
+    The continuation integral at a lambert vertex y is
+    I(y) = integral over the hemisphere of p(w) L(y, w) dw with p the
+    scatter lobe density (cos/pi for the "unit" draw, (2/pi)cos^3 for the
+    "ball" draw -- the direction n + s with s uniform in the unit ball
+    has density (3/4pi) * int_0^{2cos} t^2 dt = (2/pi)cos^3). L(y, w)
+    flips discontinuously across sphere silhouettes AS SEEN FROM y
+    (raytracer.hxx:52-92's hit/miss flip one bounce deep), contributing
+
+        dI/dtheta |_edge = oint_{C_j(y)} p(w) (L_in - L_out)
+                                        (dw/dtheta . n_perp) dsigma(w)
+
+    over each sphere j's silhouette circle C_j(y) mapped onto the unit
+    direction sphere (dsigma arc length, n_perp the outward in-tangent-
+    plane curve normal). This is the gradient that moves a SHADOW (the
+    sky-occlusion dimming under a sphere) when its caster moves --
+    invisible to interior AD and to the primary boundary term alike.
+
+    Estimator: one jittered primary vertex per batch pixel (the pixel-
+    footprint/lens average, sampled with the renderer's own key
+    contract on a dedicated branch), ``n_spheres`` candidate spheres per
+    vertex drawn proportional to subtended solid angle (unbiased via
+    1/(K q)), ``n_angles`` stratified silhouette angles per candidate,
+    two probe continuation rays per angle straddling the edge with
+    common random numbers (depth max_depth-1, detached scene). Vertices
+    whose primary ray misses, hits a non-lambert material, or sees no
+    candidate sphere contribute zero. Specular (metal/dielectric)
+    vertices and bounce>=2 edges are out of scope (module docstring).
+
+    Args:
+      cot: (P, 3) dL/dI for exactly the ``pixel_ids`` batch (detached).
+      probe_delta: angular half-offset (radians) of the probe pair;
+        clamped per candidate to half its cone half-angle so thin/far
+        spheres keep an inside probe that actually hits.
+    Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
+    """
+    from . import math3, rng
+    from .integrate import trace
+    from .intersect import closest_hit, hit_surface
+    from ..models.scene import LAMBERT
+    from ..render import make_primary_rays
+
+    p_count = pixel_ids.shape[0]
+    k, e = n_spheres, n_angles
+    pk = p_count * k
+    scene_det = jax.lax.stop_gradient(scene)
+
+    # 1. One vertex per batch pixel: jittered primary ray -> first hit.
+    vkey = jax.random.fold_in(base_key, TAG_EDGE2_VERTEX)
+    o, d, _ = make_primary_rays(cam, pixel_ids,
+                                jnp.zeros_like(pixel_ids), vkey,
+                                width, height, camera_mode)
+    t, idx, hit = closest_hit(o, d, scene_det.centers, scene_det.radii,
+                              options.t_min, options.sphere_block)
+    y, n_y = hit_surface(o, d, t, idx, hit, scene_det.centers,
+                         scene_det.radii)
+    mi = scene_det.material_index[idx]
+    active = hit & (scene_det.mtype[mi] == LAMBERT)
+    # Camera->continuation throughput at the vertex is the lambert albedo
+    # (primary attenuation is 1), folded with the pixel cotangent.
+    thru = cot * scene_det.albedo[mi]  # (P, 3)
+
+    # 2. Candidate spheres per vertex ~ solid angle, dropping spheres the
+    # vertex sits on/inside (no silhouette) and caps entirely below the
+    # hemisphere (gamma - beta > pi/2 <=> mu < -sin beta: every edge
+    # direction then has cos <= 0 and the integrand vanishes).
+    m = scene_det.centers[None] - y[:, None]  # (P, S, 3) vertex->center
+    dist = jnp.linalg.norm(m, axis=-1)
+    rho = jnp.abs(scene_det.radii)[None]
+    sil_ok = dist > rho * (1.0 + 1e-5)
+    dist_safe = jnp.where(sil_ok, dist, 1.0)
+    sin_b = jnp.clip(rho / dist_safe, 0.0, 1.0)  # cone half-angle sine
+    cos_b = jnp.sqrt(1.0 - sin_b * sin_b)
+    mu = jnp.sum(m * n_y[:, None], axis=-1) / dist_safe
+    q = jnp.where(sil_ok & (mu > -sin_b), 1.0 - cos_b, 0.0)
+    q_sum = jnp.sum(q, axis=-1, keepdims=True)
+    has_any = q_sum[:, 0] > 0.0
+    q = q / jnp.where(q_sum > 0.0, q_sum, 1.0)
+
+    logits = jnp.where(q > 0.0, jnp.log(jnp.maximum(q, 1e-30)), -jnp.inf)
+    # All--inf rows would NaN categorical; flatten them (masked by has_any).
+    logits = jnp.where(has_any[:, None], logits, 0.0)
+    j_sel = jax.random.categorical(
+        jax.random.fold_in(base_key, TAG_EDGE2_SPHERE),
+        logits[:, None, :], axis=-1, shape=(p_count, k))
+    q_sel = jnp.take_along_axis(q, j_sel, axis=-1)  # (P, K)
+    sin_b_sel = jnp.take_along_axis(sin_b, j_sel, axis=-1)
+    j_flat = j_sel.reshape(-1)
+
+    # 3. Silhouette of each candidate from its vertex: the same analytic
+    # frame as the primary term with eye = the vertex (ATTACHED gathers
+    # of the candidate centers/radii carry the theta dependence).
+    c_sel = scene.centers[j_flat]  # (P*K, 3) attached
+    r_sel = scene.radii[j_flat]
+    y_rep = jnp.repeat(y, k, axis=0)  # (P*K, 3) detached
+    eye = jnp.broadcast_to(y_rep[:, None, :], (pk, e, 3))
+    ajit = jax.random.uniform(jax.random.fold_in(base_key, TAG_EDGE2_PHI),
+                              (pk, 1))
+    phis = (jnp.arange(e)[None, :] + ajit) * (2.0 * jnp.pi / e)
+    p_sil, val_sil, _ = silhouette_frame(c_sel, r_sel, eye, phis)
+    w_att = math3.normalize(p_sil - eye)  # (P*K, E, 3) attached
+
+    # Curve tangent dw/dphi on the direction sphere (detached chain).
+    def w_of_phi(ph):
+        pp, _, _ = silhouette_frame(jax.lax.stop_gradient(c_sel),
+                                    jax.lax.stop_gradient(r_sel), eye, ph)
+        return math3.normalize(pp - eye)
+
+    _, tau = jax.jvp(w_of_phi, (phis,), (jnp.ones_like(phis),))
+    w_dir = jax.lax.stop_gradient(w_att)
+    tau_norm = jnp.linalg.norm(tau, axis=-1)
+
+    # Outward in-tangent-plane curve normal: perpendicular to tangent and
+    # direction, oriented away from the cap axis.
+    axis = math3.normalize(jax.lax.stop_gradient(c_sel) - y_rep)
+    n_perp = jnp.cross(tau, w_dir)
+    outward = jnp.sum(n_perp * (w_dir - axis[:, None, :]), axis=-1)
+    sign = jnp.where(outward >= 0.0, 1.0, -1.0)
+    n_perp = (n_perp * sign[..., None]
+              / jnp.maximum(tau_norm, 1e-12)[..., None])
+
+    # Scatter-lobe density at the edge directions (zero below horizon).
+    n_y_rep = jnp.repeat(n_y, k, axis=0)
+    cos_i = jnp.maximum(jnp.sum(w_dir * n_y_rep[:, None, :], axis=-1), 0.0)
+    if options.scatter_sample == "unit":
+        dens = cos_i / jnp.pi
+    else:  # "ball": direction n + s, s uniform in the unit ball
+        dens = (2.0 / jnp.pi) * cos_i ** 3
+
+    # 4. Probe radiance just inside/outside the edge (common random
+    # numbers; depth max_depth-1 = the continuation budget).
+    delta = jnp.minimum(probe_delta, 0.5 * jnp.arcsin(sin_b_sel)
+                        ).reshape(pk)[:, None, None]
+    w_in = math3.normalize(w_dir - delta * n_perp)
+    w_out = math3.normalize(w_dir + delta * n_perp)
+    o_rep = jnp.broadcast_to(y_rep[:, None, :], (pk, e, 3)).reshape(-1, 3)
+    pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.fold_in(base_key, TAG_EDGE2_PROBE),
+        jnp.arange(pk * e, dtype=jnp.int32))
+    o_all = jnp.concatenate([o_rep, o_rep])
+    d_all = jnp.concatenate([w_in.reshape(-1, 3), w_out.reshape(-1, 3)])
+    k_all = jnp.concatenate([pkeys, pkeys])
+    f_all = trace(scene_det, o_all, d_all, k_all, max(max_depth - 1, 0),
+                  options)
+    f_in = f_all[:pk * e].reshape(pk, e, 3)
+    f_out = f_all[pk * e:].reshape(pk, e, 3)
+
+    # 5. Detached weight; the only attached factor is w(theta).
+    thru_rep = jnp.repeat(thru * active[:, None].astype(thru.dtype),
+                          k, axis=0)  # (P*K, 3)
+    inv_kq = jnp.where(q_sel > 0.0,
+                       1.0 / (k * jnp.where(q_sel > 0.0, q_sel, 1.0)),
+                       0.0).reshape(pk)
+    w = (jnp.sum(thru_rep[:, None, :] * (f_in - f_out), axis=-1)
+         * dens * tau_norm * (2.0 * jnp.pi / e) * inv_kq[:, None])
+    valid = val_sil & (tau_norm > 1e-12)
+    w = jax.lax.stop_gradient(jnp.where(valid, w, 0.0))
+    return jnp.sum(w * jnp.sum(w_att * jax.lax.stop_gradient(n_perp),
+                               axis=-1))

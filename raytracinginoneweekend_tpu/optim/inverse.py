@@ -50,7 +50,8 @@ def scene_with_params(scene: Scene, params: dict) -> Scene:
 def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 pixel_ids, base_key, *, width: int, height: int, spp: int,
                 max_depth: int, camera_mode: str, options, mesh=None,
-                boundary_samples: int = 0, engine: str = "planar"):
+                boundary_samples: int = 0, secondary_samples: int = 0,
+                secondary_spheres: int = 2, engine: str = "planar"):
     """Mean-squared error between rendered and target pixel radiance.
 
     target_pixels: (P, 3) linear radiance for the same pixel_ids.
@@ -60,6 +61,12 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     unchanged): interior AD alone cannot move a silhouette, so gradients
     w.r.t. centers/radii would otherwise miss the visibility term the
     BASELINE finite-difference metric measures.
+
+    secondary_samples > 0 additionally adds the ONE-BOUNCE boundary term
+    (shadow/occlusion edges as seen from first-hit lambert vertices,
+    ops/silhouette.secondary_boundary_surrogate) with that many
+    silhouette angles per candidate sphere and ``secondary_spheres``
+    solid-angle-sampled candidates per vertex.
 
     engine: "planar" (default -- (R, 128) planes + Pallas closest-hit with
     the analytic custom VJP, ops/integrate_planar.py) or "tiled" (the
@@ -91,13 +98,14 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
             out_specs=P(AXIS))(full_scene, cam, pixel_ids, base_key)
     diff = rendered - target_pixels
     loss = jnp.mean(diff * diff)
+    if boundary_samples or secondary_samples:
+        cot = 2.0 * jax.lax.stop_gradient(diff) / diff.size
     if boundary_samples:
         from ..ops.silhouette import boundary_surrogate
 
         # dL/dI for each batch pixel, scattered into a dense image so edge
         # samples can look their pixel up (pixels outside the batch
         # contribute nothing). pixel_ids are unique (choice replace=False).
-        cot = 2.0 * jax.lax.stop_gradient(diff) / diff.size
         cot_image = jnp.zeros((width * height, 3), cot.dtype
                               ).at[pixel_ids].set(cot)
         sur = boundary_surrogate(
@@ -105,12 +113,21 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
             jax.random.fold_in(base_key, 0x51170), max_depth, options,
             n_angles=boundary_samples)
         loss = loss + sur - jax.lax.stop_gradient(sur)
+    if secondary_samples:
+        from ..ops.silhouette import secondary_boundary_surrogate
+
+        sur2 = secondary_boundary_surrogate(
+            full_scene, cam, camera_mode, cot, pixel_ids, width, height,
+            jax.random.fold_in(base_key, 0x51171), max_depth, options,
+            n_angles=secondary_samples, n_spheres=secondary_spheres)
+        loss = loss + sur2 - jax.lax.stop_gradient(sur2)
     return loss
 
 
 def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
                     height: int, spp: int, max_depth: int, camera_mode: str,
                     options, mesh=None, boundary_samples: int = 0,
+                    secondary_samples: int = 0, secondary_spheres: int = 2,
                     engine: str = "planar"):
     """Build a jitted (params, opt_state, ...) -> (params, opt_state, loss).
 
@@ -125,7 +142,9 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
             params, scene, cam, target_pixels, pixel_ids, base_key,
             width=width, height=height, spp=spp, max_depth=max_depth,
             camera_mode=camera_mode, options=options, mesh=mesh,
-            boundary_samples=boundary_samples, engine=engine)
+            boundary_samples=boundary_samples,
+            secondary_samples=secondary_samples,
+            secondary_spheres=secondary_spheres, engine=engine)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -140,14 +159,17 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         optimizer: optax.GradientTransformation | None = None,
         callback=None, init_params: dict | None = None,
         init_opt_state=None, start_step: int = 0,
-        boundary_samples: int = 0, engine: str = "planar"):
+        boundary_samples: int = 0, secondary_samples: int = 0,
+        secondary_spheres: int = 2, engine: str = "planar"):
     """Optimize scene params toward a target image.
 
     target_image: (H, W, 3) linear radiance (as produced by render.render).
     Returns (optimized_scene, params, opt_state, losses).
     ``init_params``/``init_opt_state``/``start_step`` resume from a
     checkpoint (optim.checkpoint). ``boundary_samples`` > 0 enables
-    edge-sampled silhouette gradients for centers/radii (see render_loss).
+    edge-sampled silhouette gradients for centers/radii;
+    ``secondary_samples`` > 0 adds the one-bounce (shadow) boundary term
+    (see render_loss).
     """
     if base_key is None:
         base_key = jax.random.key(7)
@@ -177,7 +199,9 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         optimizer, width=cfg.width, height=cfg.height, spp=spp,
         max_depth=cfg.max_depth, camera_mode=cfg.camera_mode,
         options=cfg.options, mesh=mesh,
-        boundary_samples=boundary_samples, engine=engine)
+        boundary_samples=boundary_samples,
+        secondary_samples=secondary_samples,
+        secondary_spheres=secondary_spheres, engine=engine)
 
     losses = []
     for i in range(start_step, start_step + steps):

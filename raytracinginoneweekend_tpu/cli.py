@@ -263,7 +263,8 @@ def cmd_fit(args) -> int:
         perturbed, cam, target, cfg, which=which, steps=args.steps,
         learning_rate=args.lr, batch_pixels=args.batch_pixels,
         spp=args.fit_spp, optimizer=optimizer, callback=callback,
-        boundary_samples=args.boundary_samples, **init)
+        boundary_samples=args.boundary_samples,
+        secondary_samples=args.secondary_samples, **init)
     if ckpt_path:
         save_checkpoint(ckpt_path, params, opt_state,
                         init.get("start_step", 0) + args.steps)
@@ -314,6 +315,9 @@ def main(argv=None) -> int:
                    help="edge samples/sphere for silhouette gradients "
                         "(0 = interior AD only; needed to optimize "
                         "centers/radii through visibility changes)")
+    p.add_argument("--secondary-samples", type=int, default=0,
+                   help="silhouette angles/candidate for the one-bounce "
+                        "(shadow) boundary term (0 = off)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every", type=int, default=25)

@@ -82,9 +82,10 @@ def make_camera(position, lookat, up, aspect, vfov_degrees, aperture,
 def camera_ray(cam: Camera, u, v, key, mode: str = "thinlens"):
     """Generate one primary ray. u, v are scalars; vmap for batches.
 
-    Returns (origin (3,), direction (3,)). ``key`` is the ray's lens key
-    (ignored in "cuda" mode, which draws nothing -- matching the reference's
-    RNG consumption exactly matters for the oracle contract).
+    Returns (origin (3,), direction (3,)). ``key`` is the ray's RAY KEY;
+    lens draws use its TAG_LENS counter blocks (ops/rng.py contract v3;
+    "cuda" mode draws nothing -- matching the reference's RNG
+    consumption exactly matters for the oracle contract).
     """
     film = cam.lower_left + cam.horizontal * u + cam.vertical * (1.0 - v)
     if mode == "cuda":
@@ -93,12 +94,12 @@ def camera_ray(cam: Camera, u, v, key, mode: str = "thinlens"):
     if mode == "cpu":
         # camera.hxx:51-56: unit-SPHERE sample, world-axis offset scaled by
         # screen (u,v); direction keeps quirk Q11 (no -origin).
-        rd = rng.in_unit_sphere(key) * cam.lens_radius
+        rd = rng.lens_sphere(key) * cam.lens_radius
         offset = jnp.stack([u * rd[0], v * rd[1], jnp.float32(0.0)])
         return cam.origin + offset, film - offset
     if mode == "thinlens":
         # True thin-lens: disk sample in the lens basis; correct direction.
-        rd = rng.in_unit_disk(key) * cam.lens_radius
+        rd = rng.lens_disk(key) * cam.lens_radius
         offset = cam.basis_u * rd[0] + cam.basis_v * rd[1]
         return cam.origin + offset, film - cam.origin - offset
     if mode == "pinhole":

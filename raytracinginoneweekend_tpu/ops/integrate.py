@@ -33,9 +33,10 @@ Two drivers over the same step function:
                           wavefront dies out (big win on sky-dominated
                           scenes at depth 50).
 
-RNG: the per-bounce key is fold_in(ray_key, TAG_BOUNCE + bounce) -- a pure
-function of (pixel, sample, bounce), so results are independent of
-wavefront chunking and device sharding.
+RNG: bounce b draws the two raw counter blocks (TAG_BOUNCE + b, j) under
+the ray key (ops/rng.py contract v3) -- a pure function of (pixel,
+sample, bounce), so results are independent of wavefront chunking and
+device sharding.
 """
 
 from __future__ import annotations
@@ -128,11 +129,11 @@ def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
         fuzz = scene.fuzz[mi]
         ior = scene.ior[mi]
 
-    # Per-bounce randomness (see ops/rng.py draw-order contract): one
-    # folded key per bounce, all four draws off its counter stream.
-    kb = jax.vmap(rng.bounce_key, in_axes=(0, None))(ray_keys, bounce)
+    # Per-bounce randomness (ops/rng.py draw-order contract v3): two raw
+    # counter blocks under the ray key, tag TAG_BOUNCE + bounce.
     rand_vec, ru = jax.vmap(
-        lambda k: rng.bounce_draws(k, options.scatter_sample))(kb)
+        lambda k: rng.bounce_draws(k, bounce, options.scatter_sample)
+    )(ray_keys)
 
     new_dir, alb, valid = scatter(direction, normal, mtype, albedo, fuzz,
                                   ior, rand_vec, ru, options)

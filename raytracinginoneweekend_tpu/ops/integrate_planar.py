@@ -23,9 +23,10 @@ engine's PLANAR formulation made reverse-mode differentiable:
   * bounces run under lax.scan with per-step rematerialization
     (jax.checkpoint): backward memory O(R*128), not O(R*128*depth).
 
-RNG discipline is EXACTLY ops/rng.py's (the planar helpers are nested
-vmaps of the scalar API), so radiance agrees per-ray with the tiled
-engine, the wavefront engine and the scalar oracle.
+RNG discipline is EXACTLY ops/rng.py's contract v3 (the planar helpers
+run the same threefry blocks on raw (R, 128) key-word planes), so
+radiance agrees per-ray with the tiled engine, the wavefront engine and
+the scalar oracle.
 
 Semantics parity (reference): same bounce-loop contract as
 ops/integrate.py -- hit -> scatter -> attenuation *= albedo; metal absorb
@@ -193,7 +194,7 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
                        state, khit, bounce):
     """Everything in a bounce downstream of the closest-hit kernel."""
     (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb, alive,
-     rkeys) = state
+     rk0, rk1) = state
     r_total = ox.shape[0]
 
     t, sb, hit_i = khit
@@ -224,11 +225,10 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
     ny = (py - chy) * inv_r
     nz = (pz - chz) * inv_r
 
-    # Per-bounce randomness (ops/rng.py draw-order contract); ``bounce``
-    # may be a traced scalar.
-    kb = planar.fold_c(rkeys, rng.TAG_BOUNCE + bounce)
+    # Per-bounce randomness (ops/rng.py draw-order contract v3);
+    # ``bounce`` may be a traced scalar.
     rvx, rvy, rvz, ru = planar.bounce_draws(
-        kb, options.scatter_sample == "unit")
+        rk0, rk1, bounce, options.scatter_sample == "unit")
 
     ux, uy, uz = planar.normalize3(dx, dy, dz)
 
@@ -305,21 +305,22 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
     ay = jnp.where(scatter_now, ay * alg, ay)
     az = jnp.where(scatter_now, az * alb_, az)
     return (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb,
-            scatter_now, rkeys)
+            scatter_now, rk0, rk1)
 
 
-def trace_planar(scene: Scene, rays, rkeys, max_depth: int,
+def trace_planar(scene: Scene, rays, rkey_words, max_depth: int,
                  options: TraceOptions, rows: int = 64):
     """Differentiable fixed-depth planar trace -> (resr, resg, resb) planes.
 
-    rays: 6-tuple of (R, 128) planes; rkeys: (R, 128) per-ray keys; R must
-    be a multiple of ``rows``.
+    rays: 6-tuple of (R, 128) planes; rkey_words: (k0, k1) per-ray
+    uint32 key-word planes (ops/planar.camera_rays); R must be a
+    multiple of ``rows``.
     """
     r_total = rays[0].shape[0]
     zero = jnp.zeros((r_total, LANES), jnp.float32)
     one = zero + 1.0
     state = (*rays, one, one, one, zero, zero, zero,
-             jnp.ones((r_total, LANES), bool), rkeys)
+             jnp.ones((r_total, LANES), bool), *rkey_words)
 
     # Rematerialize the shading glue for backward, but keep the Pallas
     # closest-hit OUTSIDE the checkpoint boundary: its three (R, 128)
@@ -385,10 +386,10 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
     pid = pid_flat.reshape(r_total, LANES)
     sid = sid_flat.reshape(r_total, LANES)
 
-    ox, oy, oz, dx, dy, dz, rkeys = planar.camera_rays(
+    ox, oy, oz, dx, dy, dz, rk0, rk1 = planar.camera_rays(
         cam, pid, sid, base_key, width, height, camera_mode)
     resr, resg, resb = trace_planar(
-        scene, (ox, oy, oz, dx, dy, dz), rkeys, max_depth, options,
+        scene, (ox, oy, oz, dx, dy, dz), (rk0, rk1), max_depth, options,
         rows=rows)
 
     def reduce(plane):

@@ -7,9 +7,12 @@ plane, so every op is a full-width VPU op and nothing ever does a strided
 gather (~80 ns/element).
 
 Two layers live here:
-  * planar wrappers over the scalar jax.random contract of ops/rng.py --
-    nested vmaps keep every DRAW bit-identical to the scalar API, so all
-    engines (tiled, wavefront, planar-AD, oracle) agree per-ray;
+  * planar draws over the raw-counter contract of ops/rng.py -- the
+    threefry blocks run directly on (R, 128) uint32 KEY-WORD planes
+    (ops/threefry.py), so the engines carry (k0, k1) planes instead of
+    typed key arrays (key_data extraction is a strided relayout; raw
+    words make every draw a full-width VPU op). Draws are bit-identical
+    to the scalar ops/rng.py API, which the oracle uses;
   * planar camera-ray generation for all four camera modes (the planar
     re-expression of models/camera.camera_ray, quirks Q1/Q2/Q11 included).
 """
@@ -21,67 +24,28 @@ import jax.numpy as jnp
 
 from ..models.camera import Camera
 from . import rng
+from . import threefry as tf
 from .math3 import FLT_MIN
 
 LANES = 128
 
 
-def _vv(f):
-    return jax.vmap(jax.vmap(f))
+def ray_key_words(base_key, pid, sid):
+    """The ops/rng.py ray_key chain on planes: fold base by pid, then sid."""
+    b0, b1 = tf.key_words(base_key)
+    k0, k1 = tf.fold_in_words(jnp.broadcast_to(b0, pid.shape),
+                              jnp.broadcast_to(b1, pid.shape), pid)
+    return tf.fold_in_words(k0, k1, sid)
 
 
-def fold_base(base_key, data):
-    """fold_in(scalar_key, (R,128) data) -> (R,128) keys."""
-    return jax.vmap(jax.vmap(jax.random.fold_in, (None, 0)),
-                    (None, 0))(base_key, data)
+def bounce_draws(k0, k1, bounce, unit_sample: bool):
+    """Planar rng.bounce_draws: (vec planes, rr plane) from key-word planes.
 
-
-def fold(keys, data):
-    """fold_in((R,128) keys, (R,128) data) -> (R,128) keys."""
-    return _vv(jax.random.fold_in)(keys, data)
-
-
-def fold_c(keys, const):
-    """fold_in((R,128) keys, scalar) -- the scalar may be traced."""
-    return _vv(lambda k: jax.random.fold_in(k, const))(keys)
-
-
-def uniform(keys):
-    return _vv(lambda k: jax.random.uniform(k))(keys)
-
-
-def uniform_n(keys, n: int):
-    """n uniforms per lane off each key's counter stream -> n planes."""
-    u = _vv(lambda k: jax.random.uniform(k, (n,)))(keys)
-    return tuple(u[..., i] for i in range(n))
-
-
-def uniform2(keys):
-    return uniform_n(keys, 2)
-
-
-def unit_vector(keys):
-    """Planar rng.unit_vector: same draws, components as planes."""
-    u0, u1 = uniform_n(keys, 2)
-    return rng.unit_from_uv(u0, u1)
-
-
-def in_unit_sphere(keys):
-    """Planar rng.in_unit_sphere: polar unit vector scaled by U^(1/3)."""
-    u0, u1, u2 = uniform_n(keys, 3)
-    x, y, z = rng.unit_from_uv(u0, u1)
-    r = u2 ** (1.0 / 3.0)
-    return x * r, y * r, z * r
-
-
-def in_unit_disk(keys):
-    u0, u1 = uniform_n(keys, 2)
-    return rng.disk_from_uv(u0, u1)
-
-
-def bounce_draws(kb, unit_sample: bool):
-    """Planar rng.bounce_draws: (vec planes, rr plane) from one key plane."""
-    u0, u1, u2, u3 = uniform_n(kb, 4)
+    ``bounce`` may be an i32 plane (the wavefront engines' per-lane depth).
+    """
+    tag = jnp.uint32(rng.TAG_BOUNCE) + jnp.asarray(bounce, jnp.uint32)
+    u0, u1 = tf.draw_uniform2(k0, k1, tag, 0)
+    u2, u3 = tf.draw_uniform2(k0, k1, tag, 1)
     x, y, z = rng.unit_from_uv(u0, u1)
     if not unit_sample:
         r = u2 ** (1.0 / 3.0)
@@ -102,7 +66,7 @@ SKY_WHITE = (1.0, 1.0, 1.0)
 SKY_BLUE = (0.5, 0.7, 1.0)  # main.cxx:49; cuda_impl.cu:125
 
 
-def bounce_planar(seg, dirs, rkey, depth, *, unit_sample: bool,
+def bounce_planar(seg, dirs, k0, k1, depth, *, unit_sample: bool,
                   phys_refract: bool, sky_bias: float):
     """One bounce of material scatter + sky, on planar ray state.
 
@@ -113,24 +77,22 @@ def bounce_planar(seg, dirs, rkey, depth, *, unit_sample: bool,
     (absorb -> valid False), dielectric :232-262 (Schlick + TIR), sky
     mix main.cxx:47-50 / cuda_impl.cu:123-126 (unclamped).
 
-    seg: trace_segment output dict; dirs: (dx, dy, dz) planes; rkey:
-    per-ray key plane; depth: i32 plane. Statics come from TraceOptions.
-    Returns (ndx, ndy, ndz, valid, sky_r, sky_g, sky_b): the scattered
-    direction, whether the scatter survives (metal absorb kills), and
-    the UNATTENUATED sky radiance for miss lanes.
+    seg: trace_segment output dict; dirs: (dx, dy, dz) planes; k0, k1:
+    per-ray key-word planes; depth: i32 plane. Statics come from
+    TraceOptions. Returns (ndx, ndy, ndz, valid, sky_r, sky_g, sky_b):
+    the scattered direction, whether the scatter survives (metal absorb
+    kills), and the UNATTENUATED sky radiance for miss lanes.
     """
     from ..models.scene import DIELECTRIC, METAL
-    from . import rng
 
     dx, dy, dz = dirs
     nx, ny, nz = seg["nx"], seg["ny"], seg["nz"]
     mt = seg["mt"]
     fz, io = seg["fz"], seg["io"]
 
-    # Per-bounce randomness (ops/rng.py draw-order contract): one folded
-    # key, all four draws off its counter stream.
-    kb = fold(rkey, rng.TAG_BOUNCE + depth)
-    rvx, rvy, rvz, ru = bounce_draws(kb, unit_sample)
+    # Per-bounce randomness (ops/rng.py draw-order contract v3): two raw
+    # counter blocks under the ray key, tag TAG_BOUNCE + depth.
+    rvx, rvy, rvz, ru = bounce_draws(k0, k1, depth, unit_sample)
 
     ux, uy, uz = normalize3(dx, dy, dz)
 
@@ -193,9 +155,9 @@ def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
                 camera_mode: str):
     """Planar camera-ray generation for (pixel, sample) planes.
 
-    pid, sid: (R, 128) i32 planes. Returns (ox, oy, oz, dx, dy, dz, rkey)
-    with rkey the per-ray key plane (the ops/rng.py ray_key contract --
-    draws are bit-identical to the scalar path).
+    pid, sid: (R, 128) i32 planes. Returns (ox, oy, oz, dx, dy, dz, k0,
+    k1) with k0/k1 the per-ray KEY-WORD planes (the ops/rng.py ray_key
+    contract -- draws are bit-identical to the scalar path).
 
     Modes mirror models/camera.camera_ray exactly: "cuda" (no defocus +
     quirk Q11 direction), "pinhole", "cpu" (quirks Q2+Q11), "thinlens".
@@ -205,8 +167,8 @@ def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
     bu, bv = cam.basis_u, cam.basis_v
     lens_r = cam.lens_radius
 
-    rkey = fold(fold_base(base_key, pid), sid)
-    jux, juy = uniform2(fold_c(rkey, rng.TAG_JITTER))
+    k0, k1 = ray_key_words(base_key, pid, sid)
+    jux, juy = tf.draw_uniform2(k0, k1, rng.TAG_JITTER, 0)
     y = pid // width
     x = pid - y * width
     u = (x.astype(jnp.float32) + jux) / width
@@ -227,14 +189,19 @@ def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
     elif camera_mode == "cpu":
         # camera.hxx:51-56 (quirks Q2 + Q11): unit-SPHERE lens sample,
         # world-axis offset scaled by screen (u, v).
-        rdx, rdy, _rdz = in_unit_sphere(fold_c(rkey, rng.TAG_LENS))
+        lu0, lu1 = tf.draw_uniform2(k0, k1, rng.TAG_LENS, 0)
+        lu2, _ = tf.draw_uniform2(k0, k1, rng.TAG_LENS, 1)
+        sx, sy, _sz = rng.unit_from_uv(lu0, lu1)
+        sr = lu2 ** (1.0 / 3.0)
+        rdx, rdy = sx * sr, sy * sr
         offx = u * rdx * lens_r
         offy = v * rdy * lens_r
         ox, oy = origin[0] + offx, origin[1] + offy
         oz = jnp.broadcast_to(origin[2], u.shape)
         dx, dy, dz = fx - offx, fy - offy, fz_
     elif camera_mode == "thinlens":
-        r0, r1 = in_unit_disk(fold_c(rkey, rng.TAG_LENS))
+        lu0, lu1 = tf.draw_uniform2(k0, k1, rng.TAG_LENS, 0)
+        r0, r1 = rng.disk_from_uv(lu0, lu1)
         r0, r1 = r0 * lens_r, r1 * lens_r
         offx = bu[0] * r0 + bv[0] * r1
         offy = bu[1] * r0 + bv[1] * r1
@@ -247,4 +214,4 @@ def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
         dz = fz_ - origin[2] - offz
     else:
         raise ValueError(f"unknown camera mode: {camera_mode!r}")
-    return ox, oy, oz, dx, dy, dz, rkey
+    return ox, oy, oz, dx, dy, dz, k0, k1

@@ -5,8 +5,8 @@ The reference uses a shared (racy) ``std::mt19937`` on CPU (main.cxx:33-36,
 SURVEY R1) and a per-pixel xorshift32 on CUDA (cuda_impl.cu:13-56, with the
 pixel-0-seed-0 degeneracy, SURVEY Q5). Neither maps to TPU: data-dependent
 rejection loops and mutable generator state break ``jit``. The TPU-native
-replacement is JAX's counter-based threefry: every random draw is a pure
-function of ``(base_key, pixel_id, sample_id, bounce, tag)``.
+replacement is counter-based threefry (ops/threefry.py): every random draw
+is a pure function of ``(base_key, pixel_id, sample_id, tag, word)``.
 
 This gives us, for free, the properties the reference lacks:
   - determinism and reproducibility at fixed key,
@@ -15,31 +15,33 @@ This gives us, for free, the properties the reference lacks:
     identical (the honest basis for scaling numbers, SURVEY section 7),
   - no cross-thread races (R1 cannot exist).
 
-Draw-order contract (both the wavefront renderer and ``oracle/`` follow it):
+Draw-order contract v3 (the wavefront renderer, the planar engines, the
+in-kernel RNG and ``oracle/`` all follow it):
   ray_key  = fold_in(fold_in(base, pixel_id), sample_id)
-  jitter   : uniform(fold_in(ray_key, TAG_JITTER), (2,))        # pixel jitter
-  lens     : fold_in(ray_key, TAG_LENS)                          # defocus disk
-  bounce b : kb = fold_in(ray_key, TAG_BOUNCE + b)
-             u  = uniform(kb, (4,))  -- ONE counter-based draw:
-             scatter sample <- u[0:3] (polar; "unit" uses u[0:2], the
-                                       ball variant scales by u[2]^(1/3))
-             RR uniform     <- u[3]
+  draw site (tag, j): BOTH uint32 words of threefry2x32(ray_key, (tag, j))
+    jitter   : tag TAG_JITTER, j=0            -> (u, v) pixel jitter
+    lens     : tag TAG_LENS,   j=0 (+ j=1 for the cpu-mode 3rd uniform)
+    bounce b : tag TAG_BOUNCE+b, j=0 -> scatter u0,u1; j=1 -> u2, rr
 
-COST is a first-class property of this contract (the regen/shade RNG is
-the wavefront engine's per-iteration elementwise tax; profiled ~22% of
-the v5e headline frame): every sampler draws uniforms straight off its
-key's counter stream (one threefry block per 2 draws) and maps them
-analytically -- no key splits, no per-draw fold chains, no Gaussian
-erfinv, no normalization. The polar map is distributionally identical to
-the normalized-Gaussian direction it replaced, and per-ray radiance
-stays engine-invariant because every engine and the oracle share these
-functions.
+COST is a first-class property of this contract (regen/shade RNG is the
+wavefront engine's per-iteration elementwise tax; profiled ~7% of the
+v5e headline frame under the previous fold-per-site contract): raw
+counter mode uses both output words of every hash, so a bounce costs 2
+threefry blocks (fold-then-uniform cost 5: one fold + one XORed hash
+per word, jax.random's partitionable counter). The samplers map
+uniforms analytically (polar maps below) -- no key splits, no Gaussian
+erfinv, no normalization. Per-ray radiance stays engine-invariant
+because every engine and the oracle share these functions, and the
+draws remain pure functions of (pixel, sample, tag, word) -- shard
+invariance is untouched.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from . import threefry as tf
 
 TAG_JITTER = 0
 TAG_LENS = 1
@@ -53,13 +55,51 @@ def ray_key(base_key, pixel_id, sample_id):
     return jax.random.fold_in(jax.random.fold_in(base_key, pixel_id), sample_id)
 
 
-def bounce_key(rkey, bounce):
-    return jax.random.fold_in(rkey, TAG_BOUNCE + bounce)
-
-
 def jitter_uv(rkey):
     """Sub-pixel jitter in [0,1)^2 (main.cxx:199-200; cuda_impl.cu:370-371)."""
-    return jax.random.uniform(jax.random.fold_in(rkey, TAG_JITTER), (2,))
+    k0, k1 = tf.key_words(rkey)
+    return jnp.stack(tf.draw_uniform2(k0, k1, TAG_JITTER, 0))
+
+
+def lens_disk(rkey):
+    """Thin-lens defocus sample: uniform point in the unit disk."""
+    k0, k1 = tf.key_words(rkey)
+    u0, u1 = tf.draw_uniform2(k0, k1, TAG_LENS, 0)
+    return jnp.stack(disk_from_uv(u0, u1))
+
+
+def lens_sphere(rkey):
+    """CPU-mode (quirk Q2) defocus sample: uniform point in the unit ball.
+
+    Same distribution as the reference's rejection sampler
+    (raytracer.hxx:32-43) without the data-dependent loop: a uniform
+    unit direction scaled by U^(1/3).
+    """
+    k0, k1 = tf.key_words(rkey)
+    u0, u1 = tf.draw_uniform2(k0, k1, TAG_LENS, 0)
+    u2, _ = tf.draw_uniform2(k0, k1, TAG_LENS, 1)
+    x, y, z = unit_from_uv(u0, u1)
+    r = u2 ** (1.0 / 3.0)
+    return jnp.stack((x, y, z)) * r
+
+
+def bounce_draws(rkey, bounce, sample: str):
+    """All per-bounce randomness: (scatter vec (3,), rr uniform).
+
+    sample: "unit" (normalized direction, CUDA semantics,
+    cuda_impl.cu:42-56 + :206) or "ball" (unnormalized point in the unit
+    sphere, CPU semantics, raytracer.hxx:32-43). Both cost exactly two
+    threefry blocks; the ball variant spends u2 on the radius.
+    """
+    k0, k1 = tf.key_words(rkey)
+    tag = jnp.uint32(TAG_BOUNCE) + jnp.asarray(bounce, jnp.uint32)
+    u0, u1 = tf.draw_uniform2(k0, k1, tag, 0)
+    u2, u3 = tf.draw_uniform2(k0, k1, tag, 1)
+    x, y, z = unit_from_uv(u0, u1)
+    vec = jnp.stack((x, y, z))
+    if sample != "unit":
+        vec = vec * u2 ** (1.0 / 3.0)
+    return vec, u3
 
 
 def unit_from_uv(u0, u1):
@@ -81,52 +121,3 @@ def disk_from_uv(u0, u1):
     theta = TWO_PI * u0
     r = jnp.sqrt(u1)
     return jnp.cos(theta) * r, jnp.sin(theta) * r
-
-
-def unit_vector(key):
-    """Uniform direction on the unit sphere (analytic, no rejection loop).
-
-    Distributionally identical to the reference's normalized
-    rejection-sampled point in the unit ball (cuda_impl.cu:42-56 +
-    normalize at cuda_impl.cu:206).
-    """
-    u = jax.random.uniform(key, (2,))
-    return jnp.stack(unit_from_uv(u[0], u[1]))
-
-
-def in_unit_sphere(key):
-    """Uniform point in the unit ball (analytic).
-
-    Same distribution as the reference's rejection sampler
-    (raytracer.hxx:32-43) without the data-dependent loop: a uniform unit
-    direction scaled by U^(1/3).
-    """
-    u = jax.random.uniform(key, (3,))
-    x, y, z = unit_from_uv(u[0], u[1])
-    r = u[2] ** (1.0 / 3.0)
-    return jnp.stack((x, y, z)) * r
-
-
-def in_unit_disk(key):
-    """Uniform point in the unit disk (for true thin-lens defocus)."""
-    u = jax.random.uniform(key, (2,))
-    return jnp.stack(disk_from_uv(u[0], u[1]))
-
-
-def bounce_draws(kb, sample: str):
-    """All per-bounce randomness from ONE key: (scatter vec (3,), rr u).
-
-    sample: "unit" (normalized direction, CUDA semantics) or "ball"
-    (unnormalized point in the unit sphere, CPU semantics).
-    """
-    u = jax.random.uniform(kb, (4,))
-    x, y, z = unit_from_uv(u[0], u[1])
-    vec = jnp.stack((x, y, z))
-    if sample != "unit":
-        vec = vec * u[2] ** (1.0 / 3.0)
-    return vec, u[3]
-
-
-def rr_uniform(key):
-    """Russian-roulette uniform in [0,1) (raytracer.hxx:182-185)."""
-    return jax.random.uniform(key)

@@ -25,9 +25,10 @@ TPU-native design decisions (all measured on v5e, see git history):
   * Framebuffer deposit: three (n_pixels,) scatter-adds with
     mode="drop" (dead lanes target index -1); measured 0.3ms.
 
-RNG discipline is EXACTLY ops/rng.py's (pixel, sample, bounce, tag) keys
--- threefry folded per lane via nested vmap -- so this engine produces the
-same per-ray radiance as render_pixels and the scalar oracle; only the
+RNG discipline is EXACTLY ops/rng.py's (pixel, sample, tag, word)
+contract -- raw threefry blocks on (R, 128) key-word planes
+(ops/threefry.py) -- so this engine produces the same per-ray radiance
+as render_pixels and the scalar oracle; only the
 framebuffer accumulation order differs (float reassociation), so images
 match to ~1e-5 rather than bitwise.
 
@@ -206,7 +207,10 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
 
         # 4. Camera ray for issued (pixel, sample) pairs -- RNG contract
         #    identical to ops/rng.py / the tiled renderer (ops/planar.py).
-        nox, noy, noz, ndx, ndy, ndz, rkey = _planar_camera_rays(
+        #    The key-word planes are recomputed from (pid, sid) rather
+        #    than carried: unissued lanes keep their pid/sid, so their
+        #    key is bit-identical either way.
+        nox, noy, noz, ndx, ndy, ndz, rk0, rk1 = _planar_camera_rays(
             cam, pid, sid, base_key, width, height, camera_mode)
 
         one = jnp.float32(1.0)
@@ -223,11 +227,11 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         active = active | issue
         return (nxt, task, sid, active, ox, oy, oz, dx, dy, dz,
                 ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
-                rkey)
+                rk0, rk1)
 
     def segment(state):
         (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-         depth, accr, accg, accb, pp, pr, pg, pb, rkey) = state
+         depth, accr, accg, accb, pp, pr, pg, pb, rk0, rk1) = state
 
         seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
                             options.t_min, rows=rows, active=active,
@@ -236,7 +240,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         alr, alg, alb_ = seg["ar"], seg["ag"], seg["ab"]
 
         ndx, ndy, ndz, valid, sky_r, sky_g, sky_b = _bounce(
-            seg, (dx, dy, dz), rkey, depth, unit_sample=unit_sample,
+            seg, (dx, dy, dz), rk0, rk1, depth, unit_sample=unit_sample,
             phys_refract=phys_refract, sky_bias=sky_bias)
 
         miss_now = active & ~hit

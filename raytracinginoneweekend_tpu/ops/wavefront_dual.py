@@ -228,7 +228,7 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         issue = has_task & ~dead_task & (sid < run_end) & fifo_room
         blocked_now = has_task & ~dead_task & ~issue
 
-        ox, oy, oz, dx, dy, dz, rkey = camera_rays(
+        ox, oy, oz, dx, dy, dz, rk0, rk1 = camera_rays(
             cam, pid, sid, base_key, width, height, camera_mode)
 
         # ---- primary trace: cone cull + list kernel ------------------
@@ -242,7 +242,7 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                                  active=issue)
         hit = seg["hit"] > 0
         ndx, ndy, ndz, valid, sky_r, sky_g, sky_b = shade(
-            seg, (dx, dy, dz), rkey, jnp.zeros_like(sid))
+            seg, (dx, dy, dz), rk0, rk1, jnp.zeros_like(sid))
 
         miss_now = issue & ~hit
         accr = jnp.where(miss_now, accr + sky_r, accr)
@@ -277,9 +277,9 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         sseg = trace_segment(s_rays, sphere_params, options.t_min,
                              rows=ROWS, active=s_act)
         s_hit = sseg["hit"] > 0
-        s_rkey = _ray_keys(base_key, s_pid, s_sid)
+        s_rk0, s_rk1 = _ray_keys(base_key, s_pid, s_sid)
         sdx2, sdy2, sdz2, s_valid, sk_r, sk_g, sk_b = shade(
-            sseg, (s_dx, s_dy, s_dz), s_rkey, s_dep)
+            sseg, (s_dx, s_dy, s_dz), s_rk0, s_rk1, s_dep)
 
         s_miss = s_act & ~s_hit
         s_scatter = s_act & s_hit & s_valid
@@ -394,10 +394,10 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
 
 
 def _ray_keys(base_key, pid, sid):
-    """Per-(pixel, sample) key plane: the ops/rng.py ray_key contract."""
-    from .planar import fold, fold_base
+    """Per-(pixel, sample) key-word planes: the ops/rng.py ray_key chain."""
+    from .planar import ray_key_words
 
-    return fold(fold_base(base_key, pid), sid)
+    return ray_key_words(base_key, pid, sid)
 
 
 @functools.partial(

@@ -92,17 +92,15 @@ def _precompute_draws(base_key, pixel_ids, spp, depth, camera_mode, options):
     def per_ray(pid, sid):
         rkey = rng.ray_key(base_key, pid, sid)
         jit_uv = rng.jitter_uv(rkey)
-        k_lens = jax.random.fold_in(rkey, rng.TAG_LENS)
         if camera_mode == "thinlens":
-            lens = rng.in_unit_disk(k_lens)
+            lens = rng.lens_disk(rkey)
         elif camera_mode == "cpu":
-            lens = rng.in_unit_sphere(k_lens)
+            lens = rng.lens_sphere(rkey)
         else:
             lens = jnp.zeros((3,))
 
         def per_bounce(b):
-            kb = rng.bounce_key(rkey, b)
-            return rng.bounce_draws(kb, options.scatter_sample)
+            return rng.bounce_draws(rkey, b, options.scatter_sample)
 
         vecs, rrs = jax.vmap(per_bounce)(jnp.arange(depth))
         return jit_uv, lens, vecs, rrs

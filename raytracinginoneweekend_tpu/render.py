@@ -53,8 +53,7 @@ def make_primary_rays(cam: Camera, pixel_ids, sample_ids, base_key,
         x = pid - y * width
         u = (x.astype(jnp.float32) + jit_uv[0]) / width
         v = (y.astype(jnp.float32) + jit_uv[1]) / height
-        k_lens = jax.random.fold_in(rkey, rng.TAG_LENS)
-        o, d = camera_ray(cam, u, v, k_lens, camera_mode)
+        o, d = camera_ray(cam, u, v, rkey, camera_mode)
         return o, d, rkey
 
     return jax.vmap(one)(pixel_ids, sample_ids)

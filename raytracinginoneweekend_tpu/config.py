@@ -45,6 +45,11 @@ class TraceOptions:
     # transpose is another matmul), "take" = plain index gathers
     # (measured ~80ns/element on v5e -- serialized).
     gather: str = "onehot"
+    # Wavefront engine bounce body: True fuses intersect + param resolve
+    # + RNG + shade + state update into ONE Pallas program
+    # (ops/pallas_mega.py); False keeps the closest-hit-only kernel with
+    # XLA fusions around it (ops/pallas_segment.trace_segment).
+    mega: bool = True
 
     def __post_init__(self):
         assert self.scatter_sample in ("unit", "ball")

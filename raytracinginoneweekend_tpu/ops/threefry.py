@@ -29,8 +29,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_PARITY = jnp.uint32(0x1BD11BDA)
+# np scalar, not jnp: a module-level jnp array would be a captured
+# constant inside Pallas kernels (pallas_call rejects those).
+_PARITY = np.uint32(0x1BD11BDA)
 _ROT_A = (13, 15, 26, 6)
 _ROT_B = (17, 29, 16, 24)
 

@@ -233,6 +233,21 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
          depth, accr, accg, accb, pp, pr, pg, pb, rk0, rk1) = state
 
+        if options.mega:
+            # Whole bounce (intersect + resolve + RNG + shade + state
+            # update) as ONE Pallas program -- ops/pallas_mega.py.
+            from .pallas_mega import mega_bounce
+
+            (ox, oy, oz, dx, dy, dz, ax, ay, az, accr, accg, accb,
+             keep, depth) = mega_bounce(
+                (active, ox, oy, oz, dx, dy, dz, ax, ay, az,
+                 accr, accg, accb, depth, rk0, rk1), sphere_params,
+                t_min=options.t_min, rows=rows, max_depth=max_depth,
+                unit_sample=unit_sample, phys_refract=phys_refract,
+                sky_bias=sky_bias)
+            return (nxt, task, sid, keep, ox, oy, oz, dx, dy, dz,
+                    ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb)
+
         seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
                             options.t_min, rows=rows, active=active,
                             group_params=group_params)

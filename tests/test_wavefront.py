@@ -87,6 +87,28 @@ def test_wavefront_edge_shapes():
         assert np.isfinite(out).all()
 
 
+def test_wavefront_mega_matches_unfused():
+    """options.mega (whole-bounce Pallas program, ops/pallas_mega.py) vs
+    the closest-hit-kernel + XLA-fusions path: same draws, same math =>
+    same radiance. Tight tolerance (not bitwise: compilers may contract
+    FMAs differently between the two lowerings)."""
+    import dataclasses
+
+    key = jax.random.key(7)
+    for scene, cam, w, h in (
+            (simple_scene_cuda(), reference_cuda_camera(20, 12), 20, 12),
+            (huge_scene(0), reference_cpu_camera(16, 10), 16, 10)):
+        kwargs = dict(width=w, height=h, spp=2, max_depth=6,
+                      camera_mode="thinlens", pool_size=1 << 12)
+        a = np.asarray(render_wavefront(
+            scene, cam, key, options=DEFAULT, **kwargs))
+        b = np.asarray(render_wavefront(
+            scene, cam, key,
+            options=dataclasses.replace(DEFAULT, mega=not DEFAULT.mega),
+            **kwargs))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_wavefront_ray_id_overflow_guard():
     import pytest
 

@@ -45,11 +45,16 @@ class TraceOptions:
     # transpose is another matmul), "take" = plain index gathers
     # (measured ~80ns/element on v5e -- serialized).
     gather: str = "onehot"
-    # Wavefront engine bounce body: True fuses intersect + param resolve
-    # + RNG + shade + state update into ONE Pallas program
-    # (ops/pallas_mega.py); False keeps the closest-hit-only kernel with
-    # XLA fusions around it (ops/pallas_segment.trace_segment).
-    mega: bool = True
+    # Wavefront engine fusion level (all three measured on v5e, see
+    # ARCHITECTURE.md):
+    #   "fused"  = closest-hit kernel + XLA MXU one-hot resolve + ONE
+    #              shade/state/regen Pallas program (ops/pallas_fused.py,
+    #              rotated loop body);
+    #   "bounce" = whole bounce incl. in-kernel param resolve in one
+    #              Pallas program (ops/pallas_mega.py; measured -6%: the
+    #              per-row resolve matmuls serialize against the VPU);
+    #   "off"    = closest-hit kernel with XLA fusions around it.
+    mega: str = "fused"
 
     def __post_init__(self):
         assert self.scatter_sample in ("unit", "ball")
@@ -57,6 +62,7 @@ class TraceOptions:
         assert self.refract in ("physical", "reference")
         assert self.intersect in ("jnp", "pallas")
         assert self.gather in ("onehot", "take")
+        assert self.mega in ("off", "bounce", "fused")
 
 
 # The semantics of the reference's ACTIVE renderer (the CUDA path).

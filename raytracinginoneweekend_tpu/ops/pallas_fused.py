@@ -1,0 +1,331 @@
+"""Fused shade+regen Pallas kernel: the wavefront engine's whole
+elementwise tier in ONE program per iteration.
+
+The measured composition of the headline frame (see ARCHITECTURE.md) is
+~50% closest-hit kernel, ~22% flush scatters, ~28% XLA elementwise
+(material shade + RNG draws ~300 ms/frame, lane regeneration + camera
+rays ~250 ms/frame, winner-param resolve ~180 ms). The whole-bounce
+megakernel (ops/pallas_mega.py) tried to absorb the resolve INTO the
+kernel and lost: 64 small per-row (16,S)@(S,128) matmuls serialize
+against the VPU (+590 ms kernel vs -520 ms XLA). This module keeps the
+XLA-side MXU one-hot resolve (pallas_segment.resolve_params -- one big
+efficient matmul) and fuses everything AROUND it instead:
+
+  iteration = closest-hit kernel -> XLA one-hot resolve
+              -> [THIS KERNEL: surface math + RNG draws + material
+                  scatter + state update + task regeneration + camera
+                  rays for re-issued lanes]
+
+To make shade and regen ADJACENT (one fusable program), the loop body is
+ROTATED vs ops/wavefront.py's regen-then-trace order: the kernel shades
+the segment that was just traced, then immediately regenerates dead
+lanes for the NEXT iteration; a one-time prologue regen issues the
+initial rays. Per-ray semantics are identical (the RNG contract keys
+every draw by (pixel, sample, bounce), not by engine iteration), so the
+engines agree to float-accumulation order.
+
+Lane state gains two planes vs the XLA engine: the per-ray threefry key
+words (k0, k1), carried instead of recomputed each iteration (they only
+change when a lane re-issues, and the XLA path's recompute-from-(pid,
+sid) is bit-identical -- tests/test_wavefront.py).
+
+Camera-ray math mirrors ops/planar.camera_rays (all four modes, quirks
+Q1/Q2/Q11); camera constants arrive as one (19,) SMEM vector. Reference
+semantics: camera.hxx:24-57, cuda_impl.cu:101-121 (modes), materials as
+ops/pallas_mega.kernel_shade.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import threefry as tf
+from .pallas_mega import kernel_bounce_draws, kernel_shade
+
+LANES = 128
+TAG_JITTER = 0  # ops/rng.py
+TAG_LENS = 1
+TWO_PI = 6.283185307179586
+
+
+def pack_camera(cam):
+    """Camera -> (19,) f32 scalar vector for SMEM prefetch."""
+    return jnp.concatenate([
+        cam.origin, cam.lower_left, cam.horizontal, cam.vertical,
+        cam.basis_u, cam.basis_v,
+        jnp.reshape(cam.lens_radius, (1,))]).astype(jnp.float32)
+
+
+def _kernel_shade_regen(
+        cam_ref, bk_ref,  # SMEM: (19,) f32 camera, (2,) u32 base key
+        hit_ref, t_ref,
+        chx_ref, chy_ref, chz_ref, rh_ref, mt_ref,
+        alr_ref, alg_ref, alb_ref, fz_ref, io_ref,
+        nxt_ref, task_ref, sid_ref, act_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+        ax_ref, ay_ref, az_ref, dep_ref,
+        acr_ref, acg_ref, acb_ref,
+        pp_ref, pr_ref, pg_ref, pb_ref, k0_ref, k1_ref,
+        # outputs (23 planes, same order as the state tuple)
+        onxt_ref, otask_ref, osid_ref, oact_ref,
+        oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
+        oax_ref, oay_ref, oaz_ref, odep_ref,
+        oacr_ref, oacg_ref, oacb_ref,
+        opp_ref, opr_ref, opg_ref, opb_ref, ok0_ref, ok1_ref,
+        *, rows: int, max_depth: int, unit_sample: bool,
+        phys_refract: bool, sky_bias: float, width: int, height: int,
+        spp: int, task_samples: int, tpp: int, n_tasks: int,
+        n_pixels: int, stride: int, camera_mode: str):
+    live = (jnp.any(act_ref[:] > 0) | jnp.any(task_ref[:] >= 0)
+            | jnp.any(nxt_ref[:] < n_tasks))
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        # Fully-drained block (no active rays, no tasks, ownership
+        # exhausted): pure passthrough while sibling blocks finish.
+        onxt_ref[:] = nxt_ref[:]
+        otask_ref[:] = task_ref[:]
+        osid_ref[:] = sid_ref[:]
+        oact_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+        oox_ref[:] = ox_ref[:]
+        ooy_ref[:] = oy_ref[:]
+        ooz_ref[:] = oz_ref[:]
+        odx_ref[:] = dx_ref[:]
+        ody_ref[:] = dy_ref[:]
+        odz_ref[:] = dz_ref[:]
+        oax_ref[:] = ax_ref[:]
+        oay_ref[:] = ay_ref[:]
+        oaz_ref[:] = az_ref[:]
+        odep_ref[:] = dep_ref[:]
+        oacr_ref[:] = acr_ref[:]
+        oacg_ref[:] = acg_ref[:]
+        oacb_ref[:] = acb_ref[:]
+        opp_ref[:] = pp_ref[:]
+        opr_ref[:] = pr_ref[:]
+        opg_ref[:] = pg_ref[:]
+        opb_ref[:] = pb_ref[:]
+        ok0_ref[:] = k0_ref[:]
+        ok1_ref[:] = k1_ref[:]
+
+    @pl.when(live)
+    def _():
+        active = act_ref[:] > 0
+        task = task_ref[:]
+        sid = sid_ref[:]
+        nxt = nxt_ref[:]
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        ax, ay, az = ax_ref[:], ay_ref[:], az_ref[:]
+        dep = dep_ref[:]
+        acr, acg, acb = acr_ref[:], acg_ref[:], acb_ref[:]
+        pp = pp_ref[:]
+        pr, pg, pb = pr_ref[:], pg_ref[:], pb_ref[:]
+        k0, k1 = k0_ref[:], k1_ref[:]
+
+        # ---- shade the segment just traced (= wavefront.segment) -----
+        hit = hit_ref[:] > 0
+        t_safe = jnp.where(hit, t_ref[:], 1.0)
+        px = ox + t_safe * dx
+        py = oy + t_safe * dy
+        pz = oz + t_safe * dz
+        rh = rh_ref[:]
+        inv_r = 1.0 / jnp.where(rh != 0.0, rh, 1.0)
+        nx = (px - chx_ref[:]) * inv_r
+        ny = (py - chy_ref[:]) * inv_r
+        nz = (pz - chz_ref[:]) * inv_r
+
+        draws = kernel_bounce_draws(k0, k1, dep, unit_sample=unit_sample)
+        sdx, sdy, sdz, valid, sky_r, sky_g, sky_b = kernel_shade(
+            (dx, dy, dz), (nx, ny, nz), mt_ref[:], fz_ref[:], io_ref[:],
+            draws, phys_refract=phys_refract, sky_bias=sky_bias)
+
+        miss_now = active & ~hit
+        scatter_now = active & hit & valid
+        depth_out = scatter_now & (dep + 1 >= max_depth)
+        keep = scatter_now & ~depth_out
+
+        acr = jnp.where(miss_now, acr + ax * sky_r, acr)
+        acg = jnp.where(miss_now, acg + ay * sky_g, acg)
+        acb = jnp.where(miss_now, acb + az * sky_b, acb)
+
+        ox = jnp.where(keep, px, ox)
+        oy = jnp.where(keep, py, oy)
+        oz = jnp.where(keep, pz, oz)
+        dx = jnp.where(keep, sdx, dx)
+        dy = jnp.where(keep, sdy, dy)
+        dz = jnp.where(keep, sdz, dz)
+        ax = jnp.where(keep, ax * alr_ref[:], ax)
+        ay = jnp.where(keep, ay * alg_ref[:], ay)
+        az = jnp.where(keep, az * alb_ref[:], az)
+        dep = jnp.where(keep, dep + 1, dep)
+
+        # ---- regenerate for the NEXT iteration (= wavefront.regen) ----
+        idle = ~keep
+        has_task = task >= 0
+        pid_old = task // tpp
+        run_end_old = jnp.minimum(
+            (task - pid_old * tpp) * task_samples + task_samples, spp)
+
+        task_done = idle & has_task & (sid + 1 >= run_end_old)
+        move = task_done & (pp >= n_pixels)
+        pp = jnp.where(move, pid_old, pp)
+        pr = jnp.where(move, acr, pr)
+        pg = jnp.where(move, acg, pg)
+        pb = jnp.where(move, acb, pb)
+        acr = jnp.where(move, 0.0, acr)
+        acg = jnp.where(move, 0.0, acg)
+        acb = jnp.where(move, 0.0, acb)
+        task = jnp.where(move, -1, task)
+
+        acquire = idle & (task < 0) & (nxt < n_tasks)
+        task = jnp.where(acquire, nxt, task)
+        nxt = jnp.where(acquire, nxt + stride, nxt)
+
+        pid = task // tpp
+        run_start = (task - pid * tpp) * task_samples
+        next_sample = idle & has_task & (sid + 1 < run_end_old) & ~task_done
+        sid = jnp.where(acquire, run_start,
+                        jnp.where(next_sample, sid + 1, sid))
+        issue = acquire | next_sample
+
+        # Camera ray for the issued (pixel, sample) -- planar.camera_rays
+        # in-kernel; unissued lanes' results are fully masked off.
+        zf = jnp.zeros((rows, LANES), jnp.float32)
+        b0 = jnp.zeros((rows, LANES), jnp.uint32) + bk_ref[0]
+        b1 = jnp.zeros((rows, LANES), jnp.uint32) + bk_ref[1]
+        nk0, nk1 = tf.fold_in_words(b0, b1, pid)
+        nk0, nk1 = tf.fold_in_words(nk0, nk1, sid)
+        jux, juy = tf.draw_uniform2(nk0, nk1, TAG_JITTER, 0)
+        yp = pid // width
+        xp = pid - yp * width
+        # planar.camera_rays divides by width/height; multiplying by an
+        # f32 reciprocal is not bit-identical, so divide here too.
+        u = (xp.astype(jnp.float32) + jux) / jnp.float32(width)
+        v = (yp.astype(jnp.float32) + juy) / jnp.float32(height)
+        og0, og1, og2 = cam_ref[0], cam_ref[1], cam_ref[2]
+        fx = cam_ref[3] + cam_ref[6] * u + cam_ref[9] * (1.0 - v)
+        fy = cam_ref[4] + cam_ref[7] * u + cam_ref[10] * (1.0 - v)
+        fz_ = cam_ref[5] + cam_ref[8] * u + cam_ref[11] * (1.0 - v)
+        lens_r = cam_ref[18]
+        if camera_mode == "cuda":
+            nox, noy, noz = zf + og0, zf + og1, zf + og2
+            ndx, ndy, ndz = fx, fy, fz_  # quirk Q11: no -origin
+        elif camera_mode == "pinhole":
+            nox, noy, noz = zf + og0, zf + og1, zf + og2
+            ndx, ndy, ndz = fx - og0, fy - og1, fz_ - og2
+        elif camera_mode == "cpu":
+            # camera.hxx:51-56 (quirks Q2 + Q11): unit-SPHERE lens
+            # sample, world-axis offset scaled by screen (u, v).
+            lu0, lu1 = tf.draw_uniform2(nk0, nk1, TAG_LENS, 0)
+            lu2, _u = tf.draw_uniform2(nk0, nk1, TAG_LENS, 1)
+            zu = 2.0 * lu0 - 1.0
+            rho = jnp.sqrt(jnp.maximum(1.0 - zu * zu, 0.0))
+            phi = jnp.float32(TWO_PI) * lu1
+            sx = rho * jnp.cos(phi)
+            sy = rho * jnp.sin(phi)
+            sr = lu2 ** (1.0 / 3.0)
+            rdx, rdy = sx * sr, sy * sr
+            offx = u * rdx * lens_r
+            offy = v * rdy * lens_r
+            nox, noy, noz = og0 + offx, og1 + offy, zf + og2
+            ndx, ndy, ndz = fx - offx, fy - offy, fz_
+        elif camera_mode == "thinlens":
+            lu0, lu1 = tf.draw_uniform2(nk0, nk1, TAG_LENS, 0)
+            theta = jnp.float32(TWO_PI) * lu0
+            rd = jnp.sqrt(lu1)
+            r0 = jnp.cos(theta) * rd * lens_r
+            r1 = jnp.sin(theta) * rd * lens_r
+            offx = cam_ref[12] * r0 + cam_ref[15] * r1
+            offy = cam_ref[13] * r0 + cam_ref[16] * r1
+            offz = cam_ref[14] * r0 + cam_ref[17] * r1
+            nox, noy, noz = og0 + offx, og1 + offy, og2 + offz
+            ndx = fx - og0 - offx
+            ndy = fy - og1 - offy
+            ndz = fz_ - og2 - offz
+        else:
+            raise ValueError(f"unknown camera mode: {camera_mode!r}")
+
+        one = jnp.float32(1.0)
+        onxt_ref[:] = nxt
+        otask_ref[:] = task
+        osid_ref[:] = sid
+        oact_ref[:] = (keep | issue).astype(jnp.int32)
+        oox_ref[:] = jnp.where(issue, nox, ox)
+        ooy_ref[:] = jnp.where(issue, noy, oy)
+        ooz_ref[:] = jnp.where(issue, noz, oz)
+        odx_ref[:] = jnp.where(issue, ndx, dx)
+        ody_ref[:] = jnp.where(issue, ndy, dy)
+        odz_ref[:] = jnp.where(issue, ndz, dz)
+        oax_ref[:] = jnp.where(issue, one, ax)
+        oay_ref[:] = jnp.where(issue, one, ay)
+        oaz_ref[:] = jnp.where(issue, one, az)
+        odep_ref[:] = jnp.where(issue, 0, dep)
+        oacr_ref[:] = acr
+        oacg_ref[:] = acg
+        oacb_ref[:] = acb
+        opp_ref[:] = pp
+        opr_ref[:] = pr
+        opg_ref[:] = pg
+        opb_ref[:] = pb
+        ok0_ref[:] = jnp.where(issue, nk0, k0)
+        ok1_ref[:] = jnp.where(issue, nk1, k1)
+
+
+def shade_regen(lane_state, seg, params, camvec, base_words, *,
+                rows: int, max_depth: int, unit_sample: bool,
+                phys_refract: bool, sky_bias: float, width: int,
+                height: int, spp: int, task_samples: int, tpp: int,
+                n_tasks: int, n_pixels: int, stride: int,
+                camera_mode: str, interpret: bool | None = None):
+    """One fused shade+state-update+regen step on the 23-plane lane state.
+
+    lane_state: (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay,
+      az, depth, accr, accg, accb, pp, pr, pg, pb, k0, k1) planes.
+    seg: (hit_i, t) from pallas_segment.segment_closest_hit.
+    params: the 10 resolved per-ray param planes
+      (pallas_segment.resolve_params).
+    camvec: pack_camera(cam); base_words: (2,) u32 base-key words.
+    Returns the next 23-plane lane state.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
+     depth, acr, acg, acb, pp, pr, pg, pb, k0, k1) = lane_state
+    hit_i, t_b = seg
+    r_total = ox.shape[0]
+    assert r_total % rows == 0, (r_total, rows)
+    grid = r_total // rows
+
+    bs = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
+                      memory_space=pltpu.VMEM)
+    i32, f32, u32 = jnp.int32, jnp.float32, jnp.uint32
+    # nxt task sid act | ox oy oz dx dy dz ax ay az | dep | acc3 | pp
+    # | pending rgb | k0 k1
+    out_dtypes = ([i32, i32, i32, i32] + [f32] * 9 + [i32]
+                  + [f32] * 3 + [i32] + [f32] * 3 + [u32, u32])
+    shapes = [jax.ShapeDtypeStruct((r_total, LANES), dt)
+              for dt in out_dtypes]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(grid,),
+        in_specs=[bs] * 35, out_specs=[bs] * 23)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_shade_regen, rows=rows, max_depth=max_depth,
+            unit_sample=unit_sample, phys_refract=phys_refract,
+            sky_bias=sky_bias, width=width, height=height, spp=spp,
+            task_samples=task_samples, tpp=tpp, n_tasks=n_tasks,
+            n_pixels=n_pixels, stride=stride, camera_mode=camera_mode),
+        grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
+    )(camvec, base_words, hit_i, t_b, *params,
+      nxt, task, sid, active.astype(i32), ox, oy, oz, dx, dy, dz,
+      ax, ay, az, depth, acr, acg, acb, pp, pr, pg, pb,
+      k0.astype(u32), k1.astype(u32))
+    (nxt, task, sid, act_i, ox, oy, oz, dx, dy, dz, ax, ay, az, depth,
+     acr, acg, acb, pp, pr, pg, pb, k0, k1) = out
+    return (nxt, task, sid, act_i > 0, ox, oy, oz, dx, dy, dz,
+            ax, ay, az, depth, acr, acg, acb, pp, pr, pg, pb, k0, k1)

@@ -65,6 +65,93 @@ def _normalize3(x, y, z):
             jnp.where(good, z * inv, z))
 
 
+def kernel_bounce_draws(k0, k1, depth, *, unit_sample: bool):
+    """In-kernel ops/rng.py contract v3 draws (== planar.bounce_draws).
+
+    Two raw-counter threefry blocks under the ray key at tag
+    TAG_BOUNCE + depth -> (scatter vector planes, reflect-uniform plane).
+    """
+    tag = jnp.uint32(TAG_BOUNCE) + depth.astype(jnp.uint32)
+    u0, u1 = tf.draw_uniform2(k0, k1, tag, 0)
+    u2, u3 = tf.draw_uniform2(k0, k1, tag, 1)
+    z = 2.0 * u0 - 1.0
+    rho = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = jnp.float32(6.283185307179586) * u1
+    rvx = rho * jnp.cos(phi)
+    rvy = rho * jnp.sin(phi)
+    rvz = z
+    if not unit_sample:
+        r3 = u2 ** (1.0 / 3.0)
+        rvx, rvy, rvz = rvx * r3, rvy * r3, rvz * r3
+    return rvx, rvy, rvz, u3
+
+
+def kernel_shade(dirs, normals, mt, fz, io, draws, *, phys_refract: bool,
+                 sky_bias: float):
+    """In-kernel material scatter + sky (== planar.bounce_planar math).
+
+    dirs/normals: (dx,dy,dz)/(nx,ny,nz) planes; draws: the
+    kernel_bounce_draws tuple. Returns (sdx, sdy, sdz, valid, sky_r,
+    sky_g, sky_b). Reference semantics: lambert cuda_impl.cu:204-213,
+    metal :216-229, dielectric :232-262, sky main.cxx:47-50.
+    """
+    dx, dy, dz = dirs
+    nx, ny, nz = normals
+    rvx, rvy, rvz, ru = draws
+    ux, uy, uz = _normalize3(dx, dy, dz)
+    ldx, ldy, ldz = nx + rvx, ny + rvy, nz + rvz
+    du = ux * nx + uy * ny + uz * nz
+    rfx = ux - 2.0 * du * nx
+    rfy = uy - 2.0 * du * ny
+    rfz = uz - 2.0 * du * nz
+    mdx, mdy, mdz = rfx + rvx * fz, rfy + rvy * fz, rfz + rvz * fz
+    metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+    cos = du
+    entering = cos <= 0.0
+    sgn = jnp.where(entering, 1.0, -1.0)
+    owx, owy, owz = nx * sgn, ny * sgn, nz * sgn
+    ri = jnp.where(entering, 1.0 / io, io)
+    cosab = jnp.abs(cos)
+    cos_i = owx * ux + owy * uy + owz * uz
+    kk = 1.0 - ri * ri * (1.0 - cos_i * cos_i)
+    tir = kk < 0.0
+    sq = jnp.sqrt(jnp.maximum(kk, 0.0))
+    if phys_refract:
+        tx = ri * ux - (ri * cos_i + sq) * owx
+        ty = ri * uy - (ri * cos_i + sq) * owy
+        tz = ri * uz - (ri * cos_i + sq) * owz
+    else:
+        tx = ux * ri - (owx * sq + cos_i * ri)
+        ty = uy * ri - (owy * sq + cos_i * ri)
+        tz = uz * ri - (owz * sq + cos_i * ri)
+    tx = jnp.where(tir, 0.0, tx)
+    ty = jnp.where(tir, 0.0, ty)
+    tz = jnp.where(tir, 0.0, tz)
+    r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
+    schlick = r0 + (1.0 - r0) * (1.0 - cosab) ** 5
+    prob = jnp.where(tir, 1.0, schlick)
+    refl = ru < prob
+    gdx = jnp.where(refl, rfx, tx)
+    gdy = jnp.where(refl, rfy, ty)
+    gdz = jnp.where(refl, rfz, tz)
+
+    is_metal = mt == METAL
+    is_diel = mt == DIELECTRIC
+    sdx = jnp.where(is_diel, gdx, jnp.where(is_metal, mdx, ldx))
+    sdy = jnp.where(is_diel, gdy, jnp.where(is_metal, mdy, ldy))
+    sdz = jnp.where(is_diel, gdz, jnp.where(is_metal, mdz, ldz))
+    # NOT where(is_metal, metal_ok, True): a vector bool LITERAL hits
+    # Mosaic's unsupported i8->i1 truncation; pure predicate algebra
+    # stays in i1.
+    valid = metal_ok | ~is_metal
+
+    tsky = 0.5 * uy + sky_bias
+    sky_r = SKY_WHITE[0] * (1.0 - tsky) + SKY_BLUE[0] * tsky
+    sky_g = SKY_WHITE[1] * (1.0 - tsky) + SKY_BLUE[1] * tsky
+    sky_b = SKY_WHITE[2] * (1.0 - tsky) + SKY_BLUE[2] * tsky
+    return sdx, sdy, sdz, valid, sky_r, sky_g, sky_b
+
+
 def _kernel_mega(cx_ref, cy_ref, cz_ref, rr_ref,  # SMEM (S_pad,)
                  tab_ref,  # VMEM (TABLE_ROWS, S_tab) transposed table
                  act_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -169,74 +256,12 @@ def _kernel_mega(cx_ref, cy_ref, cz_ref, rr_ref,  # SMEM (S_pad,)
         ny = (py - chy) * inv_r
         nz = (pz - chz) * inv_r
 
-        # ---- 3. per-bounce draws (ops/rng.py contract v3, in kernel) --
-        k0, k1 = k0_ref[:], k1_ref[:]
-        tag = jnp.uint32(TAG_BOUNCE) + dep_ref[:].astype(jnp.uint32)
-        u0, u1 = tf.draw_uniform2(k0, k1, tag, 0)
-        u2, u3 = tf.draw_uniform2(k0, k1, tag, 1)
-        z = 2.0 * u0 - 1.0
-        rho = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-        phi = jnp.float32(6.283185307179586) * u1
-        rvx = rho * jnp.cos(phi)
-        rvy = rho * jnp.sin(phi)
-        rvz = z
-        if not unit_sample:
-            r3 = u2 ** (1.0 / 3.0)
-            rvx, rvy, rvz = rvx * r3, rvy * r3, rvz * r3
-        ru = u3
-
-        # ---- 4. shade (ops/planar.bounce_planar, verbatim math) -------
-        ux, uy, uz = _normalize3(dx, dy, dz)
-        ldx, ldy, ldz = nx + rvx, ny + rvy, nz + rvz
-        du = ux * nx + uy * ny + uz * nz
-        rfx = ux - 2.0 * du * nx
-        rfy = uy - 2.0 * du * ny
-        rfz = uz - 2.0 * du * nz
-        mdx, mdy, mdz = rfx + rvx * fz, rfy + rvy * fz, rfz + rvz * fz
-        metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
-        cos = du
-        entering = cos <= 0.0
-        sgn = jnp.where(entering, 1.0, -1.0)
-        owx, owy, owz = nx * sgn, ny * sgn, nz * sgn
-        ri = jnp.where(entering, 1.0 / io, io)
-        cosab = jnp.abs(cos)
-        cos_i = owx * ux + owy * uy + owz * uz
-        kk = 1.0 - ri * ri * (1.0 - cos_i * cos_i)
-        tir = kk < 0.0
-        sq = jnp.sqrt(jnp.maximum(kk, 0.0))
-        if phys_refract:
-            tx = ri * ux - (ri * cos_i + sq) * owx
-            ty = ri * uy - (ri * cos_i + sq) * owy
-            tz = ri * uz - (ri * cos_i + sq) * owz
-        else:
-            tx = ux * ri - (owx * sq + cos_i * ri)
-            ty = uy * ri - (owy * sq + cos_i * ri)
-            tz = uz * ri - (owz * sq + cos_i * ri)
-        tx = jnp.where(tir, 0.0, tx)
-        ty = jnp.where(tir, 0.0, ty)
-        tz = jnp.where(tir, 0.0, tz)
-        r0 = ((1.0 - ri) / (1.0 + ri)) ** 2
-        schlick = r0 + (1.0 - r0) * (1.0 - cosab) ** 5
-        prob = jnp.where(tir, 1.0, schlick)
-        refl = ru < prob
-        gdx = jnp.where(refl, rfx, tx)
-        gdy = jnp.where(refl, rfy, ty)
-        gdz = jnp.where(refl, rfz, tz)
-
-        is_metal = mt == METAL
-        is_diel = mt == DIELECTRIC
-        sdx = jnp.where(is_diel, gdx, jnp.where(is_metal, mdx, ldx))
-        sdy = jnp.where(is_diel, gdy, jnp.where(is_metal, mdy, ldy))
-        sdz = jnp.where(is_diel, gdz, jnp.where(is_metal, mdz, ldz))
-        # NOT where(is_metal, metal_ok, True): a vector bool LITERAL hits
-        # Mosaic's unsupported i8->i1 truncation; pure predicate algebra
-        # stays in i1.
-        valid = metal_ok | ~is_metal
-
-        tsky = 0.5 * uy + sky_bias
-        sky_r = SKY_WHITE[0] * (1.0 - tsky) + SKY_BLUE[0] * tsky
-        sky_g = SKY_WHITE[1] * (1.0 - tsky) + SKY_BLUE[1] * tsky
-        sky_b = SKY_WHITE[2] * (1.0 - tsky) + SKY_BLUE[2] * tsky
+        # ---- 3+4. per-bounce draws + shade (shared in-kernel helpers) -
+        draws = kernel_bounce_draws(k0_ref[:], k1_ref[:], dep_ref[:],
+                                    unit_sample=unit_sample)
+        sdx, sdy, sdz, valid, sky_r, sky_g, sky_b = kernel_shade(
+            (dx, dy, dz), (nx, ny, nz), mt, fz, io, draws,
+            phys_refract=phys_refract, sky_bias=sky_bias)
 
         # ---- 5. state update (ops/wavefront.segment, verbatim) --------
         active = act_ref[:] > 0

@@ -413,15 +413,20 @@ def trace_segment(rays, sphere_params, t_min, rows: int = 128,
     return resolve_segment(rays, sphere_params, hit_i, t_b, s_b)
 
 
-def resolve_segment(rays, sphere_params, hit_i, t_b, s_b):
-    """Winning (hit, t, idx) -> full surface/material planes.
+def resolve_params(s_b, sphere_params):
+    """Winning sphere index plane -> 10 per-ray param planes.
 
     Exact gather of the winning sphere's params WITHOUT per-ray scatter/
     gather ops (measured ~80ns/element on v5e): a one-hot matmul on the
     MXU. The bf16 one-hot is exact (values 0/1) and the contraction has
     exactly one nonzero term per row, so the result is bit-exact f32.
+    (An in-kernel transposed per-row variant was measured SLOWER: 64
+    small (16,S)@(S,128) matmuls per block serialize against the VPU --
+    see ops/pallas_mega.py and ARCHITECTURE.md.)
+
+    Returns (cx, cy, cz, r, mt_i32, ar, ag, ab, fz, io) planes.
     """
-    r_total = rays[0].shape[0]
+    r_total, lanes = s_b.shape
     s = sphere_params[0].shape[0]
     cx, cy, cz, r = sphere_params[:4]
     table = jnp.zeros((s, TABLE_COLS), jnp.float32)
@@ -440,11 +445,18 @@ def resolve_segment(rays, sphere_params, hit_i, t_b, s_b):
     params = jnp.dot(oh, table, preferred_element_type=jnp.float32)
 
     def col(i):
-        return params[:, i].reshape(r_total, LANES)
+        return params[:, i].reshape(r_total, lanes)
 
+    return (col(0), col(1), col(2), col(3), col(4).astype(jnp.int32),
+            col(5), col(6), col(7), col(8), col(9))
+
+
+def resolve_segment(rays, sphere_params, hit_i, t_b, s_b):
+    """Winning (hit, t, idx) -> full surface/material planes."""
+    cx_b, cy_b, cz_b, r_b, mt, ar, ag, ab, fz, io = resolve_params(
+        s_b, sphere_params)
     ox, oy, oz, dx, dy, dz = rays
     hit = hit_i > 0
-    cx_b, cy_b, cz_b, r_b = col(0), col(1), col(2), col(3)
     t_safe = jnp.where(hit, t_b, 1.0)
     px = ox + t_safe * dx
     py = oy + t_safe * dy
@@ -454,8 +466,8 @@ def resolve_segment(rays, sphere_params, hit_i, t_b, s_b):
         "hit": hit_i, "t": t_b, "px": px, "py": py, "pz": pz,
         "nx": (px - cx_b) * inv_r, "ny": (py - cy_b) * inv_r,
         "nz": (pz - cz_b) * inv_r,
-        "mt": col(4).astype(jnp.int32), "ar": col(5), "ag": col(6),
-        "ab": col(7), "fz": col(8), "io": col(9),
+        "mt": mt, "ar": ar, "ag": ag,
+        "ab": ab, "fz": fz, "io": io,
     }
 
 

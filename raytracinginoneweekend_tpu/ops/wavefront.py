@@ -160,6 +160,13 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     unit_sample = options.scatter_sample == "unit"
     phys_refract = options.refract == "physical"
 
+    if options.mega == "fused":
+        from . import threefry as tf
+        from .pallas_fused import pack_camera
+        camvec = pack_camera(cam)
+        b0, b1 = tf.key_words(base_key)
+        base_words = jnp.stack([b0, b1]).astype(jnp.uint32)
+
     def flush(pp, pr, pg, pb, fbr, fbg, fbb):
         ppf = pp.reshape(-1)
         fbr = fbr.at[ppf].add(pr.reshape(-1), mode="drop")
@@ -171,7 +178,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
 
     def regen(state):
         (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-         depth, accr, accg, accb, pp, pr, pg, pb) = state
+         depth, accr, accg, accb, pp, pr, pg, pb, _k0, _k1) = state
 
         idle = ~active
         has_task = task >= 0
@@ -233,7 +240,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
          depth, accr, accg, accb, pp, pr, pg, pb, rk0, rk1) = state
 
-        if options.mega:
+        if options.mega == "bounce":
             # Whole bounce (intersect + resolve + RNG + shade + state
             # update) as ONE Pallas program -- ops/pallas_mega.py.
             from .pallas_mega import mega_bounce
@@ -246,7 +253,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                 unit_sample=unit_sample, phys_refract=phys_refract,
                 sky_bias=sky_bias)
             return (nxt, task, sid, keep, ox, oy, oz, dx, dy, dz,
-                    ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb)
+                    ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
+                    rk0, rk1)
 
         seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
                             options.t_min, rows=rows, active=active,
@@ -279,12 +287,42 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         az = jnp.where(keep, az * alb_, az)
         depth = jnp.where(keep, depth + 1, depth)
         return (nxt, task, sid, keep, ox, oy, oz, dx, dy, dz,
-                ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb)
+                ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
+                rk0, rk1)
+
+    def fused_step(state):
+        # ROTATED body (options.mega == "fused"): closest-hit kernel ->
+        # XLA MXU one-hot resolve -> fused shade+state+regen Pallas
+        # program (ops/pallas_fused.py). The initial regen runs once as
+        # a prologue below; per-ray semantics are unchanged (draws are
+        # keyed by (pixel, sample, bounce), not engine iteration).
+        from .pallas_fused import shade_regen
+        from .pallas_segment import resolve_params, segment_closest_hit
+
+        (ox, oy, oz, dx, dy, dz) = state[4:10]
+        active = state[3]
+        cx, cy, cz, r = sphere_params[:4]
+        hit_i, t_b, s_b = segment_closest_hit(
+            (ox, oy, oz, dx, dy, dz), cx, cy, cz, r, options.t_min,
+            rows=rows, active=active)
+        params = resolve_params(s_b, sphere_params)
+        return shade_regen(
+            state, (hit_i, t_b), params, camvec, base_words,
+            rows=rows, max_depth=max_depth, unit_sample=unit_sample,
+            phys_refract=phys_refract, sky_bias=sky_bias, width=width,
+            height=height, spp=spp, task_samples=task_samples, tpp=tpp,
+            n_tasks=n_tasks, n_pixels=n_pixels, stride=stride,
+            camera_mode=camera_mode)
 
     def cond(state):
         lane_state = state[0]
         nxt, task, sid, active = lane_state[:4]
         return jnp.any(active) | jnp.any(task >= 0) | jnp.any(nxt < n_tasks)
+
+    if options.mega == "fused":
+        body = fused_step
+    else:
+        body = lambda s: segment(regen(s))  # noqa: E731
 
     def epoch(state):
         # EPOCH structure (profiled on v5e): the framebuffer planes live
@@ -295,17 +333,19 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         # flush runs unconditionally once per epoch.
         lane_state, fbr, fbg, fbb = state
         lane_state = jax.lax.fori_loop(
-            0, flush_every, lambda i, s: segment(regen(s)), lane_state)
+            0, flush_every, lambda i, s: body(s), lane_state)
         (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-         depth, accr, accg, accb, pp, pr, pg, pb) = lane_state
+         depth, accr, accg, accb, pp, pr, pg, pb, rk0, rk1) = lane_state
         pp, pr, pg, pb, fbr, fbg, fbb = flush(pp, pr, pg, pb,
                                               fbr, fbg, fbb)
         lane_state = (nxt, task, sid, active, ox, oy, oz, dx, dy, dz,
-                      ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb)
+                      ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
+                      rk0, rk1)
         return lane_state, fbr, fbg, fbb
 
     zero = jnp.zeros((r_rows, LANES), jnp.float32)
     izero = jnp.zeros((r_rows, LANES), jnp.int32)
+    uzero = jnp.zeros((r_rows, LANES), jnp.uint32)
     fb0 = jnp.zeros((n_pixels,), jnp.float32)
     lane_state0 = (
         lane0,                # per-lane next task id (strided ownership)
@@ -319,7 +359,13 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         zero, zero, zero,     # task accumulator
         izero + n_pixels,     # pending pixel (n_pixels = free sentinel)
         zero, zero, zero,     # pending rgb
+        uzero, uzero,         # per-ray key words (carried by "fused")
     )
+    if options.mega == "fused":
+        # Prologue: the rotated body regenerates AFTER shading, so the
+        # initial task acquisition + camera rays run once up front (the
+        # XLA regen is bit-identical to the in-kernel one).
+        lane_state0 = regen(lane_state0)
     final = jax.lax.while_loop(cond, epoch, (lane_state0, fb0, fb0, fb0))
     lane_state, fbr, fbg, fbb = final
     pp, pr, pg, pb = lane_state[17:21]

@@ -87,11 +87,15 @@ def test_wavefront_edge_shapes():
         assert np.isfinite(out).all()
 
 
-def test_wavefront_mega_matches_unfused():
-    """options.mega (whole-bounce Pallas program, ops/pallas_mega.py) vs
-    the closest-hit-kernel + XLA-fusions path: same draws, same math =>
-    same radiance. Tight tolerance (not bitwise: compilers may contract
-    FMAs differently between the two lowerings)."""
+@pytest.mark.parametrize("camera_mode", ["cuda", "pinhole", "cpu",
+                                         "thinlens"])
+def test_wavefront_mega_modes_match(camera_mode):
+    """The three engine fusion levels -- "off" (closest-hit kernel + XLA
+    fusions), "bounce" (whole-bounce program, ops/pallas_mega.py) and
+    "fused" (rotated shade+regen program, ops/pallas_fused.py) -- share
+    the RNG contract and the shade math, so they must agree. Tight
+    tolerance (not bitwise: compilers may contract FMAs differently
+    between the lowerings)."""
     import dataclasses
 
     key = jax.random.key(7)
@@ -99,14 +103,13 @@ def test_wavefront_mega_matches_unfused():
             (simple_scene_cuda(), reference_cuda_camera(20, 12), 20, 12),
             (huge_scene(0), reference_cpu_camera(16, 10), 16, 10)):
         kwargs = dict(width=w, height=h, spp=2, max_depth=6,
-                      camera_mode="thinlens", pool_size=1 << 12)
-        a = np.asarray(render_wavefront(
-            scene, cam, key, options=DEFAULT, **kwargs))
-        b = np.asarray(render_wavefront(
+                      camera_mode=camera_mode, pool_size=1 << 12)
+        imgs = [np.asarray(render_wavefront(
             scene, cam, key,
-            options=dataclasses.replace(DEFAULT, mega=not DEFAULT.mega),
-            **kwargs))
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+            options=dataclasses.replace(DEFAULT, mega=mode), **kwargs))
+            for mode in ("off", "bounce", "fused")]
+        np.testing.assert_allclose(imgs[1], imgs[0], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(imgs[2], imgs[0], rtol=1e-5, atol=1e-6)
 
 
 def test_wavefront_ray_id_overflow_guard():

@@ -112,6 +112,32 @@ def test_wavefront_mega_modes_match(camera_mode):
         np.testing.assert_allclose(imgs[2], imgs[0], rtol=1e-5, atol=1e-6)
 
 
+def test_wavefront_reference_cpu_compat_matches_tiled():
+    """REFERENCE_CPU semantics (ball scatter -> the in-kernel cube root,
+    cpu sky bias, reference refract) + the quirky "cpu" camera mode,
+    through the wavefront engine at every fusion level, vs the tiled
+    renderer."""
+    import dataclasses
+
+    from raytracinginoneweekend_tpu.config import REFERENCE_CPU
+
+    w, h, spp, depth = 16, 12, 2, 4
+    scene = simple_scene_cuda()
+    cam = reference_cpu_camera(w, h)
+    key = jax.random.key(3)
+    cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=depth,
+                       camera_mode="cpu", options=REFERENCE_CPU)
+    want = np.asarray(render(scene, cam, cfg, key)).reshape(-1, 3)
+    for mode in ("off", "bounce", "fused"):
+        got = np.asarray(render_wavefront(
+            scene, cam, key, width=w, height=h, spp=spp, max_depth=depth,
+            camera_mode="cpu",
+            options=dataclasses.replace(REFERENCE_CPU, mega=mode),
+            pool_size=256))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"mega={mode}")
+
+
 def test_wavefront_ray_id_overflow_guard():
     import pytest
 

@@ -44,14 +44,19 @@ def _build_camera(name: str, width: int, height: int):
     }[name](width, height)
 
 
-def _options(compat: str):
+def _options(compat: str, fusion: str | None = None):
+    import dataclasses
+
     from . import config
 
-    return {
+    opts = {
         "default": config.DEFAULT,
         "reference-cuda": config.REFERENCE_CUDA,
         "reference-cpu": config.REFERENCE_CPU,
     }[compat]
+    if fusion is not None:
+        opts = dataclasses.replace(opts, mega=fusion)
+    return opts
 
 
 def _add_render_flags(p: argparse.ArgumentParser):
@@ -76,6 +81,11 @@ def _add_render_flags(p: argparse.ArgumentParser):
                    help="auto: dual-pool for many-sphere scenes (the "
                         "coherence-split engine), single-pool otherwise")
     p.add_argument("--pool-size", type=int, default=1 << 16)
+    p.add_argument("--fusion", default=None,
+                   choices=["off", "bounce", "fused"],
+                   help="wavefront kernel-fusion level (TraceOptions."
+                        "mega; default: the compat preset's, normally "
+                        "'fused' -- see ARCHITECTURE.md)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
     p.add_argument("--via", default=None, metavar="SOCKET",
@@ -95,7 +105,7 @@ def _render_image(args):
     camera_name = args.camera or ("cuda" if args.scene == "simple-cuda"
                                   else "cpu")
     cam = _build_camera(camera_name, args.width, args.height)
-    options = _options(args.compat)
+    options = _options(args.compat, getattr(args, "fusion", None))
     key = jax.random.key(args.seed)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, camera_mode=args.mode,

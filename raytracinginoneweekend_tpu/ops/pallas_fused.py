@@ -24,10 +24,12 @@ initial rays. Per-ray semantics are identical (the RNG contract keys
 every draw by (pixel, sample, bounce), not by engine iteration), so the
 engines agree to float-accumulation order.
 
-Lane state gains two planes vs the XLA engine: the per-ray threefry key
-words (k0, k1), carried instead of recomputed each iteration (they only
-change when a lane re-issues, and the XLA path's recompute-from-(pid,
-sid) is bit-identical -- tests/test_wavefront.py).
+Lane state is ops/wavefront.py's 19 + 4*n_slots planes: the per-ray
+threefry key words (k0, k1) are CARRIED instead of recomputed each
+iteration (they only change when a lane re-issues, and the XLA path's
+recompute-from-(pid, sid) is bit-identical -- tests/test_wavefront.py),
+and each pending slot stores the finished TASK id (-1 = free) so the
+epoch flush can deposit into the task-indexed ledger.
 
 Camera-ray math mirrors ops/planar.camera_rays (all four modes, quirks
 Q1/Q2/Q11); camera constants arrive as one (19,) SMEM vector. Reference
@@ -52,6 +54,9 @@ TAG_JITTER = 0  # ops/rng.py
 TAG_LENS = 1
 TWO_PI = 6.283185307179586
 
+N_BASE = 19  # must match ops/wavefront.py's lane-state layout
+ACT = 3      # index of the `active` plane within the state
+
 
 def pack_camera(cam):
     """Camera -> (19,) f32 scalar vector for SMEM prefetch."""
@@ -63,69 +68,48 @@ def pack_camera(cam):
 
 def _kernel_shade_regen(
         cam_ref, bk_ref,  # SMEM: (19,) f32 camera, (2,) u32 base key
-        hit_ref, t_ref,
-        chx_ref, chy_ref, chz_ref, rh_ref, mt_ref,
-        alr_ref, alg_ref, alb_ref, fz_ref, io_ref,
-        nxt_ref, task_ref, sid_ref, act_ref,
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-        ax_ref, ay_ref, az_ref, dep_ref,
-        acr_ref, acg_ref, acb_ref,
-        pp_ref, pr_ref, pg_ref, pb_ref, k0_ref, k1_ref,
-        # outputs (23 planes, same order as the state tuple)
-        onxt_ref, otask_ref, osid_ref, oact_ref,
-        oox_ref, ooy_ref, ooz_ref, odx_ref, ody_ref, odz_ref,
-        oax_ref, oay_ref, oaz_ref, odep_ref,
-        oacr_ref, oacg_ref, oacb_ref,
-        opp_ref, opr_ref, opg_ref, opb_ref, ok0_ref, ok1_ref,
-        *, rows: int, max_depth: int, unit_sample: bool,
+        *refs,
+        rows: int, max_depth: int, unit_sample: bool,
         phys_refract: bool, sky_bias: float, width: int, height: int,
         spp: int, task_samples: int, tpp: int, n_tasks: int,
-        n_pixels: int, stride: int, camera_mode: str):
-    live = (jnp.any(act_ref[:] > 0) | jnp.any(task_ref[:] >= 0)
-            | jnp.any(nxt_ref[:] < n_tasks))
+        n_slots: int, stride: int, camera_mode: str):
+    # refs = [hit, t, 10 resolved params, state (19 + 4*n_slots)] inputs
+    # followed by the (19 + 4*n_slots) state outputs.
+    n_state = N_BASE + 4 * n_slots
+    ins = refs[:12 + n_state]
+    outs = refs[12 + n_state:]
+    hit_ref, t_ref = ins[0], ins[1]
+    (chx_ref, chy_ref, chz_ref, rh_ref, mt_ref,
+     alr_ref, alg_ref, alb_ref, fz_ref, io_ref) = ins[2:12]
+    st = ins[12:]
+
+    live = (jnp.any(st[ACT][:] > 0) | jnp.any(st[1][:] >= 0)
+            | jnp.any(st[0][:] < n_tasks))
 
     @pl.when(jnp.logical_not(live))
     def _():
         # Fully-drained block (no active rays, no tasks, ownership
         # exhausted): pure passthrough while sibling blocks finish.
-        onxt_ref[:] = nxt_ref[:]
-        otask_ref[:] = task_ref[:]
-        osid_ref[:] = sid_ref[:]
-        oact_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
-        oox_ref[:] = ox_ref[:]
-        ooy_ref[:] = oy_ref[:]
-        ooz_ref[:] = oz_ref[:]
-        odx_ref[:] = dx_ref[:]
-        ody_ref[:] = dy_ref[:]
-        odz_ref[:] = dz_ref[:]
-        oax_ref[:] = ax_ref[:]
-        oay_ref[:] = ay_ref[:]
-        oaz_ref[:] = az_ref[:]
-        odep_ref[:] = dep_ref[:]
-        oacr_ref[:] = acr_ref[:]
-        oacg_ref[:] = acg_ref[:]
-        oacb_ref[:] = acb_ref[:]
-        opp_ref[:] = pp_ref[:]
-        opr_ref[:] = pr_ref[:]
-        opg_ref[:] = pg_ref[:]
-        opb_ref[:] = pb_ref[:]
-        ok0_ref[:] = k0_ref[:]
-        ok1_ref[:] = k1_ref[:]
+        for i, (iref, oref) in enumerate(zip(st, outs)):
+            if i == ACT:
+                oref[:] = jnp.zeros((rows, LANES), jnp.int32)
+            else:
+                oref[:] = iref[:]
 
     @pl.when(live)
     def _():
-        active = act_ref[:] > 0
-        task = task_ref[:]
-        sid = sid_ref[:]
-        nxt = nxt_ref[:]
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        ax, ay, az = ax_ref[:], ay_ref[:], az_ref[:]
-        dep = dep_ref[:]
-        acr, acg, acb = acr_ref[:], acg_ref[:], acb_ref[:]
-        pp = pp_ref[:]
-        pr, pg, pb = pr_ref[:], pg_ref[:], pb_ref[:]
-        k0, k1 = k0_ref[:], k1_ref[:]
+        nxt = st[0][:]
+        task = st[1][:]
+        sid = st[2][:]
+        active = st[ACT][:] > 0
+        ox, oy, oz = st[4][:], st[5][:], st[6][:]
+        dx, dy, dz = st[7][:], st[8][:], st[9][:]
+        ax, ay, az = st[10][:], st[11][:], st[12][:]
+        dep = st[13][:]
+        acr, acg, acb = st[14][:], st[15][:], st[16][:]
+        k0, k1 = st[17][:], st[18][:]
+        slots = [tuple(st[N_BASE + 4 * j + i][:] for i in range(4))
+                 for j in range(n_slots)]
 
         # ---- shade the segment just traced (= wavefront.segment) -----
         hit = hit_ref[:] > 0
@@ -171,16 +155,24 @@ def _kernel_shade_regen(
         run_end_old = jnp.minimum(
             (task - pid_old * tpp) * task_samples + task_samples, spp)
 
+        # Completed tasks move (task id, rgb) into the first FREE
+        # pending slot; with every slot full the lane idles until the
+        # epoch flush drains them.
         task_done = idle & has_task & (sid + 1 >= run_end_old)
-        move = task_done & (pp >= n_pixels)
-        pp = jnp.where(move, pid_old, pp)
-        pr = jnp.where(move, acr, pr)
-        pg = jnp.where(move, acg, pg)
-        pb = jnp.where(move, acb, pb)
-        acr = jnp.where(move, 0.0, acr)
-        acg = jnp.where(move, 0.0, acg)
-        acb = jnp.where(move, 0.0, acb)
-        task = jnp.where(move, -1, task)
+        remaining = task_done
+        new_slots = []
+        for (pt, pr, pg, pb) in slots:
+            mv = remaining & (pt < 0)
+            new_slots.append((jnp.where(mv, task, pt),
+                              jnp.where(mv, acr, pr),
+                              jnp.where(mv, acg, pg),
+                              jnp.where(mv, acb, pb)))
+            remaining = remaining & ~mv
+        moved = task_done & ~remaining
+        acr = jnp.where(moved, 0.0, acr)
+        acg = jnp.where(moved, 0.0, acg)
+        acb = jnp.where(moved, 0.0, acb)
+        task = jnp.where(moved, -1, task)
 
         acquire = idle & (task < 0) & (nxt < n_tasks)
         task = jnp.where(acquire, nxt, task)
@@ -251,52 +243,56 @@ def _kernel_shade_regen(
             raise ValueError(f"unknown camera mode: {camera_mode!r}")
 
         one = jnp.float32(1.0)
-        onxt_ref[:] = nxt
-        otask_ref[:] = task
-        osid_ref[:] = sid
-        oact_ref[:] = (keep | issue).astype(jnp.int32)
-        oox_ref[:] = jnp.where(issue, nox, ox)
-        ooy_ref[:] = jnp.where(issue, noy, oy)
-        ooz_ref[:] = jnp.where(issue, noz, oz)
-        odx_ref[:] = jnp.where(issue, ndx, dx)
-        ody_ref[:] = jnp.where(issue, ndy, dy)
-        odz_ref[:] = jnp.where(issue, ndz, dz)
-        oax_ref[:] = jnp.where(issue, one, ax)
-        oay_ref[:] = jnp.where(issue, one, ay)
-        oaz_ref[:] = jnp.where(issue, one, az)
-        odep_ref[:] = jnp.where(issue, 0, dep)
-        oacr_ref[:] = acr
-        oacg_ref[:] = acg
-        oacb_ref[:] = acb
-        opp_ref[:] = pp
-        opr_ref[:] = pr
-        opg_ref[:] = pg
-        opb_ref[:] = pb
-        ok0_ref[:] = jnp.where(issue, nk0, k0)
-        ok1_ref[:] = jnp.where(issue, nk1, k1)
+        outs[0][:] = nxt
+        outs[1][:] = task
+        outs[2][:] = sid
+        outs[ACT][:] = (keep | issue).astype(jnp.int32)
+        outs[4][:] = jnp.where(issue, nox, ox)
+        outs[5][:] = jnp.where(issue, noy, oy)
+        outs[6][:] = jnp.where(issue, noz, oz)
+        outs[7][:] = jnp.where(issue, ndx, dx)
+        outs[8][:] = jnp.where(issue, ndy, dy)
+        outs[9][:] = jnp.where(issue, ndz, dz)
+        outs[10][:] = jnp.where(issue, one, ax)
+        outs[11][:] = jnp.where(issue, one, ay)
+        outs[12][:] = jnp.where(issue, one, az)
+        outs[13][:] = jnp.where(issue, 0, dep)
+        outs[14][:] = acr
+        outs[15][:] = acg
+        outs[16][:] = acb
+        outs[17][:] = jnp.where(issue, nk0, k0)
+        outs[18][:] = jnp.where(issue, nk1, k1)
+        for j, (pt, pr, pg, pb) in enumerate(new_slots):
+            outs[N_BASE + 4 * j][:] = pt
+            outs[N_BASE + 4 * j + 1][:] = pr
+            outs[N_BASE + 4 * j + 2][:] = pg
+            outs[N_BASE + 4 * j + 3][:] = pb
 
 
 def shade_regen(lane_state, seg, params, camvec, base_words, *,
                 rows: int, max_depth: int, unit_sample: bool,
                 phys_refract: bool, sky_bias: float, width: int,
                 height: int, spp: int, task_samples: int, tpp: int,
-                n_tasks: int, n_pixels: int, stride: int,
+                n_tasks: int, n_slots: int, stride: int,
                 camera_mode: str, interpret: bool | None = None):
-    """One fused shade+state-update+regen step on the 23-plane lane state.
+    """One fused shade+state-update+regen step on the lane state.
 
-    lane_state: (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay,
-      az, depth, accr, accg, accb, pp, pr, pg, pb, k0, k1) planes.
+    lane_state: ops/wavefront.py's (19 + 4*n_slots)-plane tuple
+      (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
+       depth, accr, accg, accb, k0, k1, *slot planes) where slot j is
+      (pt, pr, pg, pb) with pt the finished task id (-1 = free).
     seg: (hit_i, t) from pallas_segment.segment_closest_hit.
     params: the 10 resolved per-ray param planes
       (pallas_segment.resolve_params).
     camvec: pack_camera(cam); base_words: (2,) u32 base-key words.
-    Returns the next 23-plane lane state.
+    Returns the next lane state (same layout).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-     depth, acr, acg, acb, pp, pr, pg, pb, k0, k1) = lane_state
+    n_state = N_BASE + 4 * n_slots
+    assert len(lane_state) == n_state, (len(lane_state), n_state)
     hit_i, t_b = seg
+    ox = lane_state[4]
     r_total = ox.shape[0]
     assert r_total % rows == 0, (r_total, rows)
     grid = r_total // rows
@@ -304,28 +300,27 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
     bs = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
                       memory_space=pltpu.VMEM)
     i32, f32, u32 = jnp.int32, jnp.float32, jnp.uint32
-    # nxt task sid act | ox oy oz dx dy dz ax ay az | dep | acc3 | pp
-    # | pending rgb | k0 k1
+    # nxt task sid act | ox oy oz dx dy dz ax ay az | dep | acc3
+    # | k0 k1 | per-slot (pt, rgb)
     out_dtypes = ([i32, i32, i32, i32] + [f32] * 9 + [i32]
-                  + [f32] * 3 + [i32] + [f32] * 3 + [u32, u32])
+                  + [f32] * 3 + [u32, u32]
+                  + [i32, f32, f32, f32] * n_slots)
     shapes = [jax.ShapeDtypeStruct((r_total, LANES), dt)
               for dt in out_dtypes]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(grid,),
-        in_specs=[bs] * 35, out_specs=[bs] * 23)
+        in_specs=[bs] * (12 + n_state), out_specs=[bs] * n_state)
+    state_in = (lane_state[:3] + (lane_state[ACT].astype(i32),)
+                + lane_state[4:17]
+                + (lane_state[17].astype(u32), lane_state[18].astype(u32))
+                + lane_state[N_BASE:])
     out = pl.pallas_call(
         functools.partial(
             _kernel_shade_regen, rows=rows, max_depth=max_depth,
             unit_sample=unit_sample, phys_refract=phys_refract,
             sky_bias=sky_bias, width=width, height=height, spp=spp,
             task_samples=task_samples, tpp=tpp, n_tasks=n_tasks,
-            n_pixels=n_pixels, stride=stride, camera_mode=camera_mode),
+            n_slots=n_slots, stride=stride, camera_mode=camera_mode),
         grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
-    )(camvec, base_words, hit_i, t_b, *params,
-      nxt, task, sid, active.astype(i32), ox, oy, oz, dx, dy, dz,
-      ax, ay, az, depth, acr, acg, acb, pp, pr, pg, pb,
-      k0.astype(u32), k1.astype(u32))
-    (nxt, task, sid, act_i, ox, oy, oz, dx, dy, dz, ax, ay, az, depth,
-     acr, acg, acb, pp, pr, pg, pb, k0, k1) = out
-    return (nxt, task, sid, act_i > 0, ox, oy, oz, dx, dy, dz,
-            ax, ay, az, depth, acr, acg, acb, pp, pr, pg, pb, k0, k1)
+    )(camvec, base_words, hit_i, t_b, *params, *state_in)
+    return (tuple(out[:3]) + (out[ACT] > 0,) + tuple(out[4:n_state]))

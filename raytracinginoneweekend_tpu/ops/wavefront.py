@@ -22,8 +22,17 @@ TPU-native design decisions (all measured on v5e, see git history):
     ids l, l+P, l+2P, ... and advances independently -- no cumsum/prefix
     ranks (lane-crossing scans measured ~30ms at 512k) and no
     inter-lane communication at all.
-  * Framebuffer deposit: three (n_pixels,) scatter-adds with
-    mode="drop" (dead lanes target index -1); measured 0.3ms.
+  * Framebuffer deposit: a TASK-INDEXED LEDGER, not pixel scatter-adds.
+    Because task ownership is strided, every task has a statically-known
+    unique slot ledger[k, lane] (task id = k*stride + lane0), so the
+    epoch flush is a one-hot ELEMENTWISE update of the (K, R, 128)
+    ledger -- pure VPU + HBM streaming, no scatter -- and the frame-end
+    fold to pixels is a static reshape+sum (task id // tpp is a
+    contiguous-run map). v5e scatter-add costs ~7.8 ns x CALL SIZE
+    (~1.5 ms per 64k x 3 flush, 14% of the headline frame); the ledger
+    pass streams 2x its own bytes instead (~0.2 ms at K=103) and makes
+    EXTRA PENDING SLOTS nearly free, which removes the engine's
+    pending-stall idle (measured 24% of lane-slots with one slot).
 
 RNG discipline is EXACTLY ops/rng.py's (pixel, sample, tag, word)
 contract -- raw threefry blocks on (R, 128) key-word planes
@@ -61,17 +70,34 @@ from .planar import (bounce_planar as _bounce,  # noqa: E402
 # ---------------------------------------------------------------------------
 
 TASK_SAMPLES = 16  # samples of one pixel accumulated per task (in-register)
-FLUSH_EVERY = 32   # inner iterations per epoch (pending->fb flush cadence)
-# (16, 32) measured best on the v5e headline (40.5 Mrays/s): longer
+FLUSH_EVERY = 32   # inner iterations per epoch (pending->ledger cadence)
+N_SLOTS = 2        # pending slots per lane (task-done buffering)
+# (16, 32) measured best under scatter deposits (40.5 Mrays/s): longer
 # tasks lose occupancy faster than they save scatters ((32,16): 27.9,
 # (32,64): 33.6), shorter tasks under long epochs hit pending contention
-# ((8,32): 36.0), and the neighbors are all slightly worse ((8,16): 37.3,
-# (16,48): 39.0, (24,48): 39.7, (16,32)@128k-pool: 38.8).
+# ((8,32): 36.0). The ledger deposit decouples flush cost from slot
+# count, so 2 slots absorb the ~1.9 completions/epoch of sky-dominated
+# tasks that used to stall 24% of lane-slots.
+
+# Ledger auto-deposit cap: a frame's task count must fit 3 f32 ledger
+# channels under this budget, else the engine falls back to pixel
+# scatter-adds (deposit="scatter").
+LEDGER_CAP_BYTES = 512 << 20
 
 
 ROWS_DEFAULT = 64  # kernel rows per block (8192-lane programs; measured
 # fastest on v5e (r64 < r128 < r256 by 6%/22% on the segment loop) and
 # it halves the granularity of the drained-block skip)
+
+# Lane-state layout: 19 base planes, then 4 planes per pending slot.
+#   0 nxt   1 task   2 sid   3 active
+#   4..9  ox oy oz dx dy dz
+#   10..12 ax ay az    13 depth
+#   14..16 accr accg accb
+#   17 k0  18 k1  (per-ray threefry key words; carried by mega="fused")
+#   19+4j .. 22+4j: slot j = (pt, pr, pg, pb); pt = finished TASK id,
+#                   -1 = free.
+N_BASE = 19
 
 
 def pool_lanes(pool_size: int, width: int, height: int, spp: int,
@@ -91,7 +117,9 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                  options: TraceOptions, pool_size: int = 1 << 16,
                  worker_index=0, n_workers: int = 1,
                  task_samples: int | None = None,
-                 flush_every: int | None = None):
+                 flush_every: int | None = None,
+                 pending_slots: int | None = None,
+                 deposit: str | None = None):
     """Trace this worker's task chunks -> UNNORMALIZED (H*W, 3) fb sums.
 
     Task ownership is strided across the global lane space: worker w's
@@ -106,32 +134,31 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     the kernel skip saves.) worker_index may be a traced scalar
     (jax.lax.axis_index); n_workers must be static.
 
-    Work decomposition (the scatter-avoidance design, measured on v5e where
-    scatter-add costs ~6.5ns/element *of call size* -- 12.8 of the naive
-    loop's 20ms/iteration):
+    Work decomposition:
       * a TASK = up to TASK_SAMPLES consecutive samples of ONE pixel;
         tasks are strided across lanes (lane l owns tasks l, l+P, ...), so
         load stays balanced and lanes never communicate;
       * a lane traces its task's samples back-to-back, accumulating their
         radiance into per-lane register planes (plain adds, no scatter);
-      * a finished task's (pixel, rgb) moves to the lane's single pending
-        slot; pendings are flushed to the framebuffer by 3 scatter-adds
-        once per EPOCH (an inner fori_loop of flush_every iterations
-        whose carry never touches the framebuffer planes -- see the
-        epoch() note), plus one final flush after the loop. A lane whose
-        pending slot is still occupied when its next task completes
-        idles until the epoch flush (rare: a task lives
-        ~task_samples*avg_depth iterations).
-
-    Profiled composition on the v5e headline (op self-times): the Pallas
-    segment kernel ~50% (~3.2 ns/lane-slot), flush scatters ~22%,
-    fused regen/shade/RNG elementwise ~22%.
+      * a finished task's (task id, rgb) moves to the lane's first FREE
+        pending slot (N_SLOTS of them; a lane with every slot occupied
+        idles until the epoch flush);
+      * once per EPOCH (an inner fori_loop of flush_every iterations
+        whose carry never touches the deposit arrays -- see the epoch()
+        note) pendings are flushed. deposit="ledger" writes each pending
+        into its unique ledger[k, lane] cell by a one-hot elementwise
+        pass (k = (task - lane0) // stride, exact by ownership); the
+        frame-end fold to pixels is a static reshape (1 worker) or one
+        per-frame scatter-add (sharded). deposit="scatter" is the
+        legacy per-epoch pixel scatter-add (used automatically when the
+        ledger would exceed LEDGER_CAP_BYTES).
 
     pool_size: number of persistent ray lanes (rounded to layout multiple).
     """
     n_pixels = width * height
     task_samples = min(task_samples or TASK_SAMPLES, spp)
     flush_every = flush_every or FLUSH_EVERY
+    n_slots = pending_slots or N_SLOTS
     tpp = -(-spp // task_samples)  # tasks per pixel
     n_tasks = n_pixels * tpp
     if n_pixels * spp >= 2 ** 31:
@@ -143,6 +170,14 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     p = pool_lanes(pool_size, width, height, spp, rows,
                    task_samples)
     r_rows = p // LANES
+    stride = n_workers * p          # task-id stride between a lane's tasks
+    n_k = -(-n_tasks // stride)     # ledger rounds (max tasks per lane)
+
+    if deposit in (None, "auto"):
+        deposit = ("ledger" if 3 * 4 * n_k * p <= LEDGER_CAP_BYTES
+                   else "scatter")
+    if deposit not in ("ledger", "scatter"):
+        raise ValueError(f"unknown deposit mode: {deposit!r}")
 
     sphere_params = sphere_params_from_scene(scene)
     # Sphere-group culling (pallas_segment.group_scene) measured net
@@ -154,7 +189,6 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     lane = (jax.lax.broadcasted_iota(jnp.int32, (r_rows, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (r_rows, LANES), 1))
     lane0 = worker_index * p + lane
-    stride = n_workers * p
 
     sky_bias = 0.5 if options.sky == "cuda" else 1.0
     unit_sample = options.scatter_sample == "unit"
@@ -167,18 +201,57 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         b0, b1 = tf.key_words(base_key)
         base_words = jnp.stack([b0, b1]).astype(jnp.uint32)
 
-    def flush(pp, pr, pg, pb, fbr, fbg, fbb):
-        ppf = pp.reshape(-1)
-        fbr = fbr.at[ppf].add(pr.reshape(-1), mode="drop")
-        fbg = fbg.at[ppf].add(pg.reshape(-1), mode="drop")
-        fbb = fbb.at[ppf].add(pb.reshape(-1), mode="drop")
-        free = jnp.full_like(pp, n_pixels)
-        zero = jnp.zeros_like(pr)
-        return free, zero, zero, zero, fbr, fbg, fbb
+    def flush(slots, dep_r, dep_g, dep_b):
+        """Drain every pending slot into the deposit arrays; free slots."""
+        new_slots = []
+        if deposit == "ledger":
+            kk = jnp.arange(n_k, dtype=jnp.int32)[:, None, None]
+            for (pt, pr, pg, pb) in slots:
+                # Exact by ownership: pt = lane0 + k*stride when pt >= 0;
+                # free slots (pt = -1) map to k < 0 and match no row.
+                k = jnp.where(pt >= 0, (pt - lane0) // stride, -1)
+                m = kk == k[None]
+                dep_r = dep_r + jnp.where(m, pr[None], 0.0)
+                dep_g = dep_g + jnp.where(m, pg[None], 0.0)
+                dep_b = dep_b + jnp.where(m, pb[None], 0.0)
+                new_slots.append((jnp.full_like(pt, -1), jnp.zeros_like(pr),
+                                  jnp.zeros_like(pg), jnp.zeros_like(pb)))
+        else:
+            for (pt, pr, pg, pb) in slots:
+                pix = jnp.where(pt >= 0, pt // tpp, n_pixels).reshape(-1)
+                dep_r = dep_r.at[pix].add(pr.reshape(-1), mode="drop")
+                dep_g = dep_g.at[pix].add(pg.reshape(-1), mode="drop")
+                dep_b = dep_b.at[pix].add(pb.reshape(-1), mode="drop")
+                new_slots.append((jnp.full_like(pt, -1), jnp.zeros_like(pr),
+                                  jnp.zeros_like(pg), jnp.zeros_like(pb)))
+        return new_slots, dep_r, dep_g, dep_b
+
+    def fold(dep_r, dep_g, dep_b):
+        """Deposit arrays -> (n_pixels,) per-channel sums."""
+        if deposit != "ledger":
+            return dep_r, dep_g, dep_b
+        if n_workers == 1:
+            # task id = k*p + lane exactly; pixel runs are contiguous.
+            def f(ch):
+                flat = ch.reshape(n_k * p)[:n_tasks]
+                return flat.reshape(n_pixels, tpp).sum(axis=1)
+        else:
+            # Strided global ownership: one scatter-add per frame.
+            t_ids = (lane0.reshape(-1)[None, :]
+                     + jnp.arange(n_k, dtype=jnp.int32)[:, None] * stride)
+            pix = jnp.where(t_ids < n_tasks, t_ids // tpp,
+                            n_pixels).reshape(-1)
+
+            def f(ch):
+                return jnp.zeros((n_pixels,), jnp.float32).at[pix].add(
+                    ch.reshape(-1), mode="drop")
+        return f(dep_r), f(dep_g), f(dep_b)
 
     def regen(state):
         (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-         depth, accr, accg, accb, pp, pr, pg, pb, _k0, _k1) = state
+         depth, accr, accg, accb, _k0, _k1) = state[:N_BASE]
+        slots = [tuple(state[N_BASE + 4 * j: N_BASE + 4 * (j + 1)])
+                 for j in range(n_slots)]
 
         idle = ~active
         has_task = task >= 0
@@ -186,18 +259,23 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         run_end_old = jnp.minimum(
             (task - pid_old * tpp) * task_samples + task_samples, spp)
 
-        # 1. Completed tasks move their accumulator into the pending slot
-        #    (only when it is free -- otherwise the lane idles until flush).
+        # 1. Completed tasks move their accumulator into the first free
+        #    pending slot (every slot full -> the lane idles until flush).
         task_done = idle & has_task & (sid + 1 >= run_end_old)
-        move = task_done & (pp >= n_pixels)
-        pp = jnp.where(move, pid_old, pp)
-        pr = jnp.where(move, accr, pr)
-        pg = jnp.where(move, accg, pg)
-        pb = jnp.where(move, accb, pb)
-        accr = jnp.where(move, 0.0, accr)
-        accg = jnp.where(move, 0.0, accg)
-        accb = jnp.where(move, 0.0, accb)
-        task = jnp.where(move, -1, task)
+        remaining = task_done
+        new_slots = []
+        for (pt, pr, pg, pb) in slots:
+            mv = remaining & (pt < 0)
+            new_slots.append((jnp.where(mv, task, pt),
+                              jnp.where(mv, accr, pr),
+                              jnp.where(mv, accg, pg),
+                              jnp.where(mv, accb, pb)))
+            remaining = remaining & ~mv
+        moved = task_done & ~remaining
+        accr = jnp.where(moved, 0.0, accr)
+        accg = jnp.where(moved, 0.0, accg)
+        accb = jnp.where(moved, 0.0, accb)
+        task = jnp.where(moved, -1, task)
 
         # 2. Taskless lanes acquire their next strided task.
         acquire = idle & (task < 0) & (nxt < n_tasks)
@@ -233,12 +311,13 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         depth = jnp.where(issue, 0, depth)
         active = active | issue
         return (nxt, task, sid, active, ox, oy, oz, dx, dy, dz,
-                ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
-                rk0, rk1)
+                ax, ay, az, depth, accr, accg, accb, rk0, rk1,
+                *(pl_ for s in new_slots for pl_ in s))
 
     def segment(state):
         (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-         depth, accr, accg, accb, pp, pr, pg, pb, rk0, rk1) = state
+         depth, accr, accg, accb, rk0, rk1) = state[:N_BASE]
+        slot_planes = state[N_BASE:]
 
         if options.mega == "bounce":
             # Whole bounce (intersect + resolve + RNG + shade + state
@@ -253,8 +332,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                 unit_sample=unit_sample, phys_refract=phys_refract,
                 sky_bias=sky_bias)
             return (nxt, task, sid, keep, ox, oy, oz, dx, dy, dz,
-                    ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
-                    rk0, rk1)
+                    ax, ay, az, depth, accr, accg, accb, rk0, rk1,
+                    *slot_planes)
 
         seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
                             options.t_min, rows=rows, active=active,
@@ -287,8 +366,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         az = jnp.where(keep, az * alb_, az)
         depth = jnp.where(keep, depth + 1, depth)
         return (nxt, task, sid, keep, ox, oy, oz, dx, dy, dz,
-                ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
-                rk0, rk1)
+                ax, ay, az, depth, accr, accg, accb, rk0, rk1,
+                *slot_planes)
 
     def fused_step(state):
         # ROTATED body (options.mega == "fused"): closest-hit kernel ->
@@ -311,7 +390,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             rows=rows, max_depth=max_depth, unit_sample=unit_sample,
             phys_refract=phys_refract, sky_bias=sky_bias, width=width,
             height=height, spp=spp, task_samples=task_samples, tpp=tpp,
-            n_tasks=n_tasks, n_pixels=n_pixels, stride=stride,
+            n_tasks=n_tasks, n_slots=n_slots, stride=stride,
             camera_mode=camera_mode)
 
     def cond(state):
@@ -325,28 +404,30 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         body = lambda s: segment(regen(s))  # noqa: E731
 
     def epoch(state):
-        # EPOCH structure (profiled on v5e): the framebuffer planes live
+        # EPOCH structure (profiled on v5e): the deposit arrays live
         # ONLY in this outer body. Carrying them through a per-iteration
         # flush `cond` measured 96us/iteration of pure operand copies --
-        # 23% of the whole engine -- and per-iteration scatter amortization
+        # 23% of the whole engine -- and per-iteration flush amortization
         # another 23%. The inner fori_loop touches lane state only; the
         # flush runs unconditionally once per epoch.
-        lane_state, fbr, fbg, fbb = state
+        lane_state, dep_r, dep_g, dep_b = state
         lane_state = jax.lax.fori_loop(
             0, flush_every, lambda i, s: body(s), lane_state)
-        (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-         depth, accr, accg, accb, pp, pr, pg, pb, rk0, rk1) = lane_state
-        pp, pr, pg, pb, fbr, fbg, fbb = flush(pp, pr, pg, pb,
-                                              fbr, fbg, fbb)
-        lane_state = (nxt, task, sid, active, ox, oy, oz, dx, dy, dz,
-                      ax, ay, az, depth, accr, accg, accb, pp, pr, pg, pb,
-                      rk0, rk1)
-        return lane_state, fbr, fbg, fbb
+        slots = [tuple(lane_state[N_BASE + 4 * j: N_BASE + 4 * (j + 1)])
+                 for j in range(n_slots)]
+        slots, dep_r, dep_g, dep_b = flush(slots, dep_r, dep_g, dep_b)
+        lane_state = lane_state[:N_BASE] + tuple(
+            pl_ for s in slots for pl_ in s)
+        return lane_state, dep_r, dep_g, dep_b
 
     zero = jnp.zeros((r_rows, LANES), jnp.float32)
     izero = jnp.zeros((r_rows, LANES), jnp.int32)
     uzero = jnp.zeros((r_rows, LANES), jnp.uint32)
-    fb0 = jnp.zeros((n_pixels,), jnp.float32)
+    if deposit == "ledger":
+        dep0 = jnp.zeros((n_k, r_rows, LANES), jnp.float32)
+    else:
+        dep0 = jnp.zeros((n_pixels,), jnp.float32)
+    slot0 = (izero - 1, zero, zero, zero)  # pt = -1 sentinel: free
     lane_state0 = (
         lane0,                # per-lane next task id (strided ownership)
         izero - 1,            # task (-1 = none)
@@ -357,35 +438,39 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         zero, zero, zero,     # attenuation
         izero,                # depth
         zero, zero, zero,     # task accumulator
-        izero + n_pixels,     # pending pixel (n_pixels = free sentinel)
-        zero, zero, zero,     # pending rgb
         uzero, uzero,         # per-ray key words (carried by "fused")
-    )
+    ) + slot0 * n_slots
     if options.mega == "fused":
         # Prologue: the rotated body regenerates AFTER shading, so the
         # initial task acquisition + camera rays run once up front (the
         # XLA regen is bit-identical to the in-kernel one).
         lane_state0 = regen(lane_state0)
-    final = jax.lax.while_loop(cond, epoch, (lane_state0, fb0, fb0, fb0))
-    lane_state, fbr, fbg, fbb = final
-    pp, pr, pg, pb = lane_state[17:21]
-    _, _, _, _, fbr, fbg, fbb = flush(pp, pr, pg, pb, fbr, fbg, fbb)
+    final = jax.lax.while_loop(cond, epoch, (lane_state0, dep0, dep0, dep0))
+    lane_state, dep_r, dep_g, dep_b = final
+    slots = [tuple(lane_state[N_BASE + 4 * j: N_BASE + 4 * (j + 1)])
+             for j in range(n_slots)]
+    _, dep_r, dep_g, dep_b = flush(slots, dep_r, dep_g, dep_b)
+    fbr, fbg, fbb = fold(dep_r, dep_g, dep_b)
     return jnp.stack([fbr, fbg, fbb], axis=-1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
-                     "options", "pool_size", "task_samples", "flush_every"))
+                     "options", "pool_size", "task_samples", "flush_every",
+                     "pending_slots", "deposit"))
 def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
                      height: int, spp: int, max_depth: int,
                      camera_mode: str, options: TraceOptions,
                      pool_size: int = 1 << 16,
                      task_samples: int | None = None,
-                     flush_every: int | None = None):
+                     flush_every: int | None = None,
+                     pending_slots: int | None = None,
+                     deposit: str | None = None):
     """Render the full image -> (H*W, 3) linear radiance means (1 device)."""
     fb = wavefront_fb(scene, cam, base_key, width=width, height=height,
                       spp=spp, max_depth=max_depth, camera_mode=camera_mode,
                       options=options, pool_size=pool_size,
-                      task_samples=task_samples, flush_every=flush_every)
+                      task_samples=task_samples, flush_every=flush_every,
+                      pending_slots=pending_slots, deposit=deposit)
     return fb / spp

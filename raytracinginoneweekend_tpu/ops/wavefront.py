@@ -119,7 +119,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                  task_samples: int | None = None,
                  flush_every: int | None = None,
                  pending_slots: int | None = None,
-                 deposit: str | None = None):
+                 deposit: str | None = None,
+                 return_stats: bool = False):
     """Trace this worker's task chunks -> UNNORMALIZED (H*W, 3) fb sums.
 
     Task ownership is strided across the global lane space: worker w's
@@ -154,6 +155,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         ledger would exceed LEDGER_CAP_BYTES).
 
     pool_size: number of persistent ray lanes (rounded to layout multiple).
+    return_stats: also return {"iters", "segments", "lanes"} occupancy
+      counters (a separate jit config; the default path carries none).
     """
     n_pixels = width * height
     task_samples = min(task_samples or TASK_SAMPLES, spp)
@@ -403,6 +406,20 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     else:
         body = lambda s: segment(regen(s))  # noqa: E731
 
+    if return_stats:
+        # Count lanes that TRACE each iteration (uint32: fine to ~4.2G
+        # segments). The fused body's entry state is post-regen (rotated
+        # loop); the XLA body regens first, so count between the halves.
+        if options.mega == "fused":
+            def body_c(s, n):
+                return body(s), n + jnp.sum(s[3].astype(jnp.uint32))
+        else:
+            def body_c(s, n):
+                s2 = regen(s)
+                return segment(s2), n + jnp.sum(s2[3].astype(jnp.uint32))
+    else:
+        body_c = None
+
     def epoch(state):
         # EPOCH structure (profiled on v5e): the deposit arrays live
         # ONLY in this outer body. Carrying them through a per-iteration
@@ -410,15 +427,23 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         # 23% of the whole engine -- and per-iteration flush amortization
         # another 23%. The inner fori_loop touches lane state only; the
         # flush runs unconditionally once per epoch.
-        lane_state, dep_r, dep_g, dep_b = state
-        lane_state = jax.lax.fori_loop(
-            0, flush_every, lambda i, s: body(s), lane_state)
+        lane_state, dep_r, dep_g, dep_b = state[:4]
+        if return_stats:
+            iters, segs = state[4:]
+            lane_state, segs = jax.lax.fori_loop(
+                0, flush_every, lambda i, c: body_c(*c),
+                (lane_state, segs))
+            iters = iters + jnp.uint32(flush_every)
+        else:
+            lane_state = jax.lax.fori_loop(
+                0, flush_every, lambda i, s: body(s), lane_state)
         slots = [tuple(lane_state[N_BASE + 4 * j: N_BASE + 4 * (j + 1)])
                  for j in range(n_slots)]
         slots, dep_r, dep_g, dep_b = flush(slots, dep_r, dep_g, dep_b)
         lane_state = lane_state[:N_BASE] + tuple(
             pl_ for s in slots for pl_ in s)
-        return lane_state, dep_r, dep_g, dep_b
+        out = (lane_state, dep_r, dep_g, dep_b)
+        return (out + (iters, segs)) if return_stats else out
 
     zero = jnp.zeros((r_rows, LANES), jnp.float32)
     izero = jnp.zeros((r_rows, LANES), jnp.int32)
@@ -445,13 +470,21 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         # initial task acquisition + camera rays run once up front (the
         # XLA regen is bit-identical to the in-kernel one).
         lane_state0 = regen(lane_state0)
-    final = jax.lax.while_loop(cond, epoch, (lane_state0, dep0, dep0, dep0))
-    lane_state, dep_r, dep_g, dep_b = final
+    init = (lane_state0, dep0, dep0, dep0)
+    if return_stats:
+        init = init + (jnp.uint32(0), jnp.uint32(0))
+    final = jax.lax.while_loop(cond, epoch, init)
+    lane_state, dep_r, dep_g, dep_b = final[:4]
     slots = [tuple(lane_state[N_BASE + 4 * j: N_BASE + 4 * (j + 1)])
              for j in range(n_slots)]
     _, dep_r, dep_g, dep_b = flush(slots, dep_r, dep_g, dep_b)
     fbr, fbg, fbb = fold(dep_r, dep_g, dep_b)
-    return jnp.stack([fbr, fbg, fbb], axis=-1)
+    fb = jnp.stack([fbr, fbg, fbb], axis=-1)
+    if return_stats:
+        stats = {"iters": final[4], "segments": final[5],
+                 "lanes": jnp.uint32(p)}
+        return fb, stats
+    return fb
 
 
 @functools.partial(

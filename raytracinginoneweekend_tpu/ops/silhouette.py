@@ -45,13 +45,21 @@ scene (forward only).
 Scope: ``boundary_surrogate`` samples the boundary from the CAMERA
 viewpoint (primary visibility -- the dominant silhouette term).
 ``secondary_boundary_surrogate`` extends it one bounce: from each
-first-hit LAMBERT vertex, the cosine-lobe continuation integral picks up
-boundary contributions where sphere silhouettes (as seen from the
-vertex) sweep the direction sphere -- the "shadow"/ambient-occlusion
-term that moves when an occluder moves, invisible to both interior AD
-and the primary term. Edges seen through specular chains (metal
-reflections, dielectric refractions) and edges at bounce >= 2 still
-carry interior-only gradients. Defocus: "pinhole"/"cuda" are exact;
+first-hit LAMBERT or FUZZY-METAL vertex, the scatter-lobe continuation
+integral picks up boundary contributions where sphere silhouettes (as
+seen from the vertex) sweep the direction sphere -- the shadow /
+ambient-occlusion term (lambert) and the rough-reflection term (metal)
+that move when an occluder moves, invisible to both interior AD and
+the primary term. Both lobes share one analytic direction density
+(``lobe_direction_density``): the reference draws dir' = axis + f*s
+with s in/on the unit ball (axis = normal, f = 1 for lambert,
+raytracer.hxx:131-141; axis = reflect, f = roughness for metal,
+raytracer.hxx:143-156), whose direction law has the closed form
+integrated along the ray through the offset ball. Out of scope (still
+interior-only): PERFECT mirrors (fuzz = 0 -- the lobe is a delta, the
+edge contribution needs the curved-mirror path reparameterization),
+dielectric refraction chains, and edges at bounce >= 2.
+Defocus: "pinhole"/"cuda" are exact;
 "thinlens" integrates
 the boundary term over the APERTURE as well -- each edge sample draws
 its own lens point l, samples the silhouette as seen FROM l, projects
@@ -201,6 +209,41 @@ def _probe_directions(cam: Camera, uv, camera_mode: str, lens_offset=None):
     return o, film - o
 
 
+def lobe_direction_density(w, axis, f, sample_mode: str, eps: float = 1e-4):
+    """Solid-angle density of the reference's scatter draw dir' = axis+f*s.
+
+    ``s`` is uniform in the unit ball under sample_mode == "ball"
+    (raytracer.hxx:134/147, quirk Q3) or uniform ON the unit sphere under
+    "unit" (cuda_impl.cu:206/220); the scattered DIRECTION is the
+    normalization of axis + f*s. Integrating the ball/sphere measure along
+    the ray t*w (chord roots t+- = cos +- sqrt(f^2 - sin^2), cos = w.axis):
+
+        ball:  p(w) = (t+^3 - t-^3) / (4 pi f^3)      (roots clamped to 0)
+        unit:  p(w) = (t+^2 [t+>0] + t-^2 [t->0]) / (4 pi f sqrt(f^2-sin^2))
+
+    Lambert is the f = 1, axis = normal special case: (2/pi) cos^3 and
+    cos/pi respectively. The "unit" density diverges (integrably) at the
+    lobe-cone boundary sin = f; ``eps`` floors the sqrt (bias confined to
+    directions where the density itself vanishes like the floored factor).
+
+    Args:
+      w: (..., 3) unit query directions.
+      axis: (..., 3) unit lobe axis; f: (...,) lobe radius (> 0).
+    Returns (...,) density (zero outside the support cone).
+    """
+    c = jnp.sum(w * axis, axis=-1)
+    disc = f * f - (1.0 - c * c)
+    s = jnp.sqrt(jnp.maximum(disc, 0.0))
+    tp = jnp.maximum(c + s, 0.0)
+    tm = jnp.maximum(c - s, 0.0)
+    if sample_mode == "unit":
+        num = tp * tp * (tp > 0.0) + tm * tm * (tm > 0.0)
+        dens = num / (4.0 * jnp.pi * f * jnp.maximum(s, eps))
+    else:  # "ball"
+        dens = (tp ** 3 - tm ** 3) / (4.0 * jnp.pi * f ** 3)
+    return jnp.where(disc > 0.0, dens, 0.0)
+
+
 def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
                        cot_image, width: int, height: int, base_key,
                        max_depth: int, options: TraceOptions,
@@ -323,13 +366,14 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
                                  probe_delta: float = 2e-3):
     """Surrogate scalar for the ONE-BOUNCE visibility boundary term.
 
-    The continuation integral at a lambert vertex y is
-    I(y) = integral over the hemisphere of p(w) L(y, w) dw with p the
-    scatter lobe density (cos/pi for the "unit" draw, (2/pi)cos^3 for the
-    "ball" draw -- the direction n + s with s uniform in the unit ball
-    has density (3/4pi) * int_0^{2cos} t^2 dt = (2/pi)cos^3). L(y, w)
-    flips discontinuously across sphere silhouettes AS SEEN FROM y
-    (raytracer.hxx:52-92's hit/miss flip one bounce deep), contributing
+    The continuation integral at a lambert or fuzzy-metal vertex y is
+    I(y) = integral over directions of p(w) L(y, w) dw with p the
+    analytic scatter-lobe density (``lobe_direction_density``: axis = the
+    shading normal, radius 1 for lambert; axis = the mirror direction,
+    radius = roughness for metal, times the below-surface absorption
+    indicator of raytracer.hxx:152-155). L(y, w) flips discontinuously
+    across sphere silhouettes AS SEEN FROM y (raytracer.hxx:52-92's
+    hit/miss flip one bounce deep), contributing
 
         dI/dtheta |_edge = oint_{C_j(y)} p(w) (L_in - L_out)
                                         (dw/dtheta . n_perp) dsigma(w)
@@ -347,9 +391,10 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     1/(K q)), ``n_angles`` stratified silhouette angles per candidate,
     two probe continuation rays per angle straddling the edge with
     common random numbers (depth max_depth-1, detached scene). Vertices
-    whose primary ray misses, hits a non-lambert material, or sees no
-    candidate sphere contribute zero. Specular (metal/dielectric)
-    vertices and bounce>=2 edges are out of scope (module docstring).
+    whose primary ray misses, hits a dielectric or a perfect mirror
+    (fuzz <= 1e-3: delta lobe), or sees no candidate sphere contribute
+    zero; dielectric chains and bounce>=2 edges are out of scope
+    (module docstring).
 
     Args:
       cot: (P, 3) dL/dI for exactly the ``pixel_ids`` batch (detached).
@@ -361,7 +406,7 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     from . import math3, rng
     from .integrate import trace
     from .intersect import closest_hit, hit_surface
-    from ..models.scene import LAMBERT
+    from ..models.scene import LAMBERT, METAL
     from ..render import make_primary_rays
 
     p_count = pixel_ids.shape[0]
@@ -379,8 +424,17 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     y, n_y = hit_surface(o, d, t, idx, hit, scene_det.centers,
                          scene_det.radii)
     mi = scene_det.material_index[idx]
-    active = hit & (scene_det.mtype[mi] == LAMBERT)
-    # Camera->continuation throughput at the vertex is the lambert albedo
+    mt_v = scene_det.mtype[mi]
+    fuzz_v = scene_det.fuzz[mi]
+    is_metal_v = mt_v == METAL
+    # Lobe of the continuation draw at the vertex (ops/scatter.py): axis =
+    # normal with radius 1 for lambert, mirror direction with radius =
+    # roughness for metal. Perfect mirrors (delta lobe) stay out of scope.
+    axis_lobe = jnp.where(is_metal_v[:, None],
+                          math3.reflect(math3.normalize(d), n_y), n_y)
+    f_lobe = jnp.where(is_metal_v, jnp.maximum(fuzz_v, 1e-3), 1.0)
+    active = hit & ((mt_v == LAMBERT) | (is_metal_v & (fuzz_v > 1e-3)))
+    # Camera->continuation throughput at the vertex is the material albedo
     # (primary attenuation is 1), folded with the pixel cotangent.
     thru = cot * scene_det.albedo[mi]  # (P, 3)
 
@@ -443,13 +497,18 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     n_perp = (n_perp * sign[..., None]
               / jnp.maximum(tau_norm, 1e-12)[..., None])
 
-    # Scatter-lobe density at the edge directions (zero below horizon).
+    # Scatter-lobe density at the edge directions. For lambert (axis = n,
+    # f = 1) this is the classic cos/pi ("unit") or (2/pi)cos^3 ("ball")
+    # and already vanishes below the horizon; metal additionally zeroes
+    # below-surface directions (the absorb of raytracer.hxx:152-155 --
+    # those continuations contribute black, so no edge flip either).
     n_y_rep = jnp.repeat(n_y, k, axis=0)
-    cos_i = jnp.maximum(jnp.sum(w_dir * n_y_rep[:, None, :], axis=-1), 0.0)
-    if options.scatter_sample == "unit":
-        dens = cos_i / jnp.pi
-    else:  # "ball": direction n + s, s uniform in the unit ball
-        dens = (2.0 / jnp.pi) * cos_i ** 3
+    axis_rep = jnp.repeat(axis_lobe, k, axis=0)
+    f_rep = jnp.repeat(f_lobe, k, axis=0)[:, None]
+    dens = lobe_direction_density(w_dir, axis_rep[:, None, :], f_rep,
+                                  options.scatter_sample)
+    cos_i = jnp.sum(w_dir * n_y_rep[:, None, :], axis=-1)
+    dens = dens * (cos_i > 0.0)
 
     # 4. Probe radiance just inside/outside the edge (common random
     # numbers; depth max_depth-1 = the continuation budget).

@@ -63,7 +63,8 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     BASELINE finite-difference metric measures.
 
     secondary_samples > 0 additionally adds the ONE-BOUNCE boundary term
-    (shadow/occlusion edges as seen from first-hit lambert vertices,
+    (shadow/occlusion edges as seen from first-hit lambert vertices and
+    rough-reflection edges as seen from first-hit fuzzy-metal vertices,
     ops/silhouette.secondary_boundary_surrogate) with that many
     silhouette angles per candidate sphere and ``secondary_spheres``
     solid-angle-sampled candidates per vertex.

@@ -80,7 +80,7 @@ def _add_render_flags(p: argparse.ArgumentParser):
                             "tiled"],
                    help="auto: dual-pool for many-sphere scenes (the "
                         "coherence-split engine), single-pool otherwise")
-    p.add_argument("--pool-size", type=int, default=1 << 16)
+    p.add_argument("--pool-size", type=int, default=1 << 15)
     p.add_argument("--fusion", default=None,
                    choices=["off", "bounce", "fused"],
                    help="wavefront kernel-fusion level (TraceOptions."
@@ -88,6 +88,10 @@ def _add_render_flags(p: argparse.ArgumentParser):
                         "'fused' -- see ARCHITECTURE.md)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
+    p.add_argument("--stats", action="store_true",
+                   help="print the wavefront engine's occupancy counters "
+                        "(iterations, traced segments, lane occupancy) as "
+                        "a JSON line on stderr; wavefront engine only")
     p.add_argument("--via", default=None, metavar="SOCKET",
                    help="forward to a running render server (see the "
                         "serve subcommand); repeat configurations skip "
@@ -121,7 +125,20 @@ def _render_image(args):
               max_depth=args.depth, camera_mode=args.mode,
               options=options, pool_size=args.pool_size)
     if engine == "wavefront":
-        img = render_wavefront(scene, cam, key, **kw)
+        if getattr(args, "stats", False):
+            img, stats = render_wavefront(scene, cam, key,
+                                          return_stats=True, **kw)
+            it = int(stats["iters"])
+            seg = int(stats["segments"])
+            lanes = int(stats["lanes"])
+            print(json.dumps({
+                "iters": it, "segments": seg, "lanes": lanes,
+                "occupancy": seg / max(it * lanes, 1),
+                "segments_per_camera_ray":
+                    seg / (args.width * args.height * args.spp),
+            }), file=sys.stderr)
+        else:
+            img = render_wavefront(scene, cam, key, **kw)
         img = img.reshape(args.height, args.width, 3)
     elif engine == "wavefront-dual":
         from .ops.wavefront_dual import render_wavefront_dual

@@ -114,7 +114,7 @@ def pool_lanes(pool_size: int, width: int, height: int, spp: int,
 
 def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                  height: int, spp: int, max_depth: int, camera_mode: str,
-                 options: TraceOptions, pool_size: int = 1 << 16,
+                 options: TraceOptions, pool_size: int = 1 << 15,
                  worker_index=0, n_workers: int = 1,
                  task_samples: int | None = None,
                  flush_every: int | None = None,
@@ -491,19 +491,28 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
                      "options", "pool_size", "task_samples", "flush_every",
-                     "pending_slots", "deposit"))
+                     "pending_slots", "deposit", "return_stats"))
 def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
                      height: int, spp: int, max_depth: int,
                      camera_mode: str, options: TraceOptions,
-                     pool_size: int = 1 << 16,
+                     pool_size: int = 1 << 15,
                      task_samples: int | None = None,
                      flush_every: int | None = None,
                      pending_slots: int | None = None,
-                     deposit: str | None = None):
-    """Render the full image -> (H*W, 3) linear radiance means (1 device)."""
-    fb = wavefront_fb(scene, cam, base_key, width=width, height=height,
-                      spp=spp, max_depth=max_depth, camera_mode=camera_mode,
-                      options=options, pool_size=pool_size,
-                      task_samples=task_samples, flush_every=flush_every,
-                      pending_slots=pending_slots, deposit=deposit)
-    return fb / spp
+                     deposit: str | None = None,
+                     return_stats: bool = False):
+    """Render the full image -> (H*W, 3) linear radiance means (1 device).
+
+    return_stats=True also returns the engine's occupancy counters
+    ({"iters", "segments", "lanes"}; occupancy = segments/(iters*lanes)).
+    """
+    out = wavefront_fb(scene, cam, base_key, width=width, height=height,
+                       spp=spp, max_depth=max_depth, camera_mode=camera_mode,
+                       options=options, pool_size=pool_size,
+                       task_samples=task_samples, flush_every=flush_every,
+                       pending_slots=pending_slots, deposit=deposit,
+                       return_stats=return_stats)
+    if return_stats:
+        fb, stats = out
+        return fb / spp, stats
+    return out / spp

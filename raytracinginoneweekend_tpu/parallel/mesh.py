@@ -148,7 +148,7 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, base_key, *,
                              mesh: Mesh, width: int, height: int, spp: int,
                              max_depth: int, camera_mode: str,
                              options: TraceOptions,
-                             pool_size: int = 1 << 16):
+                             pool_size: int = 1 << 15):
     """Multi-chip wavefront render -> (H*W, 3) linear radiance means.
 
     Each device runs an independent persistent-wavefront loop over a
@@ -184,7 +184,7 @@ def render_wavefront_dual_sharded(scene: Scene, cam: Camera, base_key, *,
                                   mesh: Mesh, width: int, height: int,
                                   spp: int, max_depth: int,
                                   camera_mode: str, options: TraceOptions,
-                                  pool_size: int = 1 << 16,
+                                  pool_size: int = 1 << 15,
                                   k_s: int = SECONDARY_COPIES):
     """Multi-chip dual-pool wavefront render -> (H*W, 3) radiance means.
 

@@ -37,7 +37,7 @@ import time
 
 _DEFAULTS = dict(scene="simple-cuda", seed=0, camera=None, mode="thinlens",
                  compat="default", width=400, height=225, spp=8, depth=16,
-                 engine="auto", pool_size=1 << 16, clamp=True, iters=2)
+                 engine="auto", pool_size=1 << 15, clamp=True, iters=2)
 
 
 def _render_once(req):

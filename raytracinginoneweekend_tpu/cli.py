@@ -291,7 +291,8 @@ def cmd_fit(args) -> int:
         learning_rate=args.lr, batch_pixels=args.batch_pixels,
         spp=args.fit_spp, optimizer=optimizer, callback=callback,
         boundary_samples=args.boundary_samples,
-        secondary_samples=args.secondary_samples, **init)
+        secondary_samples=args.secondary_samples,
+        secondary_vertex_depths=args.secondary_vertex_depths, **init)
     if ckpt_path:
         save_checkpoint(ckpt_path, params, opt_state,
                         init.get("start_step", 0) + args.steps)
@@ -344,7 +345,11 @@ def main(argv=None) -> int:
                         "centers/radii through visibility changes)")
     p.add_argument("--secondary-samples", type=int, default=0,
                    help="silhouette angles/candidate for the one-bounce "
-                        "(shadow) boundary term (0 = off)")
+                        "(shadow/rough-reflection) boundary term (0 = off)")
+    p.add_argument("--secondary-vertex-depths", type=int, default=1,
+                   help="path-vertex depths the secondary boundary term "
+                        "covers (1 = first hit only; n sums vertex "
+                        "depths 0..n-1)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every", type=int, default=25)

@@ -55,10 +55,15 @@ the primary term. Both lobes share one analytic direction density
 with s in/on the unit ball (axis = normal, f = 1 for lambert,
 raytracer.hxx:131-141; axis = reflect, f = roughness for metal,
 raytracer.hxx:143-156), whose direction law has the closed form
-integrated along the ray through the offset ball. Out of scope (still
-interior-only): PERFECT mirrors (fuzz = 0 -- the lobe is a delta, the
-edge contribution needs the curved-mirror path reparameterization),
-dielectric refraction chains, and edges at bounce >= 2.
+integrated along the ray through the offset ball. The same machinery
+applies at DEEPER path vertices (``vertex_depth`` > 0): the vertex is
+walked that many scatter steps of the renderer's own draw contract --
+any materials in the prefix, including specular chains -- and summing
+depths 0..D-2 estimates the full path-space boundary term at
+diffuse/glossy vertices. Out of scope (still interior-only): edge
+contributions AT delta-lobe vertices themselves -- PERFECT mirrors
+(fuzz = 0) and dielectric refractions need the curved-surface path
+reparameterization.
 Defocus: "pinhole"/"cuda" are exact;
 "thinlens" integrates
 the boundary term over the APERTURE as well -- each edge sample draws
@@ -87,6 +92,7 @@ TAG_EDGE2_VERTEX = 104  # secondary (one-bounce) boundary term
 TAG_EDGE2_SPHERE = 105
 TAG_EDGE2_PHI = 106
 TAG_EDGE2_PROBE = 107
+TAG_EDGE2_DEPTH = 108  # + vertex_depth: per-depth key split (render_loss)
 
 
 def silhouette_frame(centers, radii, eye, phis):
@@ -363,7 +369,8 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
                                  width: int, height: int, base_key,
                                  max_depth: int, options: TraceOptions,
                                  n_angles: int = 8, n_spheres: int = 2,
-                                 probe_delta: float = 2e-3):
+                                 probe_delta: float = 2e-3,
+                                 vertex_depth: int = 0):
     """Surrogate scalar for the ONE-BOUNCE visibility boundary term.
 
     The continuation integral at a lambert or fuzzy-metal vertex y is
@@ -390,11 +397,20 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     vertex drawn proportional to subtended solid angle (unbiased via
     1/(K q)), ``n_angles`` stratified silhouette angles per candidate,
     two probe continuation rays per angle straddling the edge with
-    common random numbers (depth max_depth-1, detached scene). Vertices
-    whose primary ray misses, hits a dielectric or a perfect mirror
-    (fuzz <= 1e-3: delta lobe), or sees no candidate sphere contribute
-    zero; dielectric chains and bounce>=2 edges are out of scope
-    (module docstring).
+    common random numbers (continuation depth max_depth-1-vertex_depth,
+    detached scene). Vertices whose ray misses, lands on a dielectric or
+    a perfect mirror (fuzz <= 1e-3: delta lobe), or sees no candidate
+    sphere contribute zero.
+
+    vertex_depth > 0 places the vertex DEEPER along the path: the
+    jittered camera ray is walked ``vertex_depth`` scatter steps with
+    the renderer's own draw contract (rng.bounce_draws -> ops/scatter,
+    any material in the prefix -- including specular chains -- with the
+    albedo product and metal-absorb/miss liveness folded into the
+    throughput), and the edge term is evaluated at the resulting vertex.
+    Summing depths 0..D-2 estimates the full path-space boundary term at
+    diffuse/glossy vertices; delta-lobe (mirror/dielectric) VERTICES
+    remain out of scope (module docstring).
 
     Args:
       cot: (P, 3) dL/dI for exactly the ``pixel_ids`` batch (detached).
@@ -406,6 +422,7 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     from . import math3, rng
     from .integrate import trace
     from .intersect import closest_hit, hit_surface
+    from .scatter import scatter
     from ..models.scene import LAMBERT, METAL
     from ..render import make_primary_rays
 
@@ -414,11 +431,32 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     pk = p_count * k
     scene_det = jax.lax.stop_gradient(scene)
 
-    # 1. One vertex per batch pixel: jittered primary ray -> first hit.
+    # 1. One vertex per batch pixel: jittered primary ray, walked
+    # ``vertex_depth`` scatter steps of the renderer's own contract
+    # (detached scene; liveness tracks hit + metal absorb).
     vkey = jax.random.fold_in(base_key, TAG_EDGE2_VERTEX)
-    o, d, _ = make_primary_rays(cam, pixel_ids,
-                                jnp.zeros_like(pixel_ids), vkey,
-                                width, height, camera_mode)
+    o, d, ray_keys = make_primary_rays(cam, pixel_ids,
+                                       jnp.zeros_like(pixel_ids), vkey,
+                                       width, height, camera_mode)
+    alive = jnp.ones((p_count,), bool)
+    path_alb = jnp.ones((p_count, 3), jnp.float32)
+    for b in range(vertex_depth):
+        t, idx, hit = closest_hit(o, d, scene_det.centers,
+                                  scene_det.radii, options.t_min,
+                                  options.sphere_block)
+        y_b, n_b = hit_surface(o, d, t, idx, hit, scene_det.centers,
+                               scene_det.radii)
+        mi_b = scene_det.material_index[idx]
+        rand_vec, ru = jax.vmap(
+            lambda kk: rng.bounce_draws(kk, b, options.scatter_sample)
+        )(ray_keys)
+        new_dir, alb_b, valid = scatter(
+            d, n_b, scene_det.mtype[mi_b], scene_det.albedo[mi_b],
+            scene_det.fuzz[mi_b], scene_det.ior[mi_b], rand_vec, ru,
+            options)
+        alive = alive & hit & valid
+        path_alb = path_alb * alb_b
+        o, d = y_b, new_dir
     t, idx, hit = closest_hit(o, d, scene_det.centers, scene_det.radii,
                               options.t_min, options.sphere_block)
     y, n_y = hit_surface(o, d, t, idx, hit, scene_det.centers,
@@ -433,10 +471,12 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     axis_lobe = jnp.where(is_metal_v[:, None],
                           math3.reflect(math3.normalize(d), n_y), n_y)
     f_lobe = jnp.where(is_metal_v, jnp.maximum(fuzz_v, 1e-3), 1.0)
-    active = hit & ((mt_v == LAMBERT) | (is_metal_v & (fuzz_v > 1e-3)))
-    # Camera->continuation throughput at the vertex is the material albedo
-    # (primary attenuation is 1), folded with the pixel cotangent.
-    thru = cot * scene_det.albedo[mi]  # (P, 3)
+    active = (alive & hit
+              & ((mt_v == LAMBERT) | (is_metal_v & (fuzz_v > 1e-3))))
+    # Camera->continuation throughput at the vertex: the prefix albedo
+    # product times the vertex material's albedo, folded with the pixel
+    # cotangent.
+    thru = cot * path_alb * scene_det.albedo[mi]  # (P, 3)
 
     # 2. Candidate spheres per vertex ~ solid angle, dropping spheres the
     # vertex sits on/inside (no silhouette) and caps entirely below the
@@ -523,8 +563,8 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     o_all = jnp.concatenate([o_rep, o_rep])
     d_all = jnp.concatenate([w_in.reshape(-1, 3), w_out.reshape(-1, 3)])
     k_all = jnp.concatenate([pkeys, pkeys])
-    f_all = trace(scene_det, o_all, d_all, k_all, max(max_depth - 1, 0),
-                  options)
+    f_all = trace(scene_det, o_all, d_all, k_all,
+                  max(max_depth - 1 - vertex_depth, 0), options)
     f_in = f_all[:pk * e].reshape(pk, e, 3)
     f_out = f_all[pk * e:].reshape(pk, e, 3)
 

@@ -51,7 +51,8 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 pixel_ids, base_key, *, width: int, height: int, spp: int,
                 max_depth: int, camera_mode: str, options, mesh=None,
                 boundary_samples: int = 0, secondary_samples: int = 0,
-                secondary_spheres: int = 2, engine: str = "planar"):
+                secondary_spheres: int = 2,
+                secondary_vertex_depths: int = 1, engine: str = "planar"):
     """Mean-squared error between rendered and target pixel radiance.
 
     target_pixels: (P, 3) linear radiance for the same pixel_ids.
@@ -68,6 +69,11 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     ops/silhouette.secondary_boundary_surrogate) with that many
     silhouette angles per candidate sphere and ``secondary_spheres``
     solid-angle-sampled candidates per vertex.
+    ``secondary_vertex_depths`` > 1 sums the same term at DEEPER path
+    vertices (vertex_depth 0..n-1: the vertex is walked that many
+    scatter steps of the renderer's own draw contract first), picking up
+    boundary gradients of multi-bounce occlusion -- e.g. a shadow seen
+    via an extra diffuse bounce, or through a specular prefix chain.
 
     engine: "planar" (default -- (R, 128) planes + Pallas closest-hit with
     the analytic custom VJP, ops/integrate_planar.py) or "tiled" (the
@@ -115,13 +121,17 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
             n_angles=boundary_samples)
         loss = loss + sur - jax.lax.stop_gradient(sur)
     if secondary_samples:
-        from ..ops.silhouette import secondary_boundary_surrogate
+        from ..ops.silhouette import (TAG_EDGE2_DEPTH,
+                                      secondary_boundary_surrogate)
 
-        sur2 = secondary_boundary_surrogate(
-            full_scene, cam, camera_mode, cot, pixel_ids, width, height,
-            jax.random.fold_in(base_key, 0x51171), max_depth, options,
-            n_angles=secondary_samples, n_spheres=secondary_spheres)
-        loss = loss + sur2 - jax.lax.stop_gradient(sur2)
+        k2 = jax.random.fold_in(base_key, 0x51171)
+        for b in range(max(secondary_vertex_depths, 1)):
+            sur2 = secondary_boundary_surrogate(
+                full_scene, cam, camera_mode, cot, pixel_ids, width,
+                height, jax.random.fold_in(k2, TAG_EDGE2_DEPTH + b),
+                max_depth, options, n_angles=secondary_samples,
+                n_spheres=secondary_spheres, vertex_depth=b)
+            loss = loss + sur2 - jax.lax.stop_gradient(sur2)
     return loss
 
 
@@ -129,6 +139,7 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
                     height: int, spp: int, max_depth: int, camera_mode: str,
                     options, mesh=None, boundary_samples: int = 0,
                     secondary_samples: int = 0, secondary_spheres: int = 2,
+                    secondary_vertex_depths: int = 1,
                     engine: str = "planar"):
     """Build a jitted (params, opt_state, ...) -> (params, opt_state, loss).
 
@@ -145,7 +156,8 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
             camera_mode=camera_mode, options=options, mesh=mesh,
             boundary_samples=boundary_samples,
             secondary_samples=secondary_samples,
-            secondary_spheres=secondary_spheres, engine=engine)
+            secondary_spheres=secondary_spheres,
+            secondary_vertex_depths=secondary_vertex_depths, engine=engine)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -161,7 +173,8 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         callback=None, init_params: dict | None = None,
         init_opt_state=None, start_step: int = 0,
         boundary_samples: int = 0, secondary_samples: int = 0,
-        secondary_spheres: int = 2, engine: str = "planar"):
+        secondary_spheres: int = 2, secondary_vertex_depths: int = 1,
+        engine: str = "planar"):
     """Optimize scene params toward a target image.
 
     target_image: (H, W, 3) linear radiance (as produced by render.render).
@@ -202,7 +215,8 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         options=cfg.options, mesh=mesh,
         boundary_samples=boundary_samples,
         secondary_samples=secondary_samples,
-        secondary_spheres=secondary_spheres, engine=engine)
+        secondary_spheres=secondary_spheres,
+        secondary_vertex_depths=secondary_vertex_depths, engine=engine)
 
     losses = []
     for i in range(start_step, start_step + steps):

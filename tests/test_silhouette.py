@@ -527,6 +527,108 @@ def test_metal_boundary_grad_matches_finite_differences():
             assert abs(ad - fd) < atol, (leaf, idx, ad, fd)
 
 
+def two_bounce_scene() -> Scene:
+    """Ground + big bright lambert reflector B (out of frustum, filling a
+    chunk of the viewed patch's sky) + black occluder C above the patch
+    (out of frustum). C shades BOTH the ground directly (vertex-depth-0
+    edges) and B's near face, which re-lights the ground (vertex-depth-1
+    edges) -- so the depth-0 secondary term alone UNDERSHOOTS the true
+    gradient and vertex_depth 1 must close the gap."""
+    return Scene(
+        centers=jnp.array([[0.0, -100.5, -1.0], [2.2, 1.2, -1.2],
+                           [0.0, 1.5, -1.2]], jnp.float32),
+        radii=jnp.array([100.0, 1.8, 0.4], jnp.float32),
+        material_index=jnp.array([0, 1, 2], jnp.int32),
+        mtype=jnp.array([LAMBERT, LAMBERT, LAMBERT], jnp.int32),
+        albedo=jnp.array([[0.55, 0.55, 0.55], [0.95, 0.95, 0.95],
+                          [0.0, 0.0, 0.0]], jnp.float32),
+        fuzz=jnp.array([0.0, 0.0, 0.0], jnp.float32),
+        ior=jnp.array([1.0, 1.0, 1.0], jnp.float32),
+    )
+
+
+def test_vertex_depth1_term_is_nonzero_and_depth0_unchanged():
+    """Fast control for the deeper-vertex extension: summing vertex
+    depths {0,1} (a) leaves the depth-0 contribution bit-identical (the
+    per-depth key split), (b) adds a nonzero, finite depth-1 part on the
+    occluder of the two-bounce scene."""
+    w, h = 48, 36
+    scene = two_bounce_scene()
+    cam = shadow_cam(w, h)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+
+    def loss_of(params, depths):
+        return render_loss(params, scene, cam, target, ids,
+                           jax.random.key(3), width=w, height=h, spp=2,
+                           max_depth=3, camera_mode="pinhole",
+                           options=DEFAULT, secondary_samples=16,
+                           secondary_spheres=2,
+                           secondary_vertex_depths=depths)
+
+    params = {"centers": scene.centers, "radii": scene.radii}
+    g1 = jax.grad(lambda p: loss_of(p, 1))(params)
+    g2 = jax.grad(lambda p: loss_of(p, 2))(params)
+    assert np.isfinite(np.asarray(g2["centers"])).all()
+    assert np.isfinite(np.asarray(g2["radii"])).all()
+    # The depth-1 addition changes the occluder gradient...
+    assert float(jnp.abs(g2["radii"][2] - g1["radii"][2])) > 0.0
+    # ...and interior AD still measures exactly zero on it.
+    g0 = jax.grad(lambda p: render_loss(
+        p, scene, cam, target, ids, jax.random.key(3), width=w, height=h,
+        spp=2, max_depth=3, camera_mode="pinhole", options=DEFAULT))(params)
+    np.testing.assert_array_equal(np.asarray(g0["centers"][2]), 0.0)
+
+
+@pytest.mark.slow
+def test_secondary_vertex_depth1_closes_fd_gap():
+    """The DISCRIMINATING multi-bounce FD test: on the two-bounce scene
+    the depth-0 secondary term alone systematically undershoots central
+    finite differences (measured -11% on the occluder radius, -27% on
+    c_y -- far outside the +-1.5% FD key-to-key repeatability), while
+    summing vertex depths {0, 1} lands within FD noise (2-6% across AD
+    keys). Asserts both the gap and its closure."""
+    scene = two_bounce_scene()
+    cam = shadow_cam(W, H)
+    key = jax.random.key(3)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    spp = 64
+    from raytracinginoneweekend_tpu.render import render_pixels_impl
+
+    base_img = render_pixels_impl(scene, cam, ids, key, width=W, height=H,
+                                  spp=spp, wave_spp=spp, max_depth=3,
+                                  camera_mode="pinhole", options=DEFAULT)
+    target = base_img - 0.5
+
+    def loss_of(params, secondary, depths):
+        return render_loss(params, scene, cam, target, ids, key, width=W,
+                           height=H, spp=spp, max_depth=3,
+                           camera_mode="pinhole", options=DEFAULT,
+                           secondary_samples=secondary,
+                           secondary_spheres=2,
+                           secondary_vertex_depths=depths)
+
+    params = {"centers": scene.centers, "radii": scene.radii}
+    g1 = jax.grad(lambda p: loss_of(p, 64, 1))(params)
+    g2 = jax.grad(lambda p: loss_of(p, 64, 2))(params)
+
+    eps = 0.04
+    for leaf, idx, gap, rtol in [("radii", (2,), 4e-3, 0.08),
+                                 ("centers", (2, 1), 2.5e-3, 0.12)]:
+        up = dict(params)
+        up[leaf] = params[leaf].at[idx].add(eps)
+        dn = dict(params)
+        dn[leaf] = params[leaf].at[idx].add(-eps)
+        fd = float((loss_of(up, 0, 1) - loss_of(dn, 0, 1)) / (2 * eps))
+        ad1 = float(g1[leaf][idx])
+        ad2 = float(g2[leaf][idx])
+        assert fd != 0.0
+        # depth-0 alone measurably undershoots...
+        assert abs(ad1 - fd) > gap, (leaf, idx, ad1, fd)
+        # ...and depth {0,1} closes the gap to FD noise.
+        assert np.isclose(ad2, fd, rtol=rtol), (leaf, idx, ad2, fd)
+
+
 def test_fit_recovers_center_through_silhouette():
     """fit(boundary_samples=...) recovers a perturbed center when the ONLY
     signal is a silhouette shift (interior AD provably stays put -- see

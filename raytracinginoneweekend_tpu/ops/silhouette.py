@@ -420,9 +420,8 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
     """
     from . import math3, rng
-    from .integrate import trace
+    from .integrate import _bounce_step, trace
     from .intersect import closest_hit, hit_surface
-    from .scatter import scatter
     from ..models.scene import LAMBERT, METAL
     from ..render import make_primary_rays
 
@@ -432,35 +431,34 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     scene_det = jax.lax.stop_gradient(scene)
 
     # 1. One vertex per batch pixel: jittered primary ray, walked
-    # ``vertex_depth`` scatter steps of the renderer's own contract
-    # (detached scene; liveness tracks hit + metal absorb).
+    # ``vertex_depth`` bounces of the INTEGRATOR'S OWN step
+    # (integrate._bounce_step: same gather path, draw contract, and
+    # liveness rule as the renderer -- one source of truth; the radiance
+    # accumulator it carries is simply unused here). Detached scene.
     vkey = jax.random.fold_in(base_key, TAG_EDGE2_VERTEX)
     o, d, ray_keys = make_primary_rays(cam, pixel_ids,
                                        jnp.zeros_like(pixel_ids), vkey,
                                        width, height, camera_mode)
-    alive = jnp.ones((p_count,), bool)
-    path_alb = jnp.ones((p_count, 3), jnp.float32)
+    state = (o, d, jnp.ones((p_count, 3), jnp.float32),
+             jnp.zeros((p_count, 3), jnp.float32),
+             jnp.ones((p_count,), bool), ray_keys)
     for b in range(vertex_depth):
-        t, idx, hit = closest_hit(o, d, scene_det.centers,
-                                  scene_det.radii, options.t_min,
-                                  options.sphere_block)
-        y_b, n_b = hit_surface(o, d, t, idx, hit, scene_det.centers,
-                               scene_det.radii)
-        mi_b = scene_det.material_index[idx]
-        rand_vec, ru = jax.vmap(
-            lambda kk: rng.bounce_draws(kk, b, options.scatter_sample)
-        )(ray_keys)
-        new_dir, alb_b, valid = scatter(
-            d, n_b, scene_det.mtype[mi_b], scene_det.albedo[mi_b],
-            scene_det.fuzz[mi_b], scene_det.ior[mi_b], rand_vec, ru,
-            options)
-        alive = alive & hit & valid
-        path_alb = path_alb * alb_b
-        o, d = y_b, new_dir
-    t, idx, hit = closest_hit(o, d, scene_det.centers, scene_det.radii,
-                              options.t_min, options.sphere_block)
-    y, n_y = hit_surface(o, d, t, idx, hit, scene_det.centers,
-                         scene_det.radii)
+        state = _bounce_step(scene_det, options, state, b)
+    o, d, path_alb, _, alive, _ = state
+    # The FINAL hop runs on the ATTACHED scene: the vertex position
+    # y(theta) rides the receiver sphere it lands on (closest_hit's t and
+    # hit_surface's gathered center/radius are differentiable), so the
+    # edge direction w_e = normalize(p_sil(theta) - y(theta)) carries the
+    # RECEIVER-MOTION boundary component -- the shadow sweeping because
+    # its receiver moves -- not just the occluder-motion one. (Measured
+    # without this: AD undershoots FD by ~17% on the shadow scene's
+    # ground c_y/radius.) Prefix hops (vertex_depth >= 1) stay detached:
+    # their motion term is a documented residual approximation.
+    t_a, idx, hit = closest_hit(o, d, scene.centers, scene.radii,
+                                options.t_min, options.sphere_block)
+    y_att, n_att = hit_surface(o, d, t_a, idx, hit, scene.centers,
+                               scene.radii)
+    y, n_y = (jax.lax.stop_gradient(y_att), jax.lax.stop_gradient(n_att))
     mi = scene_det.material_index[idx]
     mt_v = scene_det.mtype[mi]
     fuzz_v = scene_det.fuzz[mi]
@@ -512,11 +510,15 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     r_sel = scene.radii[j_flat]
     y_rep = jnp.repeat(y, k, axis=0)  # (P*K, 3) detached
     eye = jnp.broadcast_to(y_rep[:, None, :], (pk, e, 3))
+    # Attached viewpoint for the edge-direction chain only (see the
+    # final-hop note above): w_e(theta) moves with candidate AND vertex.
+    eye_att = jnp.broadcast_to(jnp.repeat(y_att, k, axis=0)[:, None, :],
+                               (pk, e, 3))
     ajit = jax.random.uniform(jax.random.fold_in(base_key, TAG_EDGE2_PHI),
                               (pk, 1))
     phis = (jnp.arange(e)[None, :] + ajit) * (2.0 * jnp.pi / e)
-    p_sil, val_sil, _ = silhouette_frame(c_sel, r_sel, eye, phis)
-    w_att = math3.normalize(p_sil - eye)  # (P*K, E, 3) attached
+    p_sil, val_sil, _ = silhouette_frame(c_sel, r_sel, eye_att, phis)
+    w_att = math3.normalize(p_sil - eye_att)  # (P*K, E, 3) attached
 
     # Curve tangent dw/dphi on the direction sphere (detached chain).
     def w_of_phi(ph):
@@ -551,7 +553,7 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     dens = dens * (cos_i > 0.0)
 
     # 4. Probe radiance just inside/outside the edge (common random
-    # numbers; depth max_depth-1 = the continuation budget).
+    # numbers; depth max_depth-1-vertex_depth = the continuation budget).
     delta = jnp.minimum(probe_delta, 0.5 * jnp.arcsin(sin_b_sel)
                         ).reshape(pk)[:, None, None]
     w_in = math3.normalize(w_dir - delta * n_perp)

@@ -74,6 +74,8 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     scatter steps of the renderer's own draw contract first), picking up
     boundary gradients of multi-bounce occlusion -- e.g. a shadow seen
     via an extra diffuse bounce, or through a specular prefix chain.
+    0 disables the secondary term entirely; depths whose probe
+    continuation budget is exhausted (b >= max_depth - 1) are skipped.
 
     engine: "planar" (default -- (R, 128) planes + Pallas closest-hit with
     the analytic custom VJP, ops/integrate_planar.py) or "tiled" (the
@@ -125,7 +127,9 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                                       secondary_boundary_surrogate)
 
         k2 = jax.random.fold_in(base_key, 0x51171)
-        for b in range(max(secondary_vertex_depths, 1)):
+        for b in range(secondary_vertex_depths):
+            if max_depth - 1 - b <= 0:
+                break  # no continuation budget left: the term is 0
             sur2 = secondary_boundary_surrogate(
                 full_scene, cam, camera_mode, cot, pixel_ids, width,
                 height, jax.random.fold_in(k2, TAG_EDGE2_DEPTH + b),

@@ -549,9 +549,10 @@ def two_bounce_scene() -> Scene:
 
 def test_vertex_depth1_term_is_nonzero_and_depth0_unchanged():
     """Fast control for the deeper-vertex extension: summing vertex
-    depths {0,1} (a) leaves the depth-0 contribution bit-identical (the
-    per-depth key split), (b) adds a nonzero, finite depth-1 part on the
-    occluder of the two-bounce scene."""
+    depths {0,1} adds a nonzero, finite depth-1 part on the occluder of
+    the two-bounce scene (while interior AD stays exactly zero). The
+    depth-0 FD parity under depths=2 is covered by the slow
+    test_secondary_vertex_depth1_closes_fd_gap."""
     w, h = 48, 36
     scene = two_bounce_scene()
     cam = shadow_cam(w, h)
@@ -578,6 +579,61 @@ def test_vertex_depth1_term_is_nonzero_and_depth0_unchanged():
         p, scene, cam, target, ids, jax.random.key(3), width=w, height=h,
         spp=2, max_depth=3, camera_mode="pinhole", options=DEFAULT))(params)
     np.testing.assert_array_equal(np.asarray(g0["centers"][2]), 0.0)
+
+
+@pytest.mark.slow
+def test_receiver_motion_boundary_matches_finite_differences():
+    """FD parity for the RECEIVER side of the shadow: gradients w.r.t.
+    the GROUND (the sphere the shadow falls on) need the vertex-motion
+    component of the edge term -- the vertex y(theta) rides the receiver,
+    sweeping every silhouette it sees. The estimator attaches the final
+    hop (closest_hit/hit_surface on the attached scene), measured to
+    close a 17% systematic undershoot (AD -0.0462 vs FD -0.0556+-0.001
+    on both c_y and radius with the vertex detached) to ~1.5%. Interior
+    AD + the primary (horizon) term alone cannot: the undershoot is the
+    shadow-sweep term itself."""
+    scene = Scene(
+        centers=jnp.array([[0.0, -100.5, -1.0], [0.0, 1.5, -1.0]],
+                          jnp.float32),
+        radii=jnp.array([100.0, 0.4], jnp.float32),
+        material_index=jnp.array([0, 1], jnp.int32),
+        mtype=jnp.array([LAMBERT, LAMBERT], jnp.int32),
+        albedo=jnp.array([[0.5, 0.5, 0.5], [0.0, 0.0, 0.0]], jnp.float32),
+        fuzz=jnp.array([0.0, 0.0], jnp.float32),
+        ior=jnp.array([1.0, 1.0], jnp.float32),
+    )
+    cam = pinhole_cam()
+    key = jax.random.key(3)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    spp = 64
+    from raytracinginoneweekend_tpu.render import render_pixels_impl
+
+    base_img = render_pixels_impl(scene, cam, ids, key, width=W, height=H,
+                                  spp=spp, wave_spp=spp, max_depth=2,
+                                  camera_mode="pinhole", options=DEFAULT)
+    target = base_img - 0.5
+
+    def loss_of(params, boundary, secondary):
+        return render_loss(params, scene, cam, target, ids, key, width=W,
+                           height=H, spp=spp, max_depth=2,
+                           camera_mode="pinhole", options=DEFAULT,
+                           boundary_samples=boundary,
+                           secondary_samples=secondary,
+                           secondary_spheres=2)
+
+    params = {"centers": scene.centers, "radii": scene.radii}
+    g = jax.grad(lambda p: loss_of(p, 2048, 64))(params)
+
+    eps = 0.02
+    for leaf, idx, rtol in [("centers", (0, 1), 0.05), ("radii", (0,), 0.05)]:
+        up = dict(params)
+        up[leaf] = params[leaf].at[idx].add(eps)
+        dn = dict(params)
+        dn[leaf] = params[leaf].at[idx].add(-eps)
+        fd = float((loss_of(up, 0, 0) - loss_of(dn, 0, 0)) / (2 * eps))
+        ad = float(g[leaf][idx])
+        assert fd != 0.0
+        assert np.isclose(ad, fd, rtol=rtol), (leaf, idx, ad, fd)
 
 
 @pytest.mark.slow

@@ -48,6 +48,31 @@ def test_wavefront_tiny_pool_matches_big_pool():
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+def test_wavefront_deposit_modes_and_slots_match():
+    """The framebuffer deposit mechanism (task-indexed ledger vs pixel
+    scatter-add) and the pending-slot count are pure accumulation-layout
+    choices: same per-ray radiance, so images must agree to float
+    reassociation. Also pins the ledger's frame-end static-reshape fold
+    against the scatter path's direct pixel indexing."""
+    w, h, spp, depth = 24, 16, 4, 6
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    key = jax.random.key(5)
+    kwargs = dict(width=w, height=h, spp=spp, max_depth=depth,
+                  camera_mode="thinlens", options=DEFAULT, pool_size=256)
+    a = np.asarray(render_wavefront(scene, cam, key, **kwargs,
+                                    deposit="ledger"))
+    b = np.asarray(render_wavefront(scene, cam, key, **kwargs,
+                                    deposit="scatter"))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    c = np.asarray(render_wavefront(scene, cam, key, **kwargs,
+                                    deposit="ledger", pending_slots=1))
+    d = np.asarray(render_wavefront(scene, cam, key, **kwargs,
+                                    deposit="ledger", pending_slots=3))
+    np.testing.assert_allclose(c, d, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(a, c, rtol=2e-4, atol=2e-5)
+
+
 def test_wavefront_huge_scene_finite():
     w, h = 32, 21
     scene = huge_scene(0)

@@ -59,8 +59,9 @@ integrated along the ray through the offset ball. The same machinery
 applies at DEEPER path vertices (``vertex_depth`` > 0): the vertex is
 walked that many scatter steps of the renderer's own draw contract --
 any materials in the prefix, including specular chains -- and summing
-depths 0..D-2 estimates the full path-space boundary term at
-diffuse/glossy vertices. Out of scope (still interior-only): edge
+depths 0..D-2 covers the path-space boundary term at diffuse/glossy
+vertices (final-hop vertex motion included; prefix-hop motion at
+depth >= 1 is a detached residual approximation). Out of scope (still interior-only): edge
 contributions AT delta-lobe vertices themselves -- PERFECT mirrors
 (fuzz = 0) and dielectric refractions need the curved-surface path
 reparameterization.
@@ -408,9 +409,11 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     any material in the prefix -- including specular chains -- with the
     albedo product and metal-absorb/miss liveness folded into the
     throughput), and the edge term is evaluated at the resulting vertex.
-    Summing depths 0..D-2 estimates the full path-space boundary term at
-    diffuse/glossy vertices; delta-lobe (mirror/dielectric) VERTICES
-    remain out of scope (module docstring).
+    Summing depths 0..D-2 covers the path-space boundary term at
+    diffuse/glossy vertices, including the final hop's vertex-motion
+    (receiver) component; residual approximations are the PREFIX hops'
+    motion at depth >= 1 (detached) and delta-lobe (mirror/dielectric)
+    VERTICES (module docstring).
 
     Args:
       cot: (P, 3) dL/dI for exactly the ``pixel_ids`` batch (detached).

@@ -18,6 +18,20 @@ def test_cli_render_ppm(tmp_path, capsys):
     assert img.max() > 0
 
 
+def test_cli_render_stats(tmp_path, capsys):
+    """--stats prints the wavefront occupancy counters as JSON on stderr."""
+    out = os.path.join(tmp_path, "img.ppm")
+    rc = main(["render", "--scene", "simple-cuda", "--width", "32",
+               "--height", "18", "--spp", "2", "--depth", "4",
+               "--engine", "wavefront", "--stats", "--out", out])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().err.strip().splitlines()[-1])
+    assert stats["iters"] > 0 and stats["lanes"] > 0
+    assert 0.0 < stats["occupancy"] <= 1.0
+    # every camera ray traces at least one segment
+    assert stats["segments_per_camera_ray"] >= 1.0
+
+
 def test_cli_render_png_tiled(tmp_path):
     out = os.path.join(tmp_path, "img.png")
     rc = main(["render", "--scene", "huge", "--width", "24", "--height",

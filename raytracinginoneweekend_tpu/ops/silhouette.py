@@ -422,7 +422,7 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
         spheres keep an inside probe that actually hits.
     Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
     """
-    from . import math3, rng
+    from . import math3
     from .integrate import _bounce_step, trace
     from .intersect import closest_hit, hit_surface
     from ..models.scene import LAMBERT, METAL

@@ -54,6 +54,29 @@ def _previous_value() -> float | None:
     return value
 
 
+def _wait_for_backend(max_tries: int = 10, sleep_s: float = 120.0) -> None:
+    """Retry backend init through transient tunnel outages.
+
+    The axon TPU tunnel occasionally reports UNAVAILABLE for a while
+    (observed multi-hour outages); a benchmark run that lands in one
+    should wait it out rather than record a failure.
+    """
+    import time
+
+    import jax
+
+    for i in range(max_tries):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:  # backend setup error
+            if i == max_tries - 1:
+                raise
+            print(f"backend unavailable ({e}); retry {i + 1}/{max_tries} "
+                  f"in {sleep_s:.0f}s", file=sys.stderr)
+            time.sleep(sleep_s)
+
+
 def main() -> None:
     small = "--small" in sys.argv
 
@@ -63,6 +86,7 @@ def main() -> None:
         enable_persistent_cache)
 
     enable_persistent_cache()
+    _wait_for_backend()
 
     from raytracinginoneweekend_tpu.config import DEFAULT, RenderConfig
     from raytracinginoneweekend_tpu.models.camera import reference_cpu_camera

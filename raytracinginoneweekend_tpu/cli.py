@@ -292,7 +292,8 @@ def cmd_fit(args) -> int:
         spp=args.fit_spp, optimizer=optimizer, callback=callback,
         boundary_samples=args.boundary_samples,
         secondary_samples=args.secondary_samples,
-        secondary_vertex_depths=args.secondary_vertex_depths, **init)
+        secondary_vertex_depths=args.secondary_vertex_depths,
+        rr_grad=args.rr_grad, **init)
     if ckpt_path:
         save_checkpoint(ckpt_path, params, opt_state,
                         init.get("start_step", 0) + args.steps)
@@ -350,6 +351,10 @@ def main(argv=None) -> int:
                    help="path-vertex depths the secondary boundary term "
                         "covers (1 = first hit only; n sums vertex "
                         "depths 0..n-1)")
+    p.add_argument("--rr-grad", action="store_true",
+                   help="add the dielectric Russian-roulette branch-flip "
+                        "gradient term (needed for accurate ior "
+                        "gradients; ops/branchprob.py)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every", type=int, default=25)

@@ -1,0 +1,344 @@
+"""Delta-lobe vertex gradients: RR branch flips + direction-sweep edges.
+
+Dielectric and perfect-mirror vertices scatter along DETERMINISTIC
+directions (delta lobes), so the lobe-density edge sampling of
+ops/silhouette.py does not apply there; this module supplies the two
+gradient terms such vertices carry, both estimated with the same
+vertex-walk machinery (the integrator's own bounce step, the attached
+final hop) and both invisible to interior AD:
+
+1. The RUSSIAN-ROULETTE BRANCH-FLIP term (dielectric only), and
+2. the DIRECTION-SWEEP edge term: the reflected/refracted continuation
+   direction w(theta) moves with ior (Snell) and with geometry (the
+   attached hit normal/vertex), sweeping across scene silhouettes --
+   every crossing flips the continuation radiance. Measured on the
+   simple scene's glass sphere this sweep term is the DOMINANT part of
+   the true ior gradient.
+
+The reference's dielectric decides reflect vs refract by Russian roulette
+on the Schlick probability (raytracer.hxx:182-191, cuda_impl.cu:252-259):
+``scattered = ru < p_reflect ? reflected : refracted``. Interior AD at
+fixed RNG differentiates the radiance of the TAKEN branch only -- the
+dependence of the DECISION on theta is invisible (the select is piecewise
+constant in the uniform draw) -- yet the expected pixel value
+I = E[p L_reflect + (1 - p) L_refract] carries
+
+    dI/dtheta  (superset)  E[ dp/dtheta * (L_reflect - L_refract) ].
+
+Measured on the simple scene's glass sphere this term is ~99% of the true
+ior gradient: interior AD reports +0.0007 where central finite
+differences give +0.066 +- 0.002 (spp 64, eps 0.01-0.02, 3 FD keys).
+
+``branch_probability_surrogate`` estimates it with the same vertex
+machinery as the edge-sampled boundary terms (ops/silhouette.py): one
+jittered path vertex per batch pixel walked with the integrator's own
+bounce step, the Schlick probability evaluated ATTACHED (ior via the
+material gather; geometry via the attached final-hop normal), and both
+branch continuations probed with common random numbers on the detached
+scene. The surrogate scalar's gradient is the estimator; its value is
+irrelevant (callers add ``s - stop_gradient(s)`` to the loss).
+
+The TIR set boundary needs special care and turns out to DOMINATE on
+glass with internal transport: as ior moves, the total-internal-
+reflection cone sweeps the population of internal-bounce incidence
+angles, and every crossing flips p from schlick(<1) to 1 -- a delta
+term in the expected gradient (measured: the smooth-schlick part alone
+is ~ -0.013 on the simple scene's glass where FD says +0.066). The
+surrogate estimates it by KERNEL SMOOTHING the step *inside the
+surrogate only* (the forward render is untouched): with
+k = 1 - ri^2 (1 - cos^2) the refraction discriminant (TIR <=> k < 0),
+
+    p_surrogate = schlick + (1 - schlick) * sigmoid(-k / h)
+
+whose ior/geometry gradient spreads the crossing delta over a width-h
+band of vertices (consistent as h -> 0; O(h) bias from probing L at the
+band's actual directions, O(1/h) variance -- h defaults to 0.02,
+validated against FD on the glass configs). TIR-band lanes probe the
+refract branch along the grazing k=0 direction (the physical limit), so
+no NaNs enter.
+
+The DIRECTION-SWEEP term uses the same kernel idea on the direction
+sphere: for each delta branch w(theta) (reflect: weight p; refract:
+weight 1-p; a mirror metal's reflect: weight 1), the branch is first
+FOLLOWED through the deterministic dielectric chain -- refracting at
+every dielectric interface with the ATTACHED Snell map, falling back to
+the (also deterministic) internal reflection under TIR, accumulating
+the renderer's probability of that arm -- until it reaches air:
+straight-line edge geometry is only valid there (from inside glass the
+hollow sphere acts as a lens and even INVERTS the image; evaluated
+naively the term came out sign-flipped). On the final air segment the
+nearest sphere-silhouette cone edge is found (g = angle(w, axis_j) -
+beta_j, analytic like ops/silhouette.py), the radiance jump across that
+edge is probed with a common-random-number pair straddling the cone at
+the point nearest w, and the crossing delta is kernel-smoothed over a
+width-h angular band:
+
+    surrogate -= detach(cot . thru (f_in - f_out) K_h(g) p_branch) * g(theta)
+
+with g(theta) attached through w(theta) (normal + ior), the candidate
+sphere's center/radius, AND the vertex y(theta) -- so occluder motion,
+receiver motion, Snell bending, and normal rotation all flow. Vertices
+on materials with non-delta lobes contribute exactly zero here (their
+edge term lives in ops/silhouette.py -- disjoint by material, no double
+counting).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TraceOptions
+from ..models.camera import Camera
+from ..models.scene import Scene
+
+TAG_RR_VERTEX = 120  # fold_in tags (disjoint from silhouette.py's 101-108)
+TAG_RR_PROBE = 121
+TAG_RR_DEPTH = 122
+TAG_SWEEP_PROBE = 123  # + branch index
+
+
+def branch_probability_surrogate(scene: Scene, cam: Camera,
+                                 camera_mode: str, cot, pixel_ids,
+                                 width: int, height: int, base_key,
+                                 max_depth: int, options: TraceOptions,
+                                 vertex_depth: int = 0,
+                                 tir_bandwidth: float = 0.02,
+                                 sweep_bandwidth: float = 0.03,
+                                 probe_delta: float = 2e-3):
+    """Surrogate scalar for BOTH delta-lobe terms (module docstring).
+
+    Args:
+      cot: (P, 3) dL/dI for exactly the ``pixel_ids`` batch (detached).
+      vertex_depth: walk the vertex this many bounces of the renderer's
+        own contract first (any prefix materials), like the secondary
+        boundary term.
+      tir_bandwidth: kernel width h (in refraction-discriminant units)
+        smoothing the TIR step inside the RR surrogate.
+      sweep_bandwidth: angular kernel width (radians) of the
+        direction-sweep edge term.
+      probe_delta: angular half-offset (radians) of the sweep probe
+        pair, clamped to half the candidate's cone half-angle.
+    Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
+    """
+    from . import math3
+    from .integrate import _bounce_step, trace
+    from .intersect import closest_hit, hit_surface
+    from ..models.scene import DIELECTRIC, METAL
+    from ..render import make_primary_rays
+
+    p_count = pixel_ids.shape[0]
+    scene_det = jax.lax.stop_gradient(scene)
+
+    # 1. One vertex per batch pixel, walked with the integrator's step.
+    vkey = jax.random.fold_in(base_key, TAG_RR_VERTEX)
+    o, d, ray_keys = make_primary_rays(cam, pixel_ids,
+                                       jnp.zeros_like(pixel_ids), vkey,
+                                       width, height, camera_mode)
+    state = (o, d, jnp.ones((p_count, 3), jnp.float32),
+             jnp.zeros((p_count, 3), jnp.float32),
+             jnp.ones((p_count,), bool), ray_keys)
+    # Track whether the prefix already visited a delta vertex: the sweep
+    # term (step 5) follows the WHOLE deterministic chain from the first
+    # delta vertex, so firing it again at deeper chain vertices would
+    # double-count the same crossings (measured: it cancelled the vd=0
+    # term almost exactly). RR terms are per-interface and stay at every
+    # depth.
+    prefix_delta = jnp.zeros((p_count,), bool)
+    for b in range(vertex_depth):
+        o_b, d_b = state[0], state[1]
+        _, idx_b, hit_b = closest_hit(o_b, d_b, scene_det.centers,
+                                      scene_det.radii, options.t_min,
+                                      options.sphere_block)
+        mb = scene_det.material_index[idx_b]
+        prefix_delta = prefix_delta | (
+            hit_b & ((scene_det.mtype[mb] == DIELECTRIC)
+                     | ((scene_det.mtype[mb] == METAL)
+                        & (scene_det.fuzz[mb] <= 1e-3))))
+        state = _bounce_step(scene_det, options, state, b)
+    o, d, path_alb, _, alive, _ = state
+
+    # Final hop ATTACHED (cf. silhouette.py receiver motion): the normal
+    # at y(theta) carries the geometry dependence of cos/Schlick.
+    t_a, idx, hit = closest_hit(o, d, scene.centers, scene.radii,
+                                options.t_min, options.sphere_block)
+    y_att, n_att = hit_surface(o, d, t_a, idx, hit, scene.centers,
+                               scene.radii)
+    y = jax.lax.stop_gradient(y_att)
+    n_det = jax.lax.stop_gradient(n_att)
+    mi = scene_det.material_index[idx]
+    is_diel = scene_det.mtype[mi] == DIELECTRIC
+    is_mirror = ((scene_det.mtype[mi] == METAL)
+                 & (scene_det.fuzz[mi] <= 1e-3))
+    active = alive & hit & is_diel
+
+    # 2. Attached reflection probability, TIR step kernel-smoothed
+    # (ops/scatter.py semantics: entering by sign of cos; both refract
+    # expressions share this discriminant, so k < 0 <=> TIR in the
+    # "physical" and the bug-compatible reference mode alike).
+    ior_att = scene.ior[mi]  # ATTACHED gather
+    unit_dir = math3.normalize(d)  # prefix: detached
+    cos_theta = jnp.sum(unit_dir * n_att, axis=-1)
+    entering = cos_theta <= 0.0
+    outward = jnp.where(entering[:, None], n_att, -n_att)
+    ri = jnp.where(entering, 1.0 / ior_att, ior_att)
+    cos_abs = jnp.abs(cos_theta)
+    cos_o = jnp.sum(outward * unit_dir, axis=-1)
+    k_att = 1.0 - ri * ri * (1.0 - cos_o * cos_o)
+    schlick_att = math3.schlick(ri, cos_abs)
+    p_att = schlick_att + (1.0 - schlick_att) * jax.nn.sigmoid(
+        -k_att / tir_bandwidth)
+
+    # 3. ATTACHED branch directions. The refract direction clamps the
+    # discriminant at 0 (double-where: sqrt's backward is inf there) --
+    # the k <= 0 limit IS the grazing direction the TIR band crosses
+    # through, so probes stay NaN-free everywhere.
+    det = jax.lax.stop_gradient
+    reflected_att = math3.reflect(unit_dir, n_att)
+    kpos = k_att > 0.0
+    sq_att = jnp.where(kpos, jnp.sqrt(jnp.where(kpos, k_att, 1.0)), 0.0)
+    refracted_att = (ri[:, None] * unit_dir
+                     - (ri * cos_o + sq_att)[:, None] * outward)
+    probe_depth = max(max_depth - 1 - vertex_depth, 0)
+
+    # RR term: both continuations with common random numbers.
+    pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.fold_in(base_key, TAG_RR_PROBE),
+        jnp.arange(p_count, dtype=jnp.int32))
+    o_all = jnp.concatenate([y, y])
+    d_all = det(jnp.concatenate([reflected_att, refracted_att]))
+    k_all = jnp.concatenate([pkeys, pkeys])
+    f_all = trace(scene_det, o_all, d_all, k_all, probe_depth, options)
+    l_reflect = f_all[:p_count]
+    l_refract = f_all[p_count:]
+
+    # 4. Detached RR weight; the only attached factor is p(theta). The
+    # vertex attenuation is the material albedo (material.hxx:33-38).
+    thru = cot * path_alb * scene_det.albedo[mi]
+    w = jnp.sum(thru * (l_reflect - l_refract), axis=-1)
+    w = det(jnp.where(active, w, 0.0))
+    surrogate = jnp.sum(w * p_att)
+
+    # 5. DIRECTION-SWEEP edge term per delta branch (module docstring).
+    # True branch probability (step TIR, detached) weights each branch;
+    # mirrors have a single reflect branch of weight 1.
+    p_step = det(jnp.where(k_att < 0.0, 1.0, schlick_att))
+    active_delta = alive & hit & (is_diel | is_mirror)
+    prob_reflect = jnp.where(is_mirror, 1.0, p_step)
+    prob_refract = jnp.where(is_diel, 1.0 - p_step, 0.0)
+    h = sweep_bandwidth
+    n_chain = 5  # refract-chain unroll: hollow glass exits in <= 4 hits
+
+    def chain_step(y_c, w_c, done, prob):
+        """Follow the deterministic dielectric chain one interface.
+
+        Straight-line cone geometry is WRONG from inside glass (the
+        hollow sphere acts as a lens -- it even inverts the image, which
+        flipped the term's sign when measured naively), so the edge term
+        must be evaluated on the FINAL AIR SEGMENT: whenever the current
+        segment's hit is a dielectric, refract through it (ATTACHED
+        Snell; TIR falls back to the deterministic internal reflection)
+        and keep walking; any other hit or a miss means (y_c, w_c)
+        already is the air segment. ``prob`` accumulates the renderer's
+        probability of this deterministic arm (1-p per refraction, 1
+        under TIR); internal RR *reflections* are dropped (higher-order,
+        module docstring).
+        """
+        t_c, idx_c, hit_c = closest_hit(y_c, w_c, scene.centers,
+                                        scene.radii, options.t_min,
+                                        options.sphere_block)
+        yh, nh = hit_surface(y_c, w_c, t_c, idx_c, hit_c, scene.centers,
+                             scene.radii)
+        mic = scene_det.material_index[idx_c]
+        is_d = hit_c & (scene_det.mtype[mic] == DIELECTRIC) & ~done
+        u = math3.normalize(w_c)
+        cosn = jnp.sum(u * nh, axis=-1)
+        ent = cosn <= 0.0
+        ior_c = scene.ior[mic]  # attached
+        outw = jnp.where(ent[:, None], nh, -nh)
+        rif = jnp.where(ent, 1.0 / ior_c, ior_c)
+        cos_oc = jnp.sum(outw * u, axis=-1)
+        kc = 1.0 - rif * rif * (1.0 - cos_oc * cos_oc)
+        kp = kc > 0.0
+        sqc = jnp.where(kp, jnp.sqrt(jnp.where(kp, kc, 1.0)), 0.0)
+        refr = rif[:, None] * u - (rif * cos_oc + sqc)[:, None] * outw
+        refl = math3.reflect(u, nh)
+        tir_c = kc < 0.0
+        w_new = jnp.where(tir_c[:, None], refl, refr)
+        p_cont = jnp.where(tir_c, 1.0,
+                           1.0 - math3.schlick(rif, jnp.abs(cosn)))
+        prob = prob * jnp.where(is_d, det(p_cont), 1.0)
+        y_out = jnp.where(is_d[:, None], yh, y_c)
+        w_out = jnp.where(is_d[:, None], w_new, w_c)
+        return y_out, w_out, done | ~is_d, prob
+
+    for br, (w_br_att, prob_br) in enumerate(
+            [(reflected_att, prob_reflect), (refracted_att, prob_refract)]):
+        y_f, w_f = y_att, w_br_att
+        done = jnp.zeros((p_count,), bool)
+        prob = det(prob_br)
+        for _ in range(n_chain):
+            y_f, w_f, done, prob = chain_step(y_f, w_f, done, prob)
+
+        w_hat_att = math3.normalize(w_f)
+        w_hat = det(w_hat_att)
+        y_fd = det(y_f)
+
+        # Nearest cone edge over all spheres from the final air vertex
+        # (detached selection; own/enclosing spheres excluded).
+        m_all = scene_det.centers[None] - y_fd[:, None]
+        dist = jnp.linalg.norm(m_all, axis=-1)
+        rho = jnp.abs(scene_det.radii)[None]
+        sil_ok = dist > rho * (1.0 + 1e-5)
+        dist_s = jnp.where(sil_ok, dist, 1.0)
+        m_hat = m_all / dist_s[..., None]
+        beta_all = jnp.arcsin(jnp.clip(rho / dist_s, 0.0, 1.0 - 1e-7))
+        cosang = jnp.sum(w_hat[:, None, :] * m_hat, axis=-1)
+        ang = jnp.arccos(jnp.clip(cosang, -1.0 + 1e-7, 1.0 - 1e-7))
+        g_all = jnp.where(sil_ok, jnp.abs(ang - beta_all), jnp.inf)
+        j_star = jnp.argmin(g_all, axis=-1).astype(jnp.int32)
+        any_ok = jnp.isfinite(jnp.min(g_all, axis=-1))
+
+        # Attached edge distance through w(theta), y(theta), c_j, r_j.
+        c_s = scene.centers[j_star]
+        r_s = scene.radii[j_star]
+        mv = c_s - y_f
+        dist_a = jnp.maximum(jnp.linalg.norm(mv, axis=-1), 1e-6)
+        beta_a = jnp.arcsin(jnp.clip(jnp.abs(r_s) / dist_a,
+                                     0.0, 1.0 - 1e-7))
+        cos_a = jnp.sum(w_hat_att * mv / dist_a[:, None], axis=-1)
+        g_att = jnp.arccos(jnp.clip(cos_a, -1.0 + 1e-7, 1.0 - 1e-7)
+                           ) - beta_a
+        g_det = det(g_att)
+
+        # Probe pair straddling the cone at the point nearest w.
+        a_hat = det(mv / dist_a[:, None])
+        t_raw = w_hat - jnp.sum(w_hat * a_hat, axis=-1, keepdims=True
+                                ) * a_hat
+        t_norm = jnp.linalg.norm(t_raw, axis=-1)
+        ok_t = t_norm > 1e-6  # w parallel to the axis: deep inside, K=0
+        t_hat = t_raw / jnp.maximum(t_norm, 1e-6)[:, None]
+        beta_d = det(beta_a)
+        delta = jnp.minimum(probe_delta, 0.49 * beta_d)
+        w_in = (jnp.cos(beta_d - delta)[:, None] * a_hat
+                + jnp.sin(beta_d - delta)[:, None] * t_hat)
+        w_out = (jnp.cos(beta_d + delta)[:, None] * a_hat
+                 + jnp.sin(beta_d + delta)[:, None] * t_hat)
+        skeys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.fold_in(base_key, TAG_SWEEP_PROBE + br),
+            jnp.arange(p_count, dtype=jnp.int32))
+        f_sw = trace(scene_det, jnp.concatenate([y_fd, y_fd]),
+                     jnp.concatenate([w_in, w_out]),
+                     jnp.concatenate([skeys, skeys]), probe_depth, options)
+        f_in = f_sw[:p_count]
+        f_out = f_sw[p_count:]
+
+        # Triangular kernel on the angular distance; I(g) steps from f_in
+        # (inside, g < 0) to f_out, so dI/dtheta = -(f_in - f_out) K dg.
+        kern = jnp.maximum(0.0, 1.0 - jnp.abs(g_det) / h) / h
+        w_sw = (jnp.sum(thru * (f_in - f_out), axis=-1) * prob * kern)
+        w_sw = jnp.where(active_delta & ~prefix_delta & done & any_ok
+                         & ok_t, w_sw, 0.0)
+        surrogate = surrogate - jnp.sum(det(w_sw) * g_att)
+
+    return surrogate

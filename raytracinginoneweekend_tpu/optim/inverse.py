@@ -52,7 +52,8 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 max_depth: int, camera_mode: str, options, mesh=None,
                 boundary_samples: int = 0, secondary_samples: int = 0,
                 secondary_spheres: int = 2,
-                secondary_vertex_depths: int = 1, engine: str = "planar"):
+                secondary_vertex_depths: int = 1, rr_grad: bool = False,
+                engine: str = "planar"):
     """Mean-squared error between rendered and target pixel radiance.
 
     target_pixels: (P, 3) linear radiance for the same pixel_ids.
@@ -76,6 +77,12 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     via an extra diffuse bounce, or through a specular prefix chain.
     0 disables the secondary term entirely; depths whose probe
     continuation budget is exhausted (b >= max_depth - 1) are skipped.
+
+    rr_grad=True adds the dielectric Russian-roulette BRANCH-FLIP term
+    (ops/branchprob.py) at the same vertex depths: interior AD misses
+    ~99% of the true ior gradient without it (the reflect/refract
+    decision's probability dependence). Two probe traces per batch pixel
+    per depth.
 
     engine: "planar" (default -- (R, 128) planes + Pallas closest-hit with
     the analytic custom VJP, ops/integrate_planar.py) or "tiled" (the
@@ -107,7 +114,7 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
             out_specs=P(AXIS))(full_scene, cam, pixel_ids, base_key)
     diff = rendered - target_pixels
     loss = jnp.mean(diff * diff)
-    if boundary_samples or secondary_samples:
+    if boundary_samples or secondary_samples or rr_grad:
         cot = 2.0 * jax.lax.stop_gradient(diff) / diff.size
     if boundary_samples:
         from ..ops.silhouette import boundary_surrogate
@@ -136,6 +143,19 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 max_depth, options, n_angles=secondary_samples,
                 n_spheres=secondary_spheres, vertex_depth=b)
             loss = loss + sur2 - jax.lax.stop_gradient(sur2)
+    if rr_grad:
+        from ..ops.branchprob import (TAG_RR_DEPTH,
+                                      branch_probability_surrogate)
+
+        k3 = jax.random.fold_in(base_key, 0x51172)
+        for b in range(max(secondary_vertex_depths, 1)):
+            if max_depth - 1 - b <= 0:
+                break
+            sur3 = branch_probability_surrogate(
+                full_scene, cam, camera_mode, cot, pixel_ids, width,
+                height, jax.random.fold_in(k3, TAG_RR_DEPTH + b),
+                max_depth, options, vertex_depth=b)
+            loss = loss + sur3 - jax.lax.stop_gradient(sur3)
     return loss
 
 
@@ -143,7 +163,7 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
                     height: int, spp: int, max_depth: int, camera_mode: str,
                     options, mesh=None, boundary_samples: int = 0,
                     secondary_samples: int = 0, secondary_spheres: int = 2,
-                    secondary_vertex_depths: int = 1,
+                    secondary_vertex_depths: int = 1, rr_grad: bool = False,
                     engine: str = "planar"):
     """Build a jitted (params, opt_state, ...) -> (params, opt_state, loss).
 
@@ -161,7 +181,8 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
             boundary_samples=boundary_samples,
             secondary_samples=secondary_samples,
             secondary_spheres=secondary_spheres,
-            secondary_vertex_depths=secondary_vertex_depths, engine=engine)
+            secondary_vertex_depths=secondary_vertex_depths,
+            rr_grad=rr_grad, engine=engine)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -178,7 +199,7 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         init_opt_state=None, start_step: int = 0,
         boundary_samples: int = 0, secondary_samples: int = 0,
         secondary_spheres: int = 2, secondary_vertex_depths: int = 1,
-        engine: str = "planar"):
+        rr_grad: bool = False, engine: str = "planar"):
     """Optimize scene params toward a target image.
 
     target_image: (H, W, 3) linear radiance (as produced by render.render).
@@ -220,7 +241,8 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         boundary_samples=boundary_samples,
         secondary_samples=secondary_samples,
         secondary_spheres=secondary_spheres,
-        secondary_vertex_depths=secondary_vertex_depths, engine=engine)
+        secondary_vertex_depths=secondary_vertex_depths,
+        rr_grad=rr_grad, engine=engine)
 
     losses = []
     for i in range(start_step, start_step + steps):

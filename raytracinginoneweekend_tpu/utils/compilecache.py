@@ -17,9 +17,32 @@ RTW_JAX_CACHE_DIR=off to disable, or to a directory to force-enable.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DEFAULT = "~/.cache/raytracinginoneweekend_tpu/xla"
+
+
+def _host_cpu_tag() -> str:
+    """Hash of the host CPU feature set.
+
+    XLA:CPU caches AOT executables compiled FOR THE CACHING MACHINE'S
+    feature set; loading one on a host with different features is
+    documented to 'lead to execution errors such as SIGILL' -- and was
+    observed to SEGFAULT the test suite when the environment moved to a
+    different box. Scoping the cache directory by the cpuinfo flags line
+    makes cross-machine reuse structurally impossible.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
 
 
 def enable_persistent_cache(path: str | None = None) -> str | None:
@@ -33,6 +56,8 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     platforms = os.environ.get("JAX_PLATFORMS", "")
     if not forced and platforms and "cpu" not in platforms:
         return None  # remote backends never hit it (see module docstring)
+    if not forced:
+        path = os.path.join(path, _host_cpu_tag())
     path = os.path.expanduser(path)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -1,0 +1,211 @@
+"""Delta-lobe vertex gradients (ops/branchprob.py): RR branch flips and
+direction-sweep edge terms, FD-validated on configs where interior AD is
+provably blind.
+
+All tolerances follow the FD-first discipline of tests/test_silhouette.py:
+FD was measured across keys first, AD asserts land within ~2x its
+repeatability, and every slow test also asserts the term OFF measurably
+MISSES (causality, not mere agreement).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracinginoneweekend_tpu.config import DEFAULT
+from raytracinginoneweekend_tpu.models.camera import (make_camera,
+                                                      reference_cuda_camera)
+from raytracinginoneweekend_tpu.models.scene import (DIELECTRIC, LAMBERT,
+                                                     METAL, Scene,
+                                                     simple_scene_cuda)
+from raytracinginoneweekend_tpu.optim import render_loss
+from raytracinginoneweekend_tpu.render import render_pixels_impl
+
+
+def lone_glass_scene() -> Scene:
+    """A single glass sphere against the sky. At max_depth=2 the refract
+    branch ends BLACK (budget exhausted inside the glass), so the pixel
+    value is exactly p_reflect * sky: the whole ior dependence is the RR
+    decision probability, invisible to interior AD."""
+    return Scene(
+        centers=jnp.array([[0.0, 0.0, -2.0]], jnp.float32),
+        radii=jnp.array([0.6], jnp.float32),
+        material_index=jnp.array([0], jnp.int32),
+        mtype=jnp.array([DIELECTRIC], jnp.int32),
+        albedo=jnp.array([[1.0, 1.0, 1.0]], jnp.float32),
+        fuzz=jnp.array([0.0], jnp.float32),
+        ior=jnp.array([1.5], jnp.float32),
+    )
+
+
+def perfect_mirror_scene() -> Scene:
+    """Fuzz-0 metal ground + black occluder out of frustum on the mirror
+    direction: the occluder affects the image ONLY through the swept
+    reflection edge -- a delta lobe the density-based secondary term
+    cannot cover (ops/silhouette.py's documented gap)."""
+    return Scene(
+        centers=jnp.array([[0.0, -100.5, -1.0], [0.0, 0.49, -2.69]],
+                          jnp.float32),
+        radii=jnp.array([100.0, 0.3], jnp.float32),
+        material_index=jnp.array([0, 1], jnp.int32),
+        mtype=jnp.array([METAL, LAMBERT], jnp.int32),
+        albedo=jnp.array([[0.7, 0.7, 0.7], [0.0, 0.0, 0.0]], jnp.float32),
+        fuzz=jnp.array([0.0, 0.0], jnp.float32),
+        ior=jnp.array([1.0, 1.0], jnp.float32),
+    )
+
+
+def shadow_cam(w, h):
+    return make_camera((0, 0.5, 0.3), (0, -0.5, -1.2), (0, 1, 0), w / h,
+                       40.0, 0.0, 1.0)
+
+
+def _fd(loss_of, params, leaf, idx, eps, keys=(3, 5, 7)):
+    out = []
+    for kk in keys:
+        k2 = jax.random.key(kk)
+        up = dict(params)
+        up[leaf] = params[leaf].at[idx].add(eps)
+        dn = dict(params)
+        dn[leaf] = params[leaf].at[idx].add(-eps)
+        out.append(float((loss_of(up, False, k2) - loss_of(dn, False, k2))
+                         / (2 * eps)))
+    return out
+
+
+def test_rr_interior_blind_and_term_finite():
+    """Control: on the lone-glass config interior AD measures EXACTLY
+    zero for ior; rr_grad produces a nonzero finite gradient."""
+    w, h = 48, 36
+    scene = lone_glass_scene()
+    cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), w / h, 40.0, 0.0,
+                      1.0)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+
+    def loss_of(params, rr):
+        return render_loss(params, scene, cam, target, ids,
+                           jax.random.key(3), width=w, height=h, spp=4,
+                           max_depth=2, camera_mode="pinhole",
+                           options=DEFAULT, rr_grad=rr)
+
+    params = {"ior": scene.ior}
+    g0 = jax.grad(lambda p: loss_of(p, False))(params)
+    assert float(g0["ior"][0]) == 0.0
+    g1 = jax.grad(lambda p: loss_of(p, True))(params)
+    assert np.isfinite(float(g1["ior"][0]))
+    assert abs(float(g1["ior"][0])) > 0.0
+
+
+@pytest.mark.slow
+def test_rr_branch_flip_matches_finite_differences():
+    """FD parity of the pure RR term: lone glass at depth 2, where the
+    analytic pixel value is p_reflect(ior) * sky. Measured FD across
+    keys: +0.0424..+0.0449; AD +0.0464 (the probe's slight depth-budget
+    mismatch is inside the tolerance)."""
+    w, h = 64, 48
+    scene = lone_glass_scene()
+    cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), w / h, 40.0, 0.0,
+                      1.0)
+    key = jax.random.key(3)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    spp = 64
+    base = render_pixels_impl(scene, cam, ids, key, width=w, height=h,
+                              spp=spp, wave_spp=spp, max_depth=2,
+                              camera_mode="pinhole", options=DEFAULT)
+    target = base - 0.5
+
+    def loss_of(params, rr, k=key):
+        return render_loss(params, scene, cam, target, ids, k, width=w,
+                           height=h, spp=spp, max_depth=2,
+                           camera_mode="pinhole", options=DEFAULT,
+                           rr_grad=rr)
+
+    params = {"ior": scene.ior}
+    g = jax.grad(lambda p: loss_of(p, True))(params)
+    fds = _fd(loss_of, params, "ior", (0,), 0.01)
+    ad = float(g["ior"][0])
+    fd = float(np.mean(fds))
+    assert fd != 0.0
+    # Interior AD alone is exactly zero here (control test): the term IS
+    # the gradient.
+    assert np.isclose(ad, fd, rtol=0.12), (ad, fds)
+
+
+@pytest.mark.slow
+def test_mirror_sweep_matches_finite_differences():
+    """FD parity of the direction-sweep term at a PERFECT mirror: the
+    occluder is visible only in the fuzz-0 reflection (interior AD and
+    the density-based secondary term are both zero there). Measured FD
+    across keys: c_y +0.0078..+0.0090, r -0.1111..-0.1126,
+    c_z -0.0058..-0.0064; AD lands at +0.0085 / -0.1121 / -0.0057."""
+    w, h = 96, 72
+    scene = perfect_mirror_scene()
+    cam = shadow_cam(w, h)
+    key = jax.random.key(3)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    spp = 64
+    base = render_pixels_impl(scene, cam, ids, key, width=w, height=h,
+                              spp=spp, wave_spp=spp, max_depth=2,
+                              camera_mode="pinhole", options=DEFAULT)
+    target = base - 0.5
+
+    def loss_of(params, rr, k=key):
+        return render_loss(params, scene, cam, target, ids, k, width=w,
+                           height=h, spp=spp, max_depth=2,
+                           camera_mode="pinhole", options=DEFAULT,
+                           rr_grad=rr)
+
+    params = {"centers": scene.centers, "radii": scene.radii}
+    g0 = jax.grad(lambda p: loss_of(p, False))(params)
+    np.testing.assert_array_equal(np.asarray(g0["centers"][1]), 0.0)
+    g = jax.grad(lambda p: loss_of(p, True))(params)
+
+    for leaf, idx, eps, rtol in [("radii", (1,), 0.02, 0.05),
+                                 ("centers", (1, 1), 0.02, 0.15),
+                                 ("centers", (1, 2), 0.02, 0.15)]:
+        fds = _fd(loss_of, params, leaf, idx, eps)
+        ad = float(g[leaf][idx])
+        fd = float(np.mean(fds))
+        assert fd != 0.0
+        assert np.isclose(ad, fd, rtol=rtol), (leaf, idx, ad, fds)
+
+
+@pytest.mark.slow
+def test_hollow_glass_ior_matches_finite_differences():
+    """The flagship delta-chain case: the simple scene's HOLLOW glass
+    sphere (4 refracting interfaces -- a compound lens). Interior AD
+    reports ~1% of the true ior gradient (+0.0007 vs FD +0.066+-0.002);
+    with rr_grad (RR flips at every interface depth + the chain-followed
+    direction-sweep term) AD lands at +0.063..+0.068 across its keys.
+    Also asserts the miss WITHOUT the term (causality)."""
+    w, h = 96, 54
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    key = jax.random.key(3)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    spp = 64
+    base = render_pixels_impl(scene, cam, ids, key, width=w, height=h,
+                              spp=spp, wave_spp=spp, max_depth=6,
+                              camera_mode="pinhole", options=DEFAULT)
+    target = base - 0.5
+
+    def loss_of(params, rr, k=key):
+        return render_loss(params, scene, cam, target, ids, k, width=w,
+                           height=h, spp=spp, max_depth=6,
+                           camera_mode="pinhole", options=DEFAULT,
+                           rr_grad=rr, secondary_vertex_depths=3)
+
+    params = {"ior": scene.ior}
+    g0 = jax.grad(lambda p: loss_of(p, False))(params)
+    g = jax.grad(lambda p: loss_of(p, True))(params)
+    fds = _fd(loss_of, params, "ior", (2,), 0.015)
+    fd = float(np.mean(fds))
+    ad0 = float(g0["ior"][2])
+    ad = float(g["ior"][2])
+    assert fd != 0.0
+    # Interior AD alone captures almost nothing of the true gradient...
+    assert abs(ad0 - fd) > 0.5 * abs(fd), (ad0, fd)
+    # ...and the delta-lobe terms close it to FD repeatability.
+    assert np.isclose(ad, fd, rtol=0.15), (ad, fds)

@@ -173,6 +173,40 @@ def test_mirror_sweep_matches_finite_differences():
 
 
 @pytest.mark.slow
+def test_fit_recovers_ior_through_delta_terms():
+    """Inverse rendering capstone: fit() recovers the hollow glass's ior
+    (perturbed 1.5 -> 1.25) from pixels ONLY when the delta-lobe terms
+    supply the gradient. Measured: with rr_grad the optimum lands at
+    1.494 (loss 0.0112 -> 0.0020); without it adam stalls at 1.41 (the
+    interior term alone under-signals)."""
+    from raytracinginoneweekend_tpu.config import RenderConfig
+    from raytracinginoneweekend_tpu.optim import fit
+    from raytracinginoneweekend_tpu.render import render
+
+    w, h = 96, 54
+    cam = reference_cuda_camera(w, h)
+    cfg = RenderConfig(width=w, height=h, spp=16, max_depth=6,
+                       camera_mode="pinhole", options=DEFAULT)
+    truth = simple_scene_cuda()
+    target = render(truth, cam, cfg, jax.random.key(0))
+    start = truth._replace(ior=truth.ior.at[2].set(1.25))
+
+    _, p_rr, _, losses_rr = fit(
+        start, cam, target, cfg, which=("ior",), steps=60,
+        learning_rate=2e-2, batch_pixels=w * h, spp=16, rr_grad=True,
+        secondary_vertex_depths=3, base_key=jax.random.key(5))
+    assert abs(float(p_rr["ior"][2]) - 1.5) < 0.03, p_rr["ior"]
+    assert losses_rr[-1] < losses_rr[0] * 0.3
+
+    _, p0, _, _ = fit(
+        start, cam, target, cfg, which=("ior",), steps=60,
+        learning_rate=2e-2, batch_pixels=w * h, spp=16, rr_grad=False,
+        secondary_vertex_depths=3, base_key=jax.random.key(5))
+    # Control: without the terms the recovery measurably stalls.
+    assert abs(float(p0["ior"][2]) - 1.5) > 0.05, p0["ior"]
+
+
+@pytest.mark.slow
 def test_hollow_glass_ior_matches_finite_differences():
     """The flagship delta-chain case: the simple scene's HOLLOW glass
     sphere (4 refracting interfaces -- a compound lens). Interior AD

@@ -235,6 +235,39 @@ def test_fit_with_mesh_psums_gradients():
                                atol=1e-6)
 
 
+def test_mesh_gradients_with_all_boundary_terms():
+    """render_loss gradients under the 8-device mesh match the unsharded
+    ones with EVERY gradient term enabled (primary + secondary boundary,
+    delta-lobe rr): the render shards over pixels, the surrogate terms
+    compute replicated -- both paths must agree to float tolerance."""
+    from raytracinginoneweekend_tpu.parallel import make_mesh
+
+    w, h = 32, 24
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+
+    def grad_of(mesh):
+        def loss_of(params):
+            return render_loss(params, scene, cam, target, ids,
+                               jax.random.key(3), width=w, height=h,
+                               spp=2, max_depth=4, camera_mode="pinhole",
+                               options=DEFAULT, mesh=mesh,
+                               boundary_samples=8, secondary_samples=4,
+                               secondary_spheres=1,
+                               secondary_vertex_depths=2, rr_grad=True)
+        return jax.grad(loss_of)(
+            {"centers": scene.centers, "radii": scene.radii,
+             "ior": scene.ior})
+
+    g1 = grad_of(None)
+    g2 = grad_of(make_mesh())
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=2e-4, atol=1e-7)
+
+
 def test_fit_metal_fuzz_no_nan_regression():
     """Regression: optimizing fuzz once produced NaN gradients -- sqrt's
     backward is inf at exactly 0 (normalize of a near-null lambert bounce,

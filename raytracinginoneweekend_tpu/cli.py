@@ -44,7 +44,8 @@ def _build_camera(name: str, width: int, height: int):
     }[name](width, height)
 
 
-def _options(compat: str, fusion: str | None = None):
+def _options(compat: str, fusion: str | None = None,
+             rr_terminate: bool = False):
     import dataclasses
 
     from . import config
@@ -56,6 +57,8 @@ def _options(compat: str, fusion: str | None = None):
     }[compat]
     if fusion is not None:
         opts = dataclasses.replace(opts, mega=fusion)
+    if rr_terminate:
+        opts = dataclasses.replace(opts, rr_terminate=True)
     return opts
 
 
@@ -88,6 +91,11 @@ def _add_render_flags(p: argparse.ArgumentParser):
                         "'fused' -- see ARCHITECTURE.md)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
+    p.add_argument("--rr-terminate", action="store_true",
+                   help="Russian-roulette path termination (unbiased "
+                        "estimator change: fewer traced segments, "
+                        "slightly higher MC variance; wavefront "
+                        "engines only)")
     p.add_argument("--stats", action="store_true",
                    help="print the wavefront engine's occupancy counters "
                         "(iterations, traced segments, lane occupancy) as "
@@ -109,7 +117,8 @@ def _render_image(args):
     camera_name = args.camera or ("cuda" if args.scene == "simple-cuda"
                                   else "cpu")
     cam = _build_camera(camera_name, args.width, args.height)
-    options = _options(args.compat, getattr(args, "fusion", None))
+    options = _options(args.compat, getattr(args, "fusion", None),
+                       getattr(args, "rr_terminate", False))
     key = jax.random.key(args.seed)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, camera_mode=args.mode,

@@ -55,14 +55,27 @@ class TraceOptions:
     #              per-row resolve matmuls serialize against the VPU);
     #   "off"    = closest-hit kernel with XLA fusions around it.
     mega: str = "fused"
+    # Russian-roulette PATH TERMINATION in the forward wavefront engines
+    # (opt-in ESTIMATOR change; the reference never terminates early).
+    # After a ray has completed >= rr_start bounces it survives each
+    # further bounce with q = clamp(max-channel(attenuation), rr_qmin, 1)
+    # and survivors are boosted by 1/q -- unbiased in expectation, same
+    # image mean at slightly higher variance, fewer traced segments.
+    # Draw: one extra threefry block per bounce at (TAG_BOUNCE + b,
+    # counter 2) -- existing draws are untouched, so rr_terminate=False
+    # is bit-identical to the historical contract.
+    rr_terminate: bool = False
+    rr_start: int = 3
+    rr_qmin: float = 0.05
 
     def __post_init__(self):
         assert self.scatter_sample in ("unit", "ball")
         assert self.sky in ("cuda", "cpu")
         assert self.refract in ("physical", "reference")
         assert self.intersect in ("jnp", "pallas")
-        assert self.gather in ("onehot", "take")
         assert self.mega in ("off", "bounce", "fused")
+        assert self.gather in ("onehot", "take")
+        assert self.rr_start >= 1 and 0.0 < self.rr_qmin <= 1.0
 
 
 # The semantics of the reference's ACTIVE renderer (the CUDA path).

@@ -72,7 +72,9 @@ def _kernel_shade_regen(
         rows: int, max_depth: int, unit_sample: bool,
         phys_refract: bool, sky_bias: float, width: int, height: int,
         spp: int, task_samples: int, tpp: int, n_tasks: int,
-        n_slots: int, stride: int, camera_mode: str):
+        n_slots: int, stride: int, camera_mode: str,
+        rr_terminate: bool = False, rr_start: int = 3,
+        rr_qmin: float = 0.05):
     # refs = [hit, t, 10 resolved params, state (19 + 4*n_slots)] inputs
     # followed by the (19 + 4*n_slots) state outputs.
     n_state = N_BASE + 4 * n_slots
@@ -146,6 +148,19 @@ def _kernel_shade_regen(
         ax = jnp.where(keep, ax * alr_ref[:], ax)
         ay = jnp.where(keep, ay * alg_ref[:], ay)
         az = jnp.where(keep, az * alb_ref[:], az)
+        if rr_terminate:
+            # Russian-roulette termination: identical draws/semantics to
+            # the XLA path (ops/wavefront.py) -- TAG_BOUNCE + depth,
+            # counter 2; survivors boost 1/q, casualties die like absorb.
+            tag = jnp.uint32(2) + dep.astype(jnp.uint32)  # rng.TAG_BOUNCE
+            u_rr, _ = tf.draw_uniform2(k0, k1, tag, 2)
+            q = jnp.clip(jnp.maximum(ax, jnp.maximum(ay, az)),
+                         rr_qmin, 1.0)
+            consider = keep & (dep + 1 >= rr_start)
+            surv = consider & (u_rr < q)
+            boost = jnp.where(surv, 1.0 / q, 1.0)
+            ax, ay, az = ax * boost, ay * boost, az * boost
+            keep = keep & (~consider | surv)
         dep = jnp.where(keep, dep + 1, dep)
 
         # ---- regenerate for the NEXT iteration (= wavefront.regen) ----
@@ -274,7 +289,9 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
                 phys_refract: bool, sky_bias: float, width: int,
                 height: int, spp: int, task_samples: int, tpp: int,
                 n_tasks: int, n_slots: int, stride: int,
-                camera_mode: str, interpret: bool | None = None):
+                camera_mode: str, rr_terminate: bool = False,
+                rr_start: int = 3, rr_qmin: float = 0.05,
+                interpret: bool | None = None):
     """One fused shade+state-update+regen step on the lane state.
 
     lane_state: ops/wavefront.py's (19 + 4*n_slots)-plane tuple
@@ -320,7 +337,9 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
             unit_sample=unit_sample, phys_refract=phys_refract,
             sky_bias=sky_bias, width=width, height=height, spp=spp,
             task_samples=task_samples, tpp=tpp, n_tasks=n_tasks,
-            n_slots=n_slots, stride=stride, camera_mode=camera_mode),
+            n_slots=n_slots, stride=stride, camera_mode=camera_mode,
+            rr_terminate=rr_terminate, rr_start=rr_start,
+            rr_qmin=rr_qmin),
         grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
     )(camvec, base_words, hit_i, t_b, *params, *state_in)
     return (tuple(out[:3]) + (out[ACT] > 0,) + tuple(out[4:n_state]))

@@ -22,6 +22,9 @@ in-kernel RNG and ``oracle/`` all follow it):
     jitter   : tag TAG_JITTER, j=0            -> (u, v) pixel jitter
     lens     : tag TAG_LENS,   j=0 (+ j=1 for the cpu-mode 3rd uniform)
     bounce b : tag TAG_BOUNCE+b, j=0 -> scatter u0,u1; j=1 -> u2, rr
+               (j=2 word0 -> the Russian-roulette termination uniform,
+               drawn ONLY when TraceOptions.rr_terminate -- the default
+               contract never consumes it)
 
 COST is a first-class property of this contract (regen/shade RNG is the
 wavefront engine's per-iteration elementwise tax; profiled ~7% of the

@@ -73,6 +73,37 @@ def test_wavefront_deposit_modes_and_slots_match():
     np.testing.assert_allclose(a, c, rtol=2e-4, atol=2e-5)
 
 
+def test_rr_termination_unbiased_and_saves_segments():
+    """Opt-in Russian-roulette path termination (TraceOptions.rr_*):
+    (a) the fused kernel and the XLA fallback draw/act identically,
+    (b) traced segments drop materially, (c) the estimator stays
+    unbiased -- global image mean within MC noise of the baseline
+    (measured: 23.6% fewer segments, mean delta 0.0007 at spp 128)."""
+    import dataclasses
+
+    w, h, spp, depth = 32, 24, 128, 12
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    key = jax.random.key(5)
+    kw = dict(width=w, height=h, spp=spp, max_depth=depth,
+              camera_mode="thinlens", pool_size=4096)
+    rr = dataclasses.replace(DEFAULT, rr_terminate=True, rr_start=2,
+                             rr_qmin=0.05)
+
+    base, sb = render_wavefront(scene, cam, key, options=DEFAULT,
+                                return_stats=True, **kw)
+    img_rr, sr = render_wavefront(scene, cam, key, options=rr,
+                                  return_stats=True, **kw)
+    img_xla = render_wavefront(
+        scene, cam, key, options=dataclasses.replace(rr, mega="off"), **kw)
+    base, img_rr, img_xla = map(np.asarray, (base, img_rr, img_xla))
+    np.testing.assert_allclose(img_rr, img_xla, rtol=2e-4, atol=2e-5)
+    assert int(sr["segments"]) < 0.9 * int(sb["segments"])
+    assert np.isfinite(img_rr).all()
+    assert abs(float(img_rr.mean()) - float(base.mean())) < 5e-3
+    assert np.abs(img_rr - base).mean() < 0.02
+
+
 def test_wavefront_huge_scene_finite():
     w, h = 32, 21
     scene = huge_scene(0)

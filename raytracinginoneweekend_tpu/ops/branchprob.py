@@ -92,6 +92,27 @@ from ..config import TraceOptions
 from ..models.camera import Camera
 from ..models.scene import Scene
 
+def _refract_dir_clamped(u, outward, ri, cos_o, k, phys: bool):
+    """Refraction direction with the discriminant clamped at 0.
+
+    Matches the renderer's SELECTED expression -- "physical" Snell
+    (math3.refract) or the reference's scalar-broadcast form
+    (math3.refract_reference, math.hxx:300-309) -- so probes and the
+    deterministic chain follow the directions the renderer actually
+    takes under every compat mode. k <= 0 yields the grazing limit
+    (sq = 0) instead of NaN/zero, which is what the TIR-band smoothing
+    crosses through.
+    """
+    kp = k > 0.0
+    sq = jnp.where(kp, jnp.sqrt(jnp.where(kp, k, 1.0)), 0.0)
+    if phys:
+        return ri[:, None] * u - (ri * cos_o + sq)[:, None] * outward
+    # reference: i*eta - (n*sq + cos_i*eta) with cos_i*eta broadcast
+    # per component (cos_i = dot(outward, u) = cos_o).
+    return u * ri[:, None] - (outward * sq[:, None]
+                              + (cos_o * ri)[:, None])
+
+
 TAG_RR_VERTEX = 120  # fold_in tags (disjoint from silhouette.py's 101-108)
 TAG_RR_PROBE = 121
 TAG_RR_DEPTH = 122
@@ -146,16 +167,13 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     # depth.
     prefix_delta = jnp.zeros((p_count,), bool)
     for b in range(vertex_depth):
-        o_b, d_b = state[0], state[1]
-        _, idx_b, hit_b = closest_hit(o_b, d_b, scene_det.centers,
-                                      scene_det.radii, options.t_min,
-                                      options.sphere_block)
+        state, (idx_b, hit_b) = _bounce_step(scene_det, options, state, b,
+                                             return_hit=True)
         mb = scene_det.material_index[idx_b]
         prefix_delta = prefix_delta | (
             hit_b & ((scene_det.mtype[mb] == DIELECTRIC)
                      | ((scene_det.mtype[mb] == METAL)
                         & (scene_det.fuzz[mb] <= 1e-3))))
-        state = _bounce_step(scene_det, options, state, b)
     o, d, path_alb, _, alive, _ = state
 
     # Final hop ATTACHED (cf. silhouette.py receiver motion): the normal
@@ -194,11 +212,10 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     # the k <= 0 limit IS the grazing direction the TIR band crosses
     # through, so probes stay NaN-free everywhere.
     det = jax.lax.stop_gradient
+    phys = options.refract == "physical"
     reflected_att = math3.reflect(unit_dir, n_att)
-    kpos = k_att > 0.0
-    sq_att = jnp.where(kpos, jnp.sqrt(jnp.where(kpos, k_att, 1.0)), 0.0)
-    refracted_att = (ri[:, None] * unit_dir
-                     - (ri * cos_o + sq_att)[:, None] * outward)
+    refracted_att = _refract_dir_clamped(unit_dir, outward, ri, cos_o,
+                                         k_att, phys)
     probe_depth = max(max_depth - 1 - vertex_depth, 0)
 
     # RR term: both continuations with common random numbers.
@@ -259,9 +276,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         rif = jnp.where(ent, 1.0 / ior_c, ior_c)
         cos_oc = jnp.sum(outw * u, axis=-1)
         kc = 1.0 - rif * rif * (1.0 - cos_oc * cos_oc)
-        kp = kc > 0.0
-        sqc = jnp.where(kp, jnp.sqrt(jnp.where(kp, kc, 1.0)), 0.0)
-        refr = rif[:, None] * u - (rif * cos_oc + sqc)[:, None] * outw
+        refr = _refract_dir_clamped(u, outw, rif, cos_oc, kc, phys)
         refl = math3.reflect(u, nh)
         tir_c = kc < 0.0
         w_new = jnp.where(tir_c[:, None], refl, refr)
@@ -270,15 +285,25 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         prob = prob * jnp.where(is_d, det(p_cont), 1.0)
         y_out = jnp.where(is_d[:, None], yh, y_c)
         w_out = jnp.where(is_d[:, None], w_new, w_c)
-        return y_out, w_out, done | ~is_d, prob
+        return y_out, w_out, done | ~is_d, prob, is_d
 
     for br, (w_br_att, prob_br) in enumerate(
             [(reflected_att, prob_reflect), (refracted_att, prob_refract)]):
         y_f, w_f = y_att, w_br_att
         done = jnp.zeros((p_count,), bool)
         prob = det(prob_br)
+        steps = jnp.zeros((p_count,), jnp.int32)
         for _ in range(n_chain):
-            y_f, w_f, done, prob = chain_step(y_f, w_f, done, prob)
+            y_f, w_f, done, prob, stepped = chain_step(y_f, w_f, done,
+                                                       prob)
+            steps = steps + stepped.astype(jnp.int32)
+        # The chain consumes renderer bounces: the final air segment must
+        # still fit the continuation budget or the true I(theta) has no
+        # crossing to differentiate (the probes would otherwise inject a
+        # spurious over-budget term). Residual: in-budget lanes' probes
+        # still trace the full probe_depth rather than the per-lane
+        # remainder -- second-order at the tested depths.
+        budget_ok = steps <= max_depth - 2 - vertex_depth
 
         w_hat_att = math3.normalize(w_f)
         w_hat = det(w_hat_att)
@@ -337,8 +362,8 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         # (inside, g < 0) to f_out, so dI/dtheta = -(f_in - f_out) K dg.
         kern = jnp.maximum(0.0, 1.0 - jnp.abs(g_det) / h) / h
         w_sw = (jnp.sum(thru * (f_in - f_out), axis=-1) * prob * kern)
-        w_sw = jnp.where(active_delta & ~prefix_delta & done & any_ok
-                         & ok_t, w_sw, 0.0)
+        w_sw = jnp.where(active_delta & ~prefix_delta & done
+                         & budget_ok & any_ok & ok_t, w_sw, 0.0)
         surrogate = surrogate - jnp.sum(det(w_sw) * g_att)
 
     return surrogate

@@ -85,8 +85,13 @@ def closest_hit_opt(origin, direction, scene: Scene, options: TraceOptions,
 
 
 def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
-                 allow_pallas: bool = False):
-    """One wavefront bounce. ``bounce`` may be a traced scalar."""
+                 allow_pallas: bool = False, return_hit: bool = False):
+    """One wavefront bounce. ``bounce`` may be a traced scalar.
+
+    return_hit=True also returns this bounce's (idx, hit) so callers
+    walking a vertex prefix (ops/branchprob.py) can classify the visited
+    materials without paying a second closest_hit.
+    """
     origin, direction, atten, result, alive, ray_keys = state
 
     t, idx, hit = closest_hit_opt(origin, direction, scene, options,
@@ -147,7 +152,10 @@ def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
     origin = jnp.where(scatter_now[:, None], pos, origin)
     direction = jnp.where(scatter_now[:, None], new_dir, direction)
 
-    return (origin, direction, atten, result, scatter_now, ray_keys)
+    out = (origin, direction, atten, result, scatter_now, ray_keys)
+    if return_hit:
+        return out, (idx, hit)
+    return out
 
 
 def _init_state(origins, directions, ray_keys):

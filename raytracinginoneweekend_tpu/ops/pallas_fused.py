@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import threefry as tf
-from .pallas_mega import kernel_bounce_draws, kernel_shade
+from .pallas_mega import TAG_BOUNCE, kernel_bounce_draws, kernel_shade
 
 LANES = 128
 TAG_JITTER = 0  # ops/rng.py
@@ -152,7 +152,7 @@ def _kernel_shade_regen(
             # Russian-roulette termination: identical draws/semantics to
             # the XLA path (ops/wavefront.py) -- TAG_BOUNCE + depth,
             # counter 2; survivors boost 1/q, casualties die like absorb.
-            tag = jnp.uint32(2) + dep.astype(jnp.uint32)  # rng.TAG_BOUNCE
+            tag = jnp.uint32(TAG_BOUNCE) + dep.astype(jnp.uint32)
             u_rr, _ = tf.draw_uniform2(k0, k1, tag, 2)
             q = jnp.clip(jnp.maximum(ax, jnp.maximum(ay, az)),
                          rr_qmin, 1.0)

@@ -181,6 +181,11 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                    else "scatter")
     if deposit not in ("ledger", "scatter"):
         raise ValueError(f"unknown deposit mode: {deposit!r}")
+    if options.rr_terminate and options.mega == "bounce":
+        raise ValueError(
+            "rr_terminate is implemented for mega='fused' and mega='off' "
+            "only (the whole-bounce megakernel is a measured-negative "
+            "variant kept for ablation)")
 
     sphere_params = sphere_params_from_scene(scene)
     # Sphere-group culling (pallas_segment.group_scene) measured net

@@ -97,6 +97,20 @@ def test_rr_interior_blind_and_term_finite():
     assert np.isfinite(float(g1["ior"][0]))
     assert abs(float(g1["ior"][0])) > 0.0
 
+    # The reference-compat refract expression is honored by the probes/
+    # chain too (finite, nonzero under REFERENCE_CUDA).
+    from raytracinginoneweekend_tpu.config import REFERENCE_CUDA
+
+    def loss_ref(params):
+        return render_loss(params, scene, cam, target, ids,
+                           jax.random.key(3), width=w, height=h, spp=4,
+                           max_depth=2, camera_mode="cuda",
+                           options=REFERENCE_CUDA, rr_grad=True)
+
+    g2 = jax.grad(loss_ref)(params)
+    assert np.isfinite(float(g2["ior"][0]))
+    assert abs(float(g2["ior"][0])) > 0.0
+
 
 @pytest.mark.slow
 def test_rr_branch_flip_matches_finite_differences():

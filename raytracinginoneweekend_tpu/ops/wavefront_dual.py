@@ -100,6 +100,11 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     (iterations, issue/active/blocked lane-iteration sums, candidate
     totals) for performance diagnosis.
     """
+    if options.rr_terminate:
+        raise ValueError(
+            "rr_terminate is not implemented in the dual-pool engine "
+            "(opt-in ablation variant); use the single-pool wavefront")
+
     n_pixels = width * height
     _, _, n_vp = cull.virtual_grid(width, height)
     task_samples = min(TASK_SAMPLES, spp)

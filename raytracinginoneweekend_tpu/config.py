@@ -55,6 +55,14 @@ class TraceOptions:
     #              per-row resolve matmuls serialize against the VPU);
     #   "off"    = closest-hit kernel with XLA fusions around it.
     mega: str = "fused"
+    # Closest-hit kernel LAYOUT in the wavefront engines (both Pallas,
+    # ops/pallas_segment.py): "sublane" = rays on (rows,128) planes,
+    # per-sphere SMEM scalar loop (the round-1/2 kernel); "mxu" =
+    # sphere-MINOR layout (rays on sublanes, spheres on lanes) with the
+    # two per-candidate dot products as small MXU matmuls. Same
+    # semantics up to f32 rounding on knife-edge candidates (the dots
+    # are algebraically regrouped).
+    hit_kernel: str = "sublane"
     # Russian-roulette PATH TERMINATION in the forward wavefront engines
     # (opt-in ESTIMATOR change; the reference never terminates early).
     # After a ray has completed >= rr_start bounces it survives each
@@ -74,6 +82,7 @@ class TraceOptions:
         assert self.refract in ("physical", "reference")
         assert self.intersect in ("jnp", "pallas")
         assert self.mega in ("off", "bounce", "fused")
+        assert self.hit_kernel in ("sublane", "mxu")
         assert self.gather in ("onehot", "take")
         assert self.rr_start >= 1 and 0.0 < self.rr_qmin <= 1.0
 

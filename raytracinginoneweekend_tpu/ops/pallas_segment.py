@@ -310,6 +310,152 @@ def _kernel_grouped(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM (S_pad,) sorted
         sb_ref[:] = s_b
 
 
+def _kernel_mxu(o8_ref, d8_ref, a_ref, do_ref, oo_ref, act_ref,  # VMEM
+                ct_ref, ccr_ref,  # VMEM sphere tables (8, SP) / (1, SP)
+                hit_ref, t_ref, sb_ref,
+                *, rb: int, sp: int, t_min: float):
+    """Sphere-MINOR closest hit: rays on sublanes, spheres on lanes.
+
+    The sublane-layout kernel (_kernel) recomputes two 3-term dot
+    products per (ray, sphere) candidate on the VPU -- ~14 of its ~27
+    ops. Putting the sphere axis on LANES makes those dots two small
+    MXU matmuls over the whole candidate matrix:
+
+        dC = D8 @ CT,  oC = O8 @ CT        (RB, 8) @ (8, SP)
+
+    with b = d.o - dC and c = |o|^2 - 2 oC + (|C|^2 - r^2), leaving only
+    ~13 elementwise ops per candidate (roots, window, min) on the VPU.
+    The per-ray scalars (a = |d|^2, d.o, |o|^2) arrive precomputed as
+    (RB, 1) columns; the winner comes from a lane-axis min + earliest-
+    index tie-break (same strict-< / earliest-sphere semantics as the
+    running min, cuda_impl.cu:183-188, because sphere id == lane id is
+    ascending).
+
+    Numerics: the dots are algebraically regrouped (d.o - d.C vs
+    d.(o - C)), so f32 rounding differs from _kernel on knife-edge
+    candidates -- same magnitude of cancellation noise (terms ~|o||C|),
+    but not bit-identical. The matmuls run at HIGHEST precision (bf16x6
+    passes ~ f32); DEFAULT bf16 would lose the radius term entirely
+    (see the bf16 candidate-filter negative, ARCHITECTURE.md).
+
+    Pad spheres carry ct = 0, ccr = 1e8: disc = (d.o)^2 - a(|o|^2+1e8)
+    <= -a*1e8 < 0 by Cauchy-Schwarz, so pads can never win.
+    """
+    any_active = jnp.any(act_ref[:] > 0)
+
+    @pl.when(jnp.logical_not(any_active))
+    def _():
+        hit_ref[:] = jnp.zeros((rb, 1), jnp.int32)
+
+    @pl.when(any_active)
+    def _():
+        hi = jax.lax.Precision.HIGHEST
+        dC = jnp.dot(d8_ref[:], ct_ref[:], precision=hi,
+                     preferred_element_type=jnp.float32)  # (RB, SP)
+        oC = jnp.dot(o8_ref[:], ct_ref[:], precision=hi,
+                     preferred_element_type=jnp.float32)
+        a = a_ref[:]  # (RB, 1)
+        bneg = dC - do_ref[:]  # -b = d.C - d.o
+        c = (oo_ref[:] - (oC + oC)) + ccr_ref[:]
+        sq = jnp.sqrt(bneg * bneg - a * c)  # NaN when disc < 0
+        q0 = bneg - sq
+        q1 = bneg + sq
+        q_min = t_min * a
+        cand = jnp.where(q0 > q_min, q0,
+                         jnp.where(q1 > q_min, q1, _BIG))
+        qm = jnp.min(cand, axis=1, keepdims=True)  # (RB, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rb, sp), 1)
+        idx = jnp.min(jnp.where(cand == qm, lane, sp), axis=1,
+                      keepdims=True)
+        hit = qm < _BIG
+        hit_ref[:] = hit.astype(jnp.int32)
+        t_ref[:] = jnp.where(hit, qm / a, _BIG)
+        sb_ref[:] = jnp.where(hit, idx, 0)
+
+
+MXU_MAX_SPHERES = 4096  # single lane-chunk; (RB, SP) must fit VMEM
+
+
+def segment_closest_hit_mxu(rays, cx, cy, cz, r, t_min, rb: int = 256,
+                            interpret: bool | None = None, active=None):
+    """Sphere-minor (MXU dot-product) closest hit; same contract as
+    segment_closest_hit up to f32 rounding on knife-edge candidates.
+
+    rays: 6-tuple of (R, 128) planes. Internally rays are relaid out as
+    (R*128, 1) columns and (R*128, 8) padded xyz matrices (cheap XLA
+    reshapes; ~1.5 MB per 32k-lane call), and outputs reshaped back.
+    rb: rays per grid program (multiple of 8, divides R*128).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ox, oy, oz, dx, dy, dz = rays
+    n_rows, lanes = ox.shape
+    r128 = n_rows * lanes
+    rb = min(rb, r128)
+    assert r128 % rb == 0, (r128, rb)
+    s = cx.shape[0]
+    assert s <= MXU_MAX_SPHERES, s
+    sp = -(-s // LANES) * LANES
+
+    def col(p):
+        return p.reshape(r128, 1)
+
+    def mat8(x, y, z):
+        m = jnp.stack([x.reshape(r128), y.reshape(r128), z.reshape(r128)],
+                      axis=-1)
+        return jnp.pad(m, ((0, 0), (0, 5)))
+
+    o8 = mat8(ox, oy, oz)
+    d8 = mat8(dx, dy, dz)
+    a = col(dx * dx + dy * dy + dz * dz)
+    do = col(dx * ox + dy * oy + dz * oz)
+    oo = col(ox * ox + oy * oy + oz * oz)
+    if active is None:
+        act = jnp.ones((r128, 1), jnp.int32)
+    else:
+        act = col(active.astype(jnp.int32))
+
+    ct = jnp.zeros((8, sp), jnp.float32)
+    ct = ct.at[0, :s].set(cx)
+    ct = ct.at[1, :s].set(cy)
+    ct = ct.at[2, :s].set(cz)
+    ccr = jnp.full((1, sp), 1e8, jnp.float32)
+    ccr = ccr.at[0, :s].set(cx * cx + cy * cy + cz * cz - r * r)
+
+    grid = r128 // rb
+    bs_col = pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    bs_m8 = pl.BlockSpec((rb, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    bs_ct = pl.BlockSpec((8, sp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    bs_ccr = pl.BlockSpec((1, sp), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    shapes = [jax.ShapeDtypeStruct((r128, 1), dt) for dt in
+              (jnp.int32, jnp.float32, jnp.int32)]
+    hit_c, t_c, sb_c = pl.pallas_call(
+        functools.partial(_kernel_mxu, rb=rb, sp=sp, t_min=float(t_min)),
+        grid=(grid,),
+        in_specs=[bs_m8, bs_m8, bs_col, bs_col, bs_col, bs_col,
+                  bs_ct, bs_ccr],
+        out_specs=[bs_col] * 3,
+        out_shape=shapes, interpret=interpret,
+    )(o8, d8, a, do, oo, act, ct, ccr)
+    return (hit_c.reshape(n_rows, lanes), t_c.reshape(n_rows, lanes),
+            sb_c.reshape(n_rows, lanes))
+
+
+def closest_hit_planar(rays, cx, cy, cz, r, t_min, rows: int = 128,
+                       interpret: bool | None = None, active=None,
+                       kernel: str = "sublane", rb: int = 256):
+    """Dispatch between the two planar closest-hit kernel layouts."""
+    if kernel == "mxu" and cx.shape[0] <= MXU_MAX_SPHERES:
+        return segment_closest_hit_mxu(rays, cx, cy, cz, r, t_min, rb=rb,
+                                       interpret=interpret, active=active)
+    return segment_closest_hit(rays, cx, cy, cz, r, t_min, rows=rows,
+                               interpret=interpret, active=active)
+
+
 def segment_closest_hit(rays, cx, cy, cz, r, t_min, rows: int = 128,
                         interpret: bool | None = None, active=None):
     """Raw closest-hit kernel over planar rays -> (hit_i, t, sphere_idx).
@@ -355,10 +501,10 @@ def segment_closest_hit(rays, cx, cy, cz, r, t_min, rows: int = 128,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_min", "rows", "interpret"))
+    jax.jit, static_argnames=("t_min", "rows", "interpret", "hit_kernel"))
 def trace_segment(rays, sphere_params, t_min, rows: int = 128,
                   interpret: bool | None = None, active=None,
-                  group_params=None):
+                  group_params=None, hit_kernel: str = "sublane"):
     """One fused trace segment over planar ray state.
 
     Args:
@@ -406,9 +552,9 @@ def trace_segment(rays, sphere_params, t_min, rows: int = 128,
             grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
         )(cx, cy, cz, r, *group_params, act, *rays)
     else:
-        hit_i, t_b, s_b = segment_closest_hit(
+        hit_i, t_b, s_b = closest_hit_planar(
             rays, cx, cy, cz, r, t_min, rows=rows, interpret=interpret,
-            active=active)
+            active=active, kernel=hit_kernel)
 
     return resolve_segment(rays, sphere_params, hit_i, t_b, s_b)
 

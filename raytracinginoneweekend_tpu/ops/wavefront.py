@@ -345,7 +345,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
 
         seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
                             options.t_min, rows=rows, active=active,
-                            group_params=group_params)
+                            group_params=group_params,
+                            hit_kernel=options.hit_kernel)
         hit = seg["hit"] > 0
         alr, alg, alb_ = seg["ar"], seg["ag"], seg["ab"]
 
@@ -401,14 +402,14 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         # a prologue below; per-ray semantics are unchanged (draws are
         # keyed by (pixel, sample, bounce), not engine iteration).
         from .pallas_fused import shade_regen
-        from .pallas_segment import resolve_params, segment_closest_hit
+        from .pallas_segment import closest_hit_planar, resolve_params
 
         (ox, oy, oz, dx, dy, dz) = state[4:10]
         active = state[3]
         cx, cy, cz, r = sphere_params[:4]
-        hit_i, t_b, s_b = segment_closest_hit(
+        hit_i, t_b, s_b = closest_hit_planar(
             (ox, oy, oz, dx, dy, dz), cx, cy, cz, r, options.t_min,
-            rows=rows, active=active)
+            rows=rows, active=active, kernel=options.hit_kernel)
         params = resolve_params(s_b, sphere_params)
         return shade_regen(
             state, (hit_i, t_b), params, camvec, base_words,

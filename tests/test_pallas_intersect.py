@@ -100,3 +100,48 @@ def test_grouped_kernel_matches_ungrouped():
         np.testing.assert_allclose(np.asarray(a[k])[hit],
                                    np.asarray(b[k])[hit], rtol=1e-6,
                                    atol=1e-6)
+
+
+def test_mxu_kernel_matches_sublane_kernel():
+    """Sphere-minor (MXU dot-product) closest hit vs the sublane kernel.
+
+    The dots are algebraically regrouped (d.o - d.C vs d.(o - C)), so t
+    agrees only to f32 cancellation noise on grazing candidates;
+    hit/winner flips are confined to knife-edge candidates and absent at
+    this seed.
+    """
+    from raytracinginoneweekend_tpu.ops.pallas_segment import (
+        segment_closest_hit, segment_closest_hit_mxu,
+        sphere_params_from_scene)
+
+    scene = huge_scene(0)
+    sp = sphere_params_from_scene(scene)
+    cx, cy, cz, r = sp[:4]
+    rng = np.random.default_rng(11)
+    shape = (16, 128)
+    ox = jnp.asarray(rng.uniform(-12, 12, shape).astype(np.float32))
+    oy = jnp.asarray(rng.uniform(0.05, 3, shape).astype(np.float32))
+    oz = jnp.asarray(rng.uniform(-12, 12, shape).astype(np.float32))
+    dx, dy, dz = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+                  for _ in range(3))
+    rays = (ox, oy, oz, dx, dy, dz)
+    h1, t1, s1 = segment_closest_hit(rays, cx, cy, cz, r, T_MIN, rows=8)
+    h2, t2, s2 = segment_closest_hit_mxu(rays, cx, cy, cz, r, T_MIN, rb=256)
+    h1, t1, s1, h2, t2, s2 = map(np.asarray, (h1, t1, s1, h2, t2, s2))
+    # Knife-edge candidates (grazing discriminants, far-root windows) may
+    # legitimately flip under the regrouped-dot rounding; everything else
+    # must agree exactly.
+    assert (h1 != h2).mean() < 5e-3
+    both = (h1 > 0) & (h2 > 0)
+    assert (s1[both] != s2[both]).mean() < 5e-3
+    agree = both & (s1 == s2)
+    # atol covers near-t_min grazing roots where cancellation noise is
+    # absolute (~1e-4), not relative.
+    np.testing.assert_allclose(t1[agree], t2[agree], rtol=5e-3, atol=2e-4)
+    assert h1.mean() > 0.3  # the sample actually exercises hits
+
+    # Dead-block skip: an all-inactive pool must not read stale memory.
+    act = jnp.zeros(shape, jnp.int32)
+    h3, _, _ = segment_closest_hit_mxu(rays, cx, cy, cz, r, T_MIN, rb=256,
+                                       active=act)
+    assert np.asarray(h3).sum() == 0

@@ -203,3 +203,29 @@ def test_wavefront_ray_id_overflow_guard():
         render_wavefront(scene, cam, jax.random.key(0), width=40000,
                          height=40000, spp=4096, max_depth=2,
                          camera_mode="pinhole", options=DEFAULT)
+
+
+def test_wavefront_hit_kernel_mxu_matches():
+    """options.hit_kernel='mxu' (sphere-minor MXU closest hit) must render
+    the same image as the sublane kernel except where a knife-edge
+    candidate resolves differently under the regrouped-dot f32 rounding:
+    those paths diverge entirely, so (like the golden-oracle suite) a
+    <=1% pixel outlier budget applies and everything else is tight."""
+    import dataclasses
+
+    w, h, spp, depth = 24, 16, 4, 6
+    scene = huge_scene(0)
+    cam = reference_cpu_camera(w, h)
+    key = jax.random.key(7)
+    kwargs = dict(width=w, height=h, spp=spp, max_depth=depth,
+                  camera_mode="thinlens", pool_size=1 << 12)
+    for mega in ("fused", "off"):
+        base = dataclasses.replace(DEFAULT, mega=mega)
+        a = np.asarray(render_wavefront(scene, cam, key, **kwargs,
+                                        options=base))
+        b = np.asarray(render_wavefront(
+            scene, cam, key, **kwargs,
+            options=dataclasses.replace(base, hit_kernel="mxu")))
+        err = np.abs(a - b) / (np.abs(a) + 1e-3)
+        outliers = (err.max(axis=-1) > 1e-3).mean()
+        assert outliers <= 0.01, (mega, outliers, err.max())

@@ -437,7 +437,17 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     # ``vertex_depth`` bounces of the INTEGRATOR'S OWN step
     # (integrate._bounce_step: same gather path, draw contract, and
     # liveness rule as the renderer -- one source of truth; the radiance
-    # accumulator it carries is simply unused here). Detached scene.
+    # accumulator it carries is simply unused here). The walk runs on
+    # the ATTACHED scene: with the random draws fixed, each prefix hop's
+    # position/normal/scattered direction is a smooth function of theta
+    # (the reparameterized path), so the resulting vertex y(theta) and
+    # edge directions carry the PREFIX-MOTION boundary component -- a
+    # shadow sweeping because the surface the path bounced off EARLIER
+    # moved (e.g. a mirror steering the view). Discrete outcomes inside
+    # the step (hit/miss flips, RR branch picks, metal absorb) are
+    # comparisons and carry no tangent, and every sampling DECISION
+    # downstream (candidate probabilities, lobe density, probe rays)
+    # still uses the stop_gradient'ed copies below.
     vkey = jax.random.fold_in(base_key, TAG_EDGE2_VERTEX)
     o, d, ray_keys = make_primary_rays(cam, pixel_ids,
                                        jnp.zeros_like(pixel_ids), vkey,
@@ -446,8 +456,9 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
              jnp.zeros((p_count, 3), jnp.float32),
              jnp.ones((p_count,), bool), ray_keys)
     for b in range(vertex_depth):
-        state = _bounce_step(scene_det, options, state, b)
+        state = _bounce_step(scene, options, state, b)
     o, d, path_alb, _, alive, _ = state
+    path_alb = jax.lax.stop_gradient(path_alb)
     # The FINAL hop runs on the ATTACHED scene: the vertex position
     # y(theta) rides the receiver sphere it lands on (closest_hit's t and
     # hit_surface's gathered center/radius are differentiable), so the

@@ -47,6 +47,13 @@ def main():
     rays = args.width * args.height * args.spp
 
     devices = jax.devices()
+    virtual = devices[0].platform == "cpu"
+    if virtual:
+        print(json.dumps({"note": (
+            "CORRECTNESS-ONLY: cpu backend means a host-simulated mesh; "
+            "all devices share one machine's FLOPs, so efficiency numbers "
+            "are meaningless. Real scaling needs a pod slice.")}),
+            flush=True)
     sizes = sorted({n for n in (1, 2, 4, 8, 16, 32, 64)
                     if n <= len(devices)})
     results = {}
@@ -63,13 +70,15 @@ def main():
         sec, _ = time_fn(run, warmup=1, iters=2)
         results[n] = rays / sec
         print(json.dumps({"devices": n, "rays_per_s": results[n],
-                          "seconds_per_frame": sec}), flush=True)
+                          "seconds_per_frame": sec,
+                          "virtual_mesh": virtual}), flush=True)
 
     base = results[sizes[0]]
     for n in sizes[1:]:
         eff = results[n] / (base * n / sizes[0])
-        print(json.dumps({"devices": n, "scaling_efficiency": eff}),
-              flush=True)
+        key = ("virtual_mesh_efficiency_meaningless" if virtual
+               else "scaling_efficiency")
+        print(json.dumps({"devices": n, key: eff}), flush=True)
 
 
 if __name__ == "__main__":

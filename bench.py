@@ -77,8 +77,35 @@ def _wait_for_backend(max_tries: int = 10, sleep_s: float = 120.0) -> None:
             time.sleep(sleep_s)
 
 
+def _kernel_floor_ns() -> float | None:
+    """Kernel-only ns/lane-slot from the newest docs/PHASE_PROFILE_r*.json.
+
+    Measured standalone by scripts/profile_phases.py (the closest-hit
+    Pallas kernel chained through a fori_loop at the headline pool shape).
+    Used to report how much of the frame sits at the kernel's measured
+    cost -- the utilization figure VERDICT r2 item 4 asks for.
+    """
+    best_round, value = -1, None
+    docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    for path in glob.glob(os.path.join(docs, "PHASE_PROFILE_r*.json")):
+        m = re.search(r"PHASE_PROFILE_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                v = float(json.load(f)["ns_per_lane_slot_hit"])
+        except (ValueError, TypeError, KeyError, OSError,
+                json.JSONDecodeError):
+            continue
+        if int(m.group(1)) > best_round:
+            best_round, value = int(m.group(1)), v
+    return value
+
+
 def main() -> None:
     small = "--small" in sys.argv
+
+    import dataclasses
 
     import jax
 
@@ -104,32 +131,75 @@ def main() -> None:
     scene = huge_scene(seed=0)
     cam = reference_cpu_camera(cfg.width, cfg.height)
     key = jax.random.key(0)
+    rays = render_rays_count(cfg)
 
-    def run():
-        return render_wavefront(
+    def arm(options, iters):
+        """One estimator arm: timed run + one stats run (same program
+        minus the counters, so the timed number carries no stats cost)."""
+        def run():
+            return render_wavefront(
+                scene, cam, key, width=cfg.width, height=cfg.height,
+                spp=cfg.spp, max_depth=cfg.max_depth,
+                camera_mode=cfg.camera_mode, options=options)
+
+        seconds, image = time_fn(run, warmup=1, iters=iters)
+        _, stats = render_wavefront(
             scene, cam, key, width=cfg.width, height=cfg.height,
             spp=cfg.spp, max_depth=cfg.max_depth,
-            camera_mode=cfg.camera_mode, options=cfg.options)
+            camera_mode=cfg.camera_mode, options=options,
+            return_stats=True)
+        it = int(stats["iters"])
+        segs = int(stats["segments"])
+        lanes = int(stats["lanes"])
+        slots = it * lanes
+        return {
+            "rays_per_s": rays / seconds,
+            "seconds_per_frame": seconds,
+            "segments": segs,
+            "segments_per_s": segs / seconds,
+            "iters": it,
+            "occupancy": segs / slots,
+            "ns_per_lane_slot": seconds / slots * 1e9,
+        }, image
 
-    # 4 timed iterations (min): thick enough for a headline number that
-    # gates vs_baseline regressions, while the axon tunnel's dispatch noise
-    # is already filtered by device-side timing in time_fn.
-    seconds, image = time_fn(run, warmup=1, iters=4)
-    rays = render_rays_count(cfg)
-    value = rays / seconds
+    # Arm 1 (headline): the reference-faithful estimator (no early path
+    # termination -- matches main.cxx:52-75 / cuda_impl.cu:265-297
+    # semantics). 4 timed iterations: thick enough to gate vs_baseline
+    # regressions; device-side timing in time_fn filters tunnel noise.
+    ref_arm, image = arm(cfg.options, iters=4)
+    # Arm 2: Russian-roulette path termination (unbiased estimator
+    # change, parity-gated vs the reference C++ harness in
+    # tests/test_reference_parity.py::test_rr_terminate_matches_reference).
+    rr_arm, _ = arm(dataclasses.replace(cfg.options, rr_terminate=True),
+                    iters=2)
 
+    value = ref_arm["rays_per_s"]
     prev = _previous_value()
+    floor_ns = _kernel_floor_ns()
     record = {
         "metric": "rays_per_s_per_chip_huge_1200x800_100spp_d50"
                   if not small else "rays_per_s_small_smoke",
         "value": value,
         "unit": "rays/s",
         "vs_baseline": (value / prev) if prev else 1.0,
-        "seconds_per_frame": seconds,
+        "seconds_per_frame": ref_arm["seconds_per_frame"],
         "camera_rays": rays,
         "spheres": int(scene.num_spheres),
         "device": str(jax.devices()[0].platform),
         "n_devices": jax.device_count(),
+        # Utilization (VERDICT r2 item 4): occupancy and per-lane-slot
+        # cost track kernel efficiency across rounds independent of
+        # estimator changes; pct_frame_at_kernel_floor = share of the
+        # frame spent at the standalone-measured closest-hit kernel cost
+        # (docs/PHASE_PROFILE_r*.json; scripts/profile_phases.py).
+        "occupancy": ref_arm["occupancy"],
+        "segments_per_s": ref_arm["segments_per_s"],
+        "ns_per_lane_slot": ref_arm["ns_per_lane_slot"],
+        "kernel_floor_ns_per_lane_slot": floor_ns,
+        "pct_frame_at_kernel_floor": (
+            floor_ns / ref_arm["ns_per_lane_slot"] if floor_ns else None),
+        # Both estimator arms in full (VERDICT r2 item 2).
+        "arms": {"reference_faithful": ref_arm, "rr_terminate": rr_arm},
     }
     print(json.dumps(record))
 

@@ -198,6 +198,72 @@ def test_defocus_active_matches_reference_cpp():
     assert corr > 0.995, corr
 
 
+@pytest.mark.slow
+def test_rr_terminate_matches_reference_cpp():
+    """Russian-roulette path termination vs the reference C++ harness.
+
+    rr_terminate is an ESTIMATOR change (unbiased path termination;
+    the reference never terminates early, main.cxx:52-75) -- this is
+    the external gate that lets it ship as a headline benchmark arm:
+    the rr-on wavefront engine's converged means must match the
+    reference renderer's own math to the same statistical bound as the
+    rr-off suite above.
+
+    Variance note: RR adds variance only to paths reaching >= rr_start
+    bounces whose attenuation max-channel is < 1 (survivors are boosted
+    1/q). On the simple scene the measured mean-abs deviation between
+    rr-on and rr-off at equal spp is ~15% of the per-run MC noise, so
+    the same 4x self-noise bound stays tight. The rr-on/rr-off image
+    pair is additionally compared directly (both ours) to pin the
+    estimator-change magnitude itself.
+    """
+    import dataclasses
+    import tempfile
+
+    import jax
+
+    from raytracinginoneweekend_tpu.config import REFERENCE_CPU
+    from raytracinginoneweekend_tpu.models.camera import make_camera
+    from raytracinginoneweekend_tpu.models.scene import simple_scene_cpu
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+
+    spp = 256
+    with tempfile.TemporaryDirectory() as tmp:
+        exe = _build_harness(tmp)
+        out = os.path.join(tmp, "ref.bin")
+        ref = []
+        for seed in (123, 456):
+            subprocess.run(
+                [exe, str(W), str(H), "1024", str(DEPTH), str(seed), "0",
+                 out], check=True, timeout=600)
+            ref.append(np.fromfile(out, np.float32).reshape(H, W, 3))
+
+        pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
+        focus = float(np.linalg.norm(np.subtract(pos, lookat)))
+        cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
+        opts_rr = dataclasses.replace(REFERENCE_CPU, rr_terminate=True)
+        kw = dict(width=W, height=H, spp=spp, max_depth=DEPTH,
+                  camera_mode="cpu")
+        scene = simple_scene_cpu()
+        key = jax.random.key(0)
+        ours_rr = np.asarray(render_wavefront(
+            scene, cam, key, options=opts_rr, **kw)).reshape(H, W, 3)
+        ours_off = np.asarray(render_wavefront(
+            scene, cam, key, options=REFERENCE_CPU, **kw)).reshape(H, W, 3)
+
+    self_noise = np.abs(ref[0] - ref[1]).mean()
+    diff = np.abs(ours_rr - ref[0]).mean()
+    assert diff < max(4.0 * self_noise, 0.01), (diff, self_noise)
+    la = ours_rr.mean(-1).ravel() - ours_rr.mean()
+    lb = ref[0].mean(-1).ravel() - ref[0].mean()
+    corr = float((la @ lb) / np.sqrt((la @ la) * (lb @ lb)))
+    assert corr > 0.995, corr
+    # The estimator change itself must be small at converged spp: the
+    # rr-on and rr-off means may differ only by RR's extra MC noise.
+    est_delta = np.abs(ours_rr - ours_off).mean()
+    assert est_delta < max(2.0 * self_noise, 0.01), (est_delta, self_noise)
+
+
 def _write_scene_bin(path, scene):
     import struct
 

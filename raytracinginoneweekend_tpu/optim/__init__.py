@@ -7,5 +7,5 @@ capability this framework adds (BASELINE config 5: "optimize sphere centers
 
 from .inverse import (  # noqa: F401
     DIFFERENTIABLE_LEAVES, params_from_scene, scene_with_params, render_loss,
-    make_train_step, fit)
+    render_pixels_vjp, make_train_step, fit)
 from .checkpoint import save_checkpoint, load_checkpoint  # noqa: F401

@@ -89,6 +89,26 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     (N, 3) scan engine). Same RNG contract, radiance agrees to f32
     reassociation.
     """
+    full_scene = scene_with_params(scene, params)
+    rendered = _render_batch(full_scene, cam, pixel_ids, base_key,
+                             width=width, height=height, spp=spp,
+                             max_depth=max_depth, camera_mode=camera_mode,
+                             options=options, mesh=mesh, engine=engine)
+    diff = rendered - target_pixels
+    loss = jnp.mean(diff * diff)
+    cot = 2.0 * jax.lax.stop_gradient(diff) / diff.size
+    return _attach_surrogates(
+        loss, cot, full_scene, cam, camera_mode, pixel_ids, base_key,
+        width=width, height=height, max_depth=max_depth, options=options,
+        boundary_samples=boundary_samples,
+        secondary_samples=secondary_samples,
+        secondary_spheres=secondary_spheres,
+        secondary_vertex_depths=secondary_vertex_depths, rr_grad=rr_grad)
+
+
+def _render_batch(full_scene, cam, pixel_ids, base_key, *, width, height,
+                  spp, max_depth, camera_mode, options, mesh, engine):
+    """Differentiable (P, 3) pixel batch via the chosen AD engine."""
     if engine == "planar":
         from ..ops.integrate_planar import render_pixels_planar_impl
         impl = render_pixels_planar_impl
@@ -96,39 +116,48 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
         impl = render_pixels_impl
     else:
         raise ValueError(f"unknown AD engine: {engine!r}")
-    full_scene = scene_with_params(scene, params)
     kwargs = dict(width=width, height=height, spp=spp,
                   max_depth=max_depth, camera_mode=camera_mode,
                   options=options, differentiable=True)
     if engine == "tiled":
         kwargs["wave_spp"] = spp
     if mesh is None:
-        rendered = impl(full_scene, cam, pixel_ids, base_key, **kwargs)
-    else:
-        from ..parallel.mesh import AXIS, shard_map
-        from jax.sharding import PartitionSpec as P
+        return impl(full_scene, cam, pixel_ids, base_key, **kwargs)
+    from jax.sharding import PartitionSpec as P
 
-        f = functools.partial(impl, **kwargs)
-        rendered = shard_map(
-            f, mesh=mesh, in_specs=(P(), P(), P(AXIS), P()),
-            out_specs=P(AXIS))(full_scene, cam, pixel_ids, base_key)
-    diff = rendered - target_pixels
-    loss = jnp.mean(diff * diff)
-    if boundary_samples or secondary_samples or rr_grad:
-        cot = 2.0 * jax.lax.stop_gradient(diff) / diff.size
+    from ..parallel.mesh import AXIS, shard_map
+
+    f = functools.partial(impl, **kwargs)
+    return shard_map(
+        f, mesh=mesh, in_specs=(P(), P(), P(AXIS), P()),
+        out_specs=P(AXIS))(full_scene, cam, pixel_ids, base_key)
+
+
+def _attach_surrogates(value, cot, full_scene, cam, camera_mode, pixel_ids,
+                       base_key, *, width, height, max_depth, options,
+                       boundary_samples, secondary_samples,
+                       secondary_spheres, secondary_vertex_depths, rr_grad):
+    """Add the zero-valued surrogate terms whose GRADIENTS carry the
+    boundary (silhouette/shadow/rough-reflection) and delta-lobe
+    (RR branch-flip) contributions interior AD cannot see.
+
+    cot: (P, 3) stop-gradiented d(value)/d(pixel) weights for pixel_ids.
+    Each surrogate enters as `sur - stop_gradient(sur)`, so the value is
+    unchanged and only the gradient is augmented.
+    """
     if boundary_samples:
         from ..ops.silhouette import boundary_surrogate
 
-        # dL/dI for each batch pixel, scattered into a dense image so edge
-        # samples can look their pixel up (pixels outside the batch
-        # contribute nothing). pixel_ids are unique (choice replace=False).
+        # d(value)/dI for each batch pixel, scattered into a dense image
+        # so edge samples can look their pixel up (pixels outside the
+        # batch contribute nothing). pixel_ids must be unique.
         cot_image = jnp.zeros((width * height, 3), cot.dtype
                               ).at[pixel_ids].set(cot)
         sur = boundary_surrogate(
             full_scene, cam, camera_mode, cot_image, width, height,
             jax.random.fold_in(base_key, 0x51170), max_depth, options,
             n_angles=boundary_samples)
-        loss = loss + sur - jax.lax.stop_gradient(sur)
+        value = value + sur - jax.lax.stop_gradient(sur)
     if secondary_samples:
         from ..ops.silhouette import (TAG_EDGE2_DEPTH,
                                       secondary_boundary_surrogate)
@@ -142,7 +171,7 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 height, jax.random.fold_in(k2, TAG_EDGE2_DEPTH + b),
                 max_depth, options, n_angles=secondary_samples,
                 n_spheres=secondary_spheres, vertex_depth=b)
-            loss = loss + sur2 - jax.lax.stop_gradient(sur2)
+            value = value + sur2 - jax.lax.stop_gradient(sur2)
     if rr_grad:
         from ..ops.branchprob import (TAG_RR_DEPTH,
                                       branch_probability_surrogate)
@@ -155,8 +184,54 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 full_scene, cam, camera_mode, cot, pixel_ids, width,
                 height, jax.random.fold_in(k3, TAG_RR_DEPTH + b),
                 max_depth, options, vertex_depth=b)
-            loss = loss + sur3 - jax.lax.stop_gradient(sur3)
-    return loss
+            value = value + sur3 - jax.lax.stop_gradient(sur3)
+    return value
+
+
+def render_pixels_vjp(params: dict, scene: Scene, cam: Camera, cotangent,
+                      pixel_ids, base_key, *, width: int, height: int,
+                      spp: int, max_depth: int, camera_mode: str, options,
+                      mesh=None, boundary_samples: int = 0,
+                      secondary_samples: int = 0, secondary_spheres: int = 2,
+                      secondary_vertex_depths: int = 1,
+                      rr_grad: bool = False, engine: str = "planar"):
+    """Direct pixel-Jacobian VJP: d<cotangent, I(params)>/d(params).
+
+    THE literal BASELINE pixel-gradient metric (BASELINE.md: "pixel-
+    gradient max abs err vs reference"): for an ARBITRARY per-pixel
+    cotangent u (P, 3) -- a one-hot u selects a single d(pixel)/d(param)
+    row -- returns (grads, pixels) where grads is the parameter pytree
+    gradient of sum(u * I) and pixels the rendered (P, 3) batch. Unlike
+    render_loss, no target/MSE is involved; the same boundary
+    (silhouette, shadow, rough-reflection -- ops/silhouette.py, matching
+    the discontinuity of raytracer.hxx:52-92's hit window) and
+    delta-lobe (RR branch-flip, ops/branchprob.py) surrogate terms are
+    folded in, weighted by the caller's cotangent.
+
+    All keyword knobs mean exactly what they mean in render_loss.
+    """
+    cot = jax.lax.stop_gradient(jnp.asarray(cotangent, jnp.float32))
+
+    def scalar(p):
+        full_scene = scene_with_params(scene, p)
+        rendered = _render_batch(
+            full_scene, cam, pixel_ids, base_key, width=width,
+            height=height, spp=spp, max_depth=max_depth,
+            camera_mode=camera_mode, options=options, mesh=mesh,
+            engine=engine)
+        value = jnp.sum(rendered * cot)
+        value = _attach_surrogates(
+            value, cot, full_scene, cam, camera_mode, pixel_ids, base_key,
+            width=width, height=height, max_depth=max_depth,
+            options=options, boundary_samples=boundary_samples,
+            secondary_samples=secondary_samples,
+            secondary_spheres=secondary_spheres,
+            secondary_vertex_depths=secondary_vertex_depths,
+            rr_grad=rr_grad)
+        return value, rendered
+
+    grads, pixels = jax.grad(scalar, has_aux=True)(params)
+    return grads, pixels
 
 
 def make_train_step(optimizer: optax.GradientTransformation, *, width: int,

@@ -705,3 +705,97 @@ def test_fit_recovers_center_through_silhouette():
     assert abs(c[0] - 0.18) < 0.05, c  # moved 0 -> ~0.18
     assert abs(c[1]) < 0.05 and abs(c[2] + 1.5) < 0.08, c
     assert losses[-1] < losses[0] * 0.2
+
+
+def test_render_pixels_vjp_matches_finite_differences():
+    """The LITERAL BASELINE pixel-gradient metric (BASELINE.md:32):
+    d<u, I>/d(param) for an ARBITRARY per-pixel cotangent u via
+    optim.render_pixels_vjp (not an MSE loss), FD-validated.
+
+    u = a signed smoothly-varying cotangent (sin across the image plus a
+    DC offset, mixed sign): arbitrary, NOT an MSE cotangent, yet smooth
+    enough that the FD aggregate converges (a per-pixel-random-SIGN
+    cotangent makes both the edge estimator and FD noise-dominated:
+    adjacent edge pixels cancel, measured std ~ the value itself).
+    Exactness anchor: render_pixels_vjp must agree BIT-exactly with
+    render_loss's gradient at a synthetic target whose MSE cotangent
+    equals u (2*diff/size == u), proving the direct API and the fit
+    path share one gradient. Additional literal single-row checks: a
+    one-hot cotangent on a sky pixel far from the silhouette must see
+    ~zero geometry gradient, and on an edge pixel a nonzero one of the
+    correct sign.
+    """
+    from raytracinginoneweekend_tpu.optim.inverse import render_pixels_vjp
+
+    scene = black_sphere_scene()
+    cam = pinhole_cam()
+    key = jax.random.key(3)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    spp = 64
+    params = {"centers": scene.centers, "radii": scene.radii}
+    kw = dict(width=W, height=H, spp=spp, max_depth=2,
+              camera_mode="pinhole", options=DEFAULT)
+
+    xs = (np.arange(W * H) % W) / W
+    u = jnp.asarray(np.stack(
+        [np.sin(2 * np.pi * xs) + 0.25] * 3, -1), jnp.float32)
+    g, pixels = render_pixels_vjp(params, scene, cam, u, ids, key,
+                                  boundary_samples=4096, **kw)
+    assert np.isfinite(np.asarray(pixels)).all()
+
+    # Exactness vs the (already FD-gated) loss path: target such that
+    # the MSE cotangent 2*diff/size equals u bit-exactly.
+    size = W * H * 3
+    target = jnp.asarray(pixels) - 0.5 * size * u
+    g_loss = jax.grad(render_loss)(params, scene, cam, target, ids, key,
+                                   boundary_samples=4096, **kw)
+    for leaf in params:
+        np.testing.assert_array_equal(np.asarray(g[leaf]),
+                                      np.asarray(g_loss[leaf]))
+
+    from raytracinginoneweekend_tpu.render import render_pixels_impl
+
+    def val_of(p):
+        sc = scene._replace(**p)
+        img = render_pixels_impl(sc, cam, ids, key, wave_spp=spp,
+                                 differentiable=True, **kw)
+        return float(jnp.sum(img * u))
+
+    eps = 0.03
+    for leaf, idx, rtol in [("centers", (0, 2), 0.1), ("radii", (0,), 0.1)]:
+        up = dict(params)
+        up[leaf] = params[leaf].at[idx].add(eps)
+        dn = dict(params)
+        dn[leaf] = params[leaf].at[idx].add(-eps)
+        fd = (val_of(up) - val_of(dn)) / (2 * eps)
+        ad = float(g[leaf][idx])
+        assert fd != 0.0
+        assert np.isclose(ad, fd, rtol=rtol), (leaf, idx, ad, fd)
+
+    # Literal near-one-pixel rows of the Jacobian. Sphere at (0, 0, -1.5),
+    # r=0.5, pinhole at origin: a 3-pixel window straddling the rightmost
+    # covered pixel on the middle row contains the silhouette curve; a
+    # pixel 10 further right is pure sky.
+    img = np.asarray(pixels).reshape(H, W, 3)
+    row = H // 2
+    covered = np.where(img[row, :, 2] < 0.1)[0]
+    edge_x = int(covered.max())
+    sky_x = min(edge_x + 12, W - 1)
+
+    def onehot(xs_):
+        u1 = np.zeros((W * H, 3), np.float32)
+        for x in xs_:
+            u1[row * W + x, 0] = 1.0
+        return jnp.asarray(u1)
+
+    g_edge, _ = render_pixels_vjp(
+        params, scene, cam, onehot(range(edge_x - 1, edge_x + 2)), ids,
+        key, boundary_samples=8192, **kw)
+    g_sky, _ = render_pixels_vjp(params, scene, cam, onehot([sky_x]), ids,
+                                 key, boundary_samples=8192, **kw)
+    # Sky pixel: no silhouette crosses it -> geometry gradient ~ 0.
+    assert abs(float(g_sky["radii"][0])) < 1e-4
+    # Edge pixel: growing the radius darkens it (covers more of the
+    # pixel; the sphere is black, sky channel-0 positive) -> d/dr < 0.
+    edge_r = float(g_edge["radii"][0])
+    assert edge_r < -1e-3, edge_r

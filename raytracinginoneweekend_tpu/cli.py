@@ -45,7 +45,7 @@ def _build_camera(name: str, width: int, height: int):
 
 
 def _options(compat: str, fusion: str | None = None,
-             rr_terminate: bool = False):
+             rr_terminate: bool = False, hit_kernel: str | None = None):
     import dataclasses
 
     from . import config
@@ -59,6 +59,8 @@ def _options(compat: str, fusion: str | None = None,
         opts = dataclasses.replace(opts, mega=fusion)
     if rr_terminate:
         opts = dataclasses.replace(opts, rr_terminate=True)
+    if hit_kernel is not None:
+        opts = dataclasses.replace(opts, hit_kernel=hit_kernel)
     return opts
 
 
@@ -91,6 +93,11 @@ def _add_render_flags(p: argparse.ArgumentParser):
                         "'fused' -- see ARCHITECTURE.md)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace into DIR")
+    p.add_argument("--hit-kernel", default=None,
+                   choices=["sublane", "mxu", "sorted"],
+                   help="closest-hit kernel layout (TraceOptions."
+                        "hit_kernel; 'sorted' = distance-ordered "
+                        "whole-block early exit, see ARCHITECTURE.md)")
     p.add_argument("--rr-terminate", action="store_true",
                    help="Russian-roulette path termination (unbiased "
                         "estimator change: fewer traced segments, "
@@ -118,7 +125,8 @@ def _render_image(args):
                                   else "cpu")
     cam = _build_camera(camera_name, args.width, args.height)
     options = _options(args.compat, getattr(args, "fusion", None),
-                       getattr(args, "rr_terminate", False))
+                       getattr(args, "rr_terminate", False),
+                       getattr(args, "hit_kernel", None))
     key = jax.random.key(args.seed)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, camera_mode=args.mode,

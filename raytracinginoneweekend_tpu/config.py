@@ -55,14 +55,26 @@ class TraceOptions:
     #              per-row resolve matmuls serialize against the VPU);
     #   "off"    = closest-hit kernel with XLA fusions around it.
     mega: str = "fused"
-    # Closest-hit kernel LAYOUT in the wavefront engines (both Pallas,
+    # Closest-hit kernel LAYOUT in the wavefront engines (all Pallas,
     # ops/pallas_segment.py): "sublane" = rays on (rows,128) planes,
     # per-sphere SMEM scalar loop (the round-1/2 kernel); "mxu" =
     # sphere-MINOR layout (rays on sublanes, spheres on lanes) with the
-    # two per-candidate dot products as small MXU matmuls. Same
-    # semantics up to f32 rounding on knife-edge candidates (the dots
-    # are algebraically regrouped).
+    # two per-candidate dot products as small MXU matmuls (same
+    # semantics up to f32 rounding on knife-edge candidates -- the dots
+    # are algebraically regrouped); "sorted" = the sublane loop in
+    # per-block distance order with whole-block early exit (the TPU
+    # analogue of the reference's shrinking t_max, cuda_impl.cu:183-188
+    # -- exact: conservative bounds, identical winners up to argmin
+    # ties between exactly-equal f32 t).
     hit_kernel: str = "sublane"
+    # hit_kernel="sorted" tuning: kernel block rows for the closest-hit
+    # call only (0 = the engine's block rows; smaller blocks sharpen the
+    # whole-block exit consensus at ~1us/program more grid overhead),
+    # and the exit-check ladder: 8-sphere-chunk checkpoints at which the
+    # staged loop may stop (() = never check -- the pure-overhead
+    # ablation).
+    sorted_rows: int = 0
+    sorted_ladder: tuple = (4,)  # measured best on v5e (ARCHITECTURE.md)
     # Russian-roulette PATH TERMINATION in the forward wavefront engines
     # (opt-in ESTIMATOR change; the reference never terminates early).
     # After a ray has completed >= rr_start bounces it survives each
@@ -82,9 +94,11 @@ class TraceOptions:
         assert self.refract in ("physical", "reference")
         assert self.intersect in ("jnp", "pallas")
         assert self.mega in ("off", "bounce", "fused")
-        assert self.hit_kernel in ("sublane", "mxu")
+        assert self.hit_kernel in ("sublane", "mxu", "sorted")
         assert self.gather in ("onehot", "take")
         assert self.rr_start >= 1 and 0.0 < self.rr_qmin <= 1.0
+        assert self.sorted_rows >= 0
+        assert all(int(c) > 0 for c in self.sorted_ladder)
 
 
 # The semantics of the reference's ACTIVE renderer (the CUDA path).

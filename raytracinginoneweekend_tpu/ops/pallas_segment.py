@@ -239,6 +239,239 @@ def segment_closest_hit_list(rays, cx, cy, cz, r, counts, lists, t_min,
     )(counts, lists, cx, cy, cz, rr, act, *rays)
 
 
+_SORT_REL = 5e-6   # multiplicative f32 slack on in-kernel distance bounds
+_SORT_ABS = 1e-4   # additive slack (world units)
+_SORT_KEY_MARGIN = 1e-3  # key-side absolute margin (sorted_cull_state)
+
+
+def _kernel_sorted(perm_ref, suf_ref, oc_ref, ymax_ref,  # SMEM per-block
+                   cx_ref, cy_ref, cz_ref, rr_ref,       # SMEM (S+1,)
+                   act_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                   hit_ref, t_ref, sb_ref,
+                   *, rows: int, n_chunks: int, ladder: tuple,
+                   t_min: float):
+    """Closest hit in per-block DISTANCE order with whole-block early exit.
+
+    The TPU re-expression of the reference's shrinking t_max
+    (cuda_impl.cu:183-188): instead of each thread shrinking its own
+    search window, the whole block iterates spheres sorted by a
+    conservative lower bound on their hit distance and stops as soon as
+    EVERY active lane provably cannot improve. Bounds (all f32 with
+    explicit slack, so skipping is exact -- skipped spheres can never
+    win the strict-< running min):
+
+      * key_j = |O_c - C_j| - |R_j| - margin  <=  any lane's hit
+        distance on sphere j minus bl, where bl = |o - O_c| (triangle
+        inequality; O_c is the block's active-origin centroid, computed
+        once per ENGINE EPOCH so it may be stale -- staleness loosens
+        the bound but never breaks it).
+      * suf_ref[b, i] = min key over every sphere from chunk i on
+        (suffix min at chunk granularity, computed with the sort).
+      * a lane is FINISHED at chunk i when min(dist_best, dist_up) + bl
+        <= suf_ref[b, i], where dist_up is the distance at which an
+        ascending ray leaves the slab containing every sphere (top
+        plane ymax): sky rays -- which never acquire a dist_best --
+        become provably finished instead of forcing a full scan. A ray
+        already ABOVE the slab heading up (dist_up <= 0) is finished
+        regardless of bl -- this term needs no block coherence at all.
+
+    Exit structure: a static LADDER, not a while_loop (measured: a
+    data-dependent while_loop defeats Mosaic's SMEM-prefetch pipelining
+    and costs more than the culls recover). The sphere loop is split at
+    the ``ladder`` chunk checkpoints into plain fori_loop stages; each
+    stage is guarded by one whole-block done check against its start
+    suffix. Done-ness is MONOTONE in the checkpoint (the remaining-min
+    key only grows as chunks are consumed), so checks stay sound when
+    earlier stages were skipped. ladder=() disables every check (the
+    pure-overhead ablation). The (q, sb) running state crosses stage
+    boundaries through the t/sb output refs (register-carried inside
+    each stage).
+
+    Candidate math is identical to _kernel/_kernel_list (q-space,
+    NaN-tolerant, rr prefetch); the running min keeps the earliest
+    sphere in the SORTED order on exact q ties (the one observable
+    difference vs the id-ordered kernels, measure-zero in f32).
+    """
+    b = pl.program_id(0)
+    any_active = jnp.any(act_ref[:] > 0)
+
+    @pl.when(jnp.logical_not(any_active))
+    def _():
+        hit_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+
+    @pl.when(any_active)
+    def _():
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        q_min = t_min * a
+        rsa = jax.lax.rsqrt(a)          # dist = q * rsa = t * |d|
+        free = jnp.logical_not(act_ref[:] > 0)
+
+        ocx, ocy, ocz = oc_ref[b, 0], oc_ref[b, 1], oc_ref[b, 2]
+        blx = ox - ocx
+        bly = oy - ocy
+        blz = oz - ocz
+        bl = jnp.sqrt(blx * blx + bly * bly + blz * blz)
+        bl = bl + (bl * _SORT_REL + _SORT_ABS)
+        # Ascending rays leave the all-spheres slab (y <= ymax) at
+        # dist_up; any hit must lie before that. |d| = a * rsa.
+        up = (ymax_ref[0] - oy) * (a * rsa) / jnp.where(dy > 0.0, dy, 1.0)
+        dist_up = jnp.where(dy > 0.0, up + (jnp.abs(up) * _SORT_REL
+                                            + _SORT_ABS), _BIG)
+
+        def cand(s):
+            cx, cy, cz, rr = cx_ref[s], cy_ref[s], cz_ref[s], rr_ref[s]
+            ocx_ = ox - cx
+            ocy_ = oy - cy
+            ocz_ = oz - cz
+            bq = ocx_ * dx + ocy_ * dy + ocz_ * dz
+            c = ocx_ * ocx_ + ocy_ * ocy_ + ocz_ * ocz_ - rr
+            sq = jnp.sqrt(bq * bq - a * c)  # NaN when disc < 0
+            nb = -bq
+            q0 = nb - sq
+            q1 = nb + sq
+            return jnp.where(q0 > q_min, q0,
+                             jnp.where(q1 > q_min, q1, _BIG))
+
+        sky_done = free | (dist_up <= 0.0)
+
+        def chunk(i, carry):
+            q_b, s_b = carry
+            base = i * UNROLL
+            ss = [perm_ref[b, base + k] for k in range(UNROLL)]
+            qs = [cand(s) for s in ss]
+            qp, ip = qs[0], jnp.full((rows, LANES), ss[0], jnp.int32)
+            for k in range(1, UNROLL):
+                wk = qs[k] < qp
+                qp = jnp.where(wk, qs[k], qp)
+                ip = jnp.where(wk, ss[k], ip)
+            w = qp < q_b
+            return jnp.where(w, qp, q_b), jnp.where(w, ip, s_b)
+
+        t_ref[:] = jnp.full((rows, LANES), _BIG, jnp.float32)
+        sb_ref[:] = jnp.zeros((rows, LANES), jnp.int32)
+
+        pts = sorted({int(c) for c in ladder if 0 < int(c) < n_chunks})
+        bounds = [0] + pts + [n_chunks]
+        for lo, hi in zip(bounds, bounds[1:]):
+            def run_stage(lo=lo, hi=hi):
+                q_b, s_b = jax.lax.fori_loop(lo, hi, chunk,
+                                             (t_ref[:], sb_ref[:]))
+                t_ref[:] = q_b
+                sb_ref[:] = s_b
+
+            if pts:
+                qd = jnp.minimum(t_ref[:] * rsa, dist_up)
+                done = jnp.all(sky_done | (qd + bl <= suf_ref[b, lo]))
+                pl.when(jnp.logical_not(done))(run_stage)
+            else:
+                run_stage()
+
+        q_b = t_ref[:]
+        hit = q_b < _BIG
+        hit_ref[:] = hit.astype(jnp.int32)
+        t_ref[:] = jnp.where(hit, q_b * inv_a, _BIG)  # sb_ref holds s_b
+
+
+def sorted_cull_state(active, origins, cx, cy, cz, r, rows: int):
+    """Per-block sphere ordering + early-exit bounds for _kernel_sorted.
+
+    active: (R, 128) bool/i32; origins: (ox, oy, oz) planar (R, 128).
+    cx/cy/cz/r: (S,) sphere geometry (the UNPADDED scene arrays).
+    Returns (perm (B, S_pad) i32, suf (B, n_chunks+1) f32,
+    oc (B, 3) f32, ymax (1,) f32) where B = R/rows and S_pad rounds S
+    up to UNROLL (pad entries index the pad sphere id S).
+
+    Pure jnp; called once per engine epoch (the sort is the only
+    non-elementwise op: (B, S) argsort, ~1% of an epoch). Staleness of
+    O_c between epochs loosens the early exit but never its soundness
+    (the kernel recomputes |o - O_c| per segment against the SAME O_c).
+    """
+    ox, oy, oz = origins
+    r_total = ox.shape[0]
+    nb = r_total // rows
+    s = cx.shape[0]
+    def blk(v):
+        return v.reshape(nb, rows * LANES)
+
+    m = blk(active.astype(jnp.float32))
+    n = m.sum(axis=1)
+    safe_n = jnp.maximum(n, 1.0)
+    ocx = (m * blk(ox)).sum(axis=1) / safe_n
+    ocy = (m * blk(oy)).sum(axis=1) / safe_n
+    ocz = (m * blk(oz)).sum(axis=1) / safe_n
+
+    rabs = jnp.abs(r)[None, :]
+    keys = jnp.sqrt((cx[None, :] - ocx[:, None]) ** 2
+                    + (cy[None, :] - ocy[:, None]) ** 2
+                    + (cz[None, :] - ocz[:, None]) ** 2
+                    ) - rabs - _SORT_KEY_MARGIN
+    perm = jnp.argsort(keys, axis=1).astype(jnp.int32)
+    ks = jnp.take_along_axis(keys, perm, axis=1)
+    pad = -s % UNROLL
+    if pad:
+        perm = jnp.concatenate(
+            [perm, jnp.full((nb, pad), s, jnp.int32)], axis=1)
+        ks = jnp.concatenate(
+            [ks, jnp.full((nb, pad), _BIG, jnp.float32)], axis=1)
+    n_chunks = (s + pad) // UNROLL
+    cmin = ks.reshape(nb, n_chunks, UNROLL).min(axis=-1)
+    suf = jnp.flip(jax.lax.cummin(jnp.flip(cmin, axis=1), axis=1), axis=1)
+    suf = jnp.concatenate(
+        [suf, jnp.full((nb, 1), _BIG, jnp.float32)], axis=1)
+    ymax = jnp.max(cy + jnp.abs(r)).reshape(1)
+    oc = jnp.stack([ocx, ocy, ocz], axis=1)
+    return perm, suf, oc, ymax
+
+
+def segment_closest_hit_sorted(rays, cx, cy, cz, r, sortstate, t_min,
+                               rows: int = 128,
+                               interpret: bool | None = None, active=None,
+                               ladder: tuple = (1, 8)):
+    """Distance-ordered early-exit closest hit (see _kernel_sorted).
+
+    sortstate: the tuple from sorted_cull_state (same rows). ladder:
+    chunk checkpoints for the staged whole-block exit (() = no checks).
+    Results are identical to segment_closest_hit except on exact f32 q
+    ties between distinct spheres (sorted-order vs id-order tie winner).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    perm, suf, oc, ymax = sortstate
+    r_total = rays[0].shape[0]
+    assert r_total % rows == 0, (r_total, rows)
+    grid = r_total // rows
+    assert perm.shape[0] == grid, (perm.shape, grid)
+    s = cx.shape[0]
+    n_chunks = perm.shape[1] // UNROLL
+    assert perm.shape[1] % UNROLL == 0, perm.shape
+    assert suf.shape == (grid, n_chunks + 1), (suf.shape, n_chunks)
+    # One pad sphere at id S with rr = -1 (can never win).
+    zf = jnp.zeros((1,), cx.dtype)
+    cx = jnp.concatenate([cx, zf])
+    cy = jnp.concatenate([cy, zf])
+    cz = jnp.concatenate([cz, zf])
+    rr = jnp.concatenate([r * r, zf - 1.0])
+    if active is None:
+        act = jnp.ones((r_total, LANES), jnp.int32)
+    else:
+        act = active.astype(jnp.int32)
+    bs = pl.BlockSpec((rows, LANES), lambda i, *_: (i, 0),
+                      memory_space=pltpu.VMEM)
+    shapes = [jax.ShapeDtypeStruct((r_total, LANES), dt) for dt in
+              (jnp.int32, jnp.float32, jnp.int32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8, grid=(grid,),
+        in_specs=[bs] * 7, out_specs=[bs] * 3)
+    return pl.pallas_call(
+        functools.partial(_kernel_sorted, rows=rows, n_chunks=n_chunks,
+                          ladder=tuple(ladder), t_min=float(t_min)),
+        grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
+    )(perm, suf, oc, ymax, cx, cy, cz, rr, act, *rays)
+
+
 def _kernel_grouped(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM (S_pad,) sorted
                     gx_ref, gy_ref, gz_ref, gr_ref,  # SMEM (n_groups,)
                     act_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,

@@ -54,7 +54,9 @@ import jax.numpy as jnp
 from ..config import TraceOptions
 from ..models.camera import Camera
 from ..models.scene import Scene
-from .pallas_segment import sphere_params_from_scene, trace_segment
+from .pallas_segment import (resolve_segment, segment_closest_hit_sorted,
+                             sorted_cull_state, sphere_params_from_scene,
+                             trace_segment)
 
 LANES = 128
 
@@ -322,7 +324,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                 ax, ay, az, depth, accr, accg, accb, rk0, rk1,
                 *(pl_ for s in new_slots for pl_ in s))
 
-    def segment(state):
+    def segment(state, sortstate=None):
         (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
          depth, accr, accg, accb, rk0, rk1) = state[:N_BASE]
         slot_planes = state[N_BASE:]
@@ -343,10 +345,19 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                     ax, ay, az, depth, accr, accg, accb, rk0, rk1,
                     *slot_planes)
 
-        seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
-                            options.t_min, rows=rows, active=active,
-                            group_params=group_params,
-                            hit_kernel=options.hit_kernel)
+        if sortstate is not None:
+            cx, cy, cz, r = sphere_params[:4]
+            hit_i, t_b, s_b = segment_closest_hit_sorted(
+                (ox, oy, oz, dx, dy, dz), cx, cy, cz, r, sortstate,
+                options.t_min, rows=sorted_rows, active=active,
+                ladder=options.sorted_ladder)
+            seg = resolve_segment((ox, oy, oz, dx, dy, dz), sphere_params,
+                                  hit_i, t_b, s_b)
+        else:
+            seg = trace_segment((ox, oy, oz, dx, dy, dz), sphere_params,
+                                options.t_min, rows=rows, active=active,
+                                group_params=group_params,
+                                hit_kernel=options.hit_kernel)
         hit = seg["hit"] > 0
         alr, alg, alb_ = seg["ar"], seg["ag"], seg["ab"]
 
@@ -395,7 +406,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                 ax, ay, az, depth, accr, accg, accb, rk0, rk1,
                 *slot_planes)
 
-    def fused_step(state):
+    def fused_step(state, sortstate=None):
         # ROTATED body (options.mega == "fused"): closest-hit kernel ->
         # XLA MXU one-hot resolve -> fused shade+state+regen Pallas
         # program (ops/pallas_fused.py). The initial regen runs once as
@@ -407,9 +418,15 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         (ox, oy, oz, dx, dy, dz) = state[4:10]
         active = state[3]
         cx, cy, cz, r = sphere_params[:4]
-        hit_i, t_b, s_b = closest_hit_planar(
-            (ox, oy, oz, dx, dy, dz), cx, cy, cz, r, options.t_min,
-            rows=rows, active=active, kernel=options.hit_kernel)
+        if sortstate is not None:
+            hit_i, t_b, s_b = segment_closest_hit_sorted(
+                (ox, oy, oz, dx, dy, dz), cx, cy, cz, r, sortstate,
+                options.t_min, rows=sorted_rows, active=active,
+                ladder=options.sorted_ladder)
+        else:
+            hit_i, t_b, s_b = closest_hit_planar(
+                (ox, oy, oz, dx, dy, dz), cx, cy, cz, r, options.t_min,
+                rows=rows, active=active, kernel=options.hit_kernel)
         params = resolve_params(s_b, sphere_params)
         return shade_regen(
             state, (hit_i, t_b), params, camvec, base_words,
@@ -425,22 +442,29 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         nxt, task, sid, active = lane_state[:4]
         return jnp.any(active) | jnp.any(task >= 0) | jnp.any(nxt < n_tasks)
 
+    use_sorted = options.hit_kernel == "sorted"
+    sorted_rows = options.sorted_rows or rows
+    if use_sorted and options.mega == "bounce":
+        raise ValueError("hit_kernel='sorted' is implemented for "
+                         "mega='fused' and mega='off' only")
+
     if options.mega == "fused":
         body = fused_step
     else:
-        body = lambda s: segment(regen(s))  # noqa: E731
+        body = lambda s, ss=None: segment(regen(s), ss)  # noqa: E731
 
     if return_stats:
         # Count lanes that TRACE each iteration (uint32: fine to ~4.2G
         # segments). The fused body's entry state is post-regen (rotated
         # loop); the XLA body regens first, so count between the halves.
         if options.mega == "fused":
-            def body_c(s, n):
-                return body(s), n + jnp.sum(s[3].astype(jnp.uint32))
+            def body_c(s, n, ss=None):
+                return body(s, ss), n + jnp.sum(s[3].astype(jnp.uint32))
         else:
-            def body_c(s, n):
+            def body_c(s, n, ss=None):
                 s2 = regen(s)
-                return segment(s2), n + jnp.sum(s2[3].astype(jnp.uint32))
+                return (segment(s2, ss),
+                        n + jnp.sum(s2[3].astype(jnp.uint32)))
     else:
         body_c = None
 
@@ -452,15 +476,26 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         # another 23%. The inner fori_loop touches lane state only; the
         # flush runs unconditionally once per epoch.
         lane_state, dep_r, dep_g, dep_b = state[:4]
+        if use_sorted:
+            # Per-block sphere ordering + early-exit bounds, refreshed
+            # once per epoch from the CURRENT lane origins (staleness
+            # within the epoch loosens but never breaks the bounds --
+            # the kernel measures |o - O_c| fresh against this O_c).
+            sortstate = sorted_cull_state(
+                lane_state[3], lane_state[4:7], *sphere_params[:4],
+                rows=sorted_rows)
+        else:
+            sortstate = None
         if return_stats:
             iters, segs = state[4:]
             lane_state, segs = jax.lax.fori_loop(
-                0, flush_every, lambda i, c: body_c(*c),
+                0, flush_every, lambda i, c: body_c(*c, sortstate),
                 (lane_state, segs))
             iters = iters + jnp.uint32(flush_every)
         else:
             lane_state = jax.lax.fori_loop(
-                0, flush_every, lambda i, s: body(s), lane_state)
+                0, flush_every, lambda i, s: body(s, sortstate),
+                lane_state)
         slots = [tuple(lane_state[N_BASE + 4 * j: N_BASE + 4 * (j + 1)])
                  for j in range(n_slots)]
         slots, dep_r, dep_g, dep_b = flush(slots, dep_r, dep_g, dep_b)

@@ -145,3 +145,85 @@ def test_mxu_kernel_matches_sublane_kernel():
     h3, _, _ = segment_closest_hit_mxu(rays, cx, cy, cz, r, T_MIN, rb=256,
                                        active=act)
     assert np.asarray(h3).sum() == 0
+
+
+def test_sorted_kernel_matches_sublane_kernel():
+    """Distance-ordered early-exit closest hit vs the plain sublane loop.
+
+    The candidate math is identical and skipping is driven by
+    conservative bounds, so (hit, t) must be BIT-identical; the winning
+    sphere id may differ only on exact f32 q ties (absent at these
+    seeds). Exercises: mixed up/down/sky rays, inactive lanes, and a
+    deliberately STALE reference point (bounds must hold for any O_c).
+    """
+    from raytracinginoneweekend_tpu.ops.pallas_segment import (
+        segment_closest_hit, segment_closest_hit_sorted, sorted_cull_state,
+        sphere_params_from_scene)
+
+    scene = huge_scene(0)
+    sp = sphere_params_from_scene(scene)
+    cx, cy, cz, r = sp[:4]
+    for seed in (0, 7, 42):
+        rng = np.random.default_rng(seed)
+        shape = (16, 128)
+        ox = jnp.asarray(rng.uniform(-14, 14, shape).astype(np.float32))
+        oy = jnp.asarray(rng.uniform(-0.5, 6, shape).astype(np.float32))
+        oz = jnp.asarray(rng.uniform(-14, 14, shape).astype(np.float32))
+        dx, dy, dz = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+                      for _ in range(3))
+        rays = (ox, oy, oz, dx, dy, dz)
+        act = jnp.asarray(rng.random(shape) < 0.9)
+
+        h1, t1, s1 = segment_closest_hit(rays, cx, cy, cz, r, T_MIN,
+                                         rows=8, active=act)
+        ss = sorted_cull_state(act, (ox, oy, oz), cx, cy, cz, r, rows=8)
+        h2, t2, s2 = segment_closest_hit_sorted(rays, cx, cy, cz, r, ss,
+                                                T_MIN, rows=8, active=act)
+        a = np.asarray(act)
+        h1, t1, s1, h2, t2, s2 = map(np.asarray, (h1, t1, s1, h2, t2, s2))
+        np.testing.assert_array_equal(h1[a], h2[a])
+        hit = a & (h1 > 0)
+        np.testing.assert_array_equal(t1[hit], t2[hit])
+        np.testing.assert_array_equal(s1[hit], s2[hit])
+        assert h1[a].mean() > 0.3
+
+        # Stale reference point: bounds must hold for ANY O_c -- feed the
+        # sort state origins shifted by a large offset.
+        ss_stale = sorted_cull_state(
+            act, (ox + 9.0, oy + 3.0, oz - 7.0), cx, cy, cz, r, rows=8)
+        h3, t3, s3 = segment_closest_hit_sorted(
+            rays, cx, cy, cz, r, ss_stale, T_MIN, rows=8, active=act)
+        np.testing.assert_array_equal(h1[a], np.asarray(h3)[a])
+        np.testing.assert_array_equal(t1[hit], np.asarray(t3)[hit])
+        np.testing.assert_array_equal(s1[hit], np.asarray(s3)[hit])
+
+    # Dead-block skip parity with the other kernels.
+    act0 = jnp.zeros(shape, jnp.int32)
+    ss0 = sorted_cull_state(act0, (ox, oy, oz), cx, cy, cz, r, rows=8)
+    h4, _, _ = segment_closest_hit_sorted(rays, cx, cy, cz, r, ss0, T_MIN,
+                                          rows=8, active=act0)
+    assert np.asarray(h4).sum() == 0
+
+
+def test_wavefront_sorted_kernel_image_identical():
+    """End-to-end: render_wavefront(hit_kernel='sorted') must reproduce
+    the sublane engine's image BIT-exactly on both scenes (same winners,
+    same draws, same accumulation order)."""
+    import dataclasses
+
+    from raytracinginoneweekend_tpu.config import DEFAULT
+    from raytracinginoneweekend_tpu.models.camera import reference_cpu_camera
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+
+    opts_sorted = dataclasses.replace(DEFAULT, hit_kernel="sorted")
+    for scene, w, h in ((simple_scene_cuda(), 32, 18), (huge_scene(0), 24, 16)):
+        cam = reference_cpu_camera(w, h)
+        kw = dict(width=w, height=h, spp=4, max_depth=8,
+                  camera_mode="thinlens", pool_size=2048)
+        key = jax.random.key(0)
+        a = np.asarray(render_wavefront(scene, cam, key, options=DEFAULT,
+                                        **kw))
+        b = np.asarray(render_wavefront(scene, cam, key,
+                                        options=opts_sorted, **kw))
+        np.testing.assert_array_equal(a, b)
+        assert np.isfinite(a).all() and a.max() > 0.05

@@ -75,6 +75,17 @@ class TraceOptions:
     # ablation).
     sorted_rows: int = 0
     sorted_ladder: tuple = (4,)  # measured best on v5e (ARCHITECTURE.md)
+    # Wavefront task OWNERSHIP layout:
+    #   "strided" = lane l owns global tasks l, l+P, ... (row-major
+    #     pixels): perfect load balance, but a kernel block's in-flight
+    #     rays span a full-width image row -- no origin coherence.
+    #   "tile" = tasks run over a 32x32-pixel tile swizzle and each
+    #     closest-hit kernel BLOCK owns a contiguous tile-order range
+    #     (strided within the block): a block's rays form a compact
+    #     frustum beam all frame (what hit_kernel="sorted" needs to
+    #     fire), traded against block-level drain imbalance (cheap:
+    #     drained blocks skip both Pallas kernels).
+    ownership: str = "strided"
     # Russian-roulette PATH TERMINATION in the forward wavefront engines
     # (opt-in ESTIMATOR change; the reference never terminates early).
     # After a ray has completed >= rr_start bounces it survives each
@@ -99,6 +110,7 @@ class TraceOptions:
         assert self.rr_start >= 1 and 0.0 < self.rr_qmin <= 1.0
         assert self.sorted_rows >= 0
         assert all(int(c) > 0 for c in self.sorted_ladder)
+        assert self.ownership in ("strided", "tile")
 
 
 # The semantics of the reference's ACTIVE renderer (the CUDA path).

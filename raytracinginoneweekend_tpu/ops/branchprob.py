@@ -81,6 +81,26 @@ receiver motion, Snell bending, and normal rotation all flow. Vertices
 on materials with non-delta lobes contribute exactly zero here (their
 edge term lives in ops/silhouette.py -- disjoint by material, no double
 counting).
+
+INTERNAL-RR REFLECTION ARMS (round 3): at every internal dielectric
+interface the renderer Russian-roulettes between refracting onward
+(probability 1-p, the chain's main line) and reflecting back inside
+(probability p = schlick). The refract chain alone misses the
+reflection arms' sweep crossings entirely -- measured 47% of the true
+occluder-radius gradient on a glass sphere whose internally-reflected
+exits see a black occluder placed behind the camera
+(tests/test_branchprob.py::
+test_internal_rr_reflection_arm_matches_finite_differences). With
+``chain_rr_arms=K``, the first K interfaces of each main chain spawn
+their dropped reflection arm as a SIDE CHAIN (own deterministic
+refract walk to air, no further side arms -- second order), each
+contributing the same final-air-segment edge term weighted by
+prob_before * schlick; the measured estimate lands within 2.5% of FD.
+Deeper vertex_depth walks whose draws actually TAKE an internal
+reflection are sweep-suppressed via prefix_delta, so arms never double
+count. Residual out-of-scope terms: reflect-of-reflect arms, air-gap
+edge crossings that change the CHAIN'S OWN topology mid-walk, and
+prefix-hop motion at vertex_depth >= 1 (detached).
 """
 
 from __future__ import annotations
@@ -126,7 +146,8 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                                  vertex_depth: int = 0,
                                  tir_bandwidth: float = 0.02,
                                  sweep_bandwidth: float = 0.03,
-                                 probe_delta: float = 2e-3):
+                                 probe_delta: float = 2e-3,
+                                 chain_rr_arms: int = 2):
     """Surrogate scalar for BOTH delta-lobe terms (module docstring).
 
     Args:
@@ -140,6 +161,11 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         direction-sweep edge term.
       probe_delta: angular half-offset (radians) of the sweep probe
         pair, clamped to half the candidate's cone half-angle.
+      chain_rr_arms: how many of the refract chain's internal-RR
+        REFLECTION arms get their own (side-chain) edge term -- the
+        round-3 scope extension; 0 restores the refract-chain-only
+        estimator. Arms beyond the first reflection per interface
+        (reflect-of-reflect) remain out of scope.
     Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
     """
     from . import math3
@@ -258,8 +284,9 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         and keep walking; any other hit or a miss means (y_c, w_c)
         already is the air segment. ``prob`` accumulates the renderer's
         probability of this deterministic arm (1-p per refraction, 1
-        under TIR); internal RR *reflections* are dropped (higher-order,
-        module docstring).
+        under TIR). The dropped internal-RR *reflection* arm's data is
+        returned so the caller can spawn it as a side chain
+        (chain_rr_arms): (yh, refl, p_reflect, spawnable).
         """
         t_c, idx_c, hit_c = closest_hit(y_c, w_c, scene.centers,
                                         scene.radii, options.t_min,
@@ -280,23 +307,35 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         refl = math3.reflect(u, nh)
         tir_c = kc < 0.0
         w_new = jnp.where(tir_c[:, None], refl, refr)
-        p_cont = jnp.where(tir_c, 1.0,
-                           1.0 - math3.schlick(rif, jnp.abs(cosn)))
-        prob = prob * jnp.where(is_d, det(p_cont), 1.0)
+        p_refl = math3.schlick(rif, jnp.abs(cosn))
+        p_cont = jnp.where(tir_c, 1.0, 1.0 - p_refl)
+        prob_out = prob * jnp.where(is_d, det(p_cont), 1.0)
         y_out = jnp.where(is_d[:, None], yh, y_c)
         w_out = jnp.where(is_d[:, None], w_new, w_c)
-        return y_out, w_out, done | ~is_d, prob, is_d
+        # Internal-RR reflection arm (renderer prob p_refl) at a non-TIR
+        # dielectric interface: the arm the refract-chain drops.
+        spawn = is_d & ~tir_c
+        return (y_out, w_out, done | ~is_d, prob_out, is_d,
+                (yh, refl, prob * det(p_refl), spawn))
 
-    for br, (w_br_att, prob_br) in enumerate(
-            [(reflected_att, prob_reflect), (refracted_att, prob_refract)]):
-        y_f, w_f = y_att, w_br_att
+    def follow_chain(y0, w0, prob0, steps0, n_steps, collect_arms):
+        """Run the refract chain; optionally collect reflection arms."""
+        y_f, w_f = y0, w0
         done = jnp.zeros((p_count,), bool)
-        prob = det(prob_br)
-        steps = jnp.zeros((p_count,), jnp.int32)
-        for _ in range(n_chain):
-            y_f, w_f, done, prob, stepped = chain_step(y_f, w_f, done,
-                                                       prob)
+        prob = prob0
+        steps = steps0
+        arms = []
+        for j in range(n_steps):
+            y_f, w_f, done, prob, stepped, arm = chain_step(y_f, w_f,
+                                                            done, prob)
             steps = steps + stepped.astype(jnp.int32)
+            if j < collect_arms:
+                # The arm consumed this interface too: steps + 1.
+                arms.append((arm, steps))
+        return y_f, w_f, done, prob, steps, arms
+
+    def sweep_term(y_f, w_f_att, done, prob, steps, gate, br):
+        """The final-air-segment cone-edge crossing term (docstring)."""
         # The chain consumes renderer bounces: the final air segment must
         # still fit the continuation budget or the true I(theta) has no
         # crossing to differentiate (the probes would otherwise inject a
@@ -305,7 +344,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         # remainder -- second-order at the tested depths.
         budget_ok = steps <= max_depth - 2 - vertex_depth
 
-        w_hat_att = math3.normalize(w_f)
+        w_hat_att = math3.normalize(w_f_att)
         w_hat = det(w_hat_att)
         y_fd = det(y_f)
 
@@ -362,8 +401,34 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         # (inside, g < 0) to f_out, so dI/dtheta = -(f_in - f_out) K dg.
         kern = jnp.maximum(0.0, 1.0 - jnp.abs(g_det) / h) / h
         w_sw = (jnp.sum(thru * (f_in - f_out), axis=-1) * prob * kern)
-        w_sw = jnp.where(active_delta & ~prefix_delta & done
-                         & budget_ok & any_ok & ok_t, w_sw, 0.0)
-        surrogate = surrogate - jnp.sum(det(w_sw) * g_att)
+        w_sw = jnp.where(gate & done & budget_ok & any_ok & ok_t,
+                         w_sw, 0.0)
+        return -jnp.sum(det(w_sw) * g_att)
+
+    gate0 = active_delta & ~prefix_delta
+    zero_steps = jnp.zeros((p_count,), jnp.int32)
+    for br, (w_br_att, prob_br) in enumerate(
+            [(reflected_att, prob_reflect), (refracted_att, prob_refract)]):
+        y_f, w_f, done, prob, steps, arms = follow_chain(
+            y_att, w_br_att, det(prob_br), zero_steps, n_chain,
+            chain_rr_arms)
+        surrogate = surrogate + sweep_term(y_f, w_f, done, prob, steps,
+                                           gate0, br)
+        # Internal-RR REFLECTION arms (round-3 scope extension): the
+        # refract chain drops the reflect side of every internal RR; each
+        # collected arm follows its OWN refract chain (no further side
+        # arms -- second order) to air and contributes the same edge
+        # term, weighted by the arm's renderer probability
+        # prob_before * schlick. Crossings are disjoint from the main
+        # chain's (different final air segment), and deeper vertex_depth
+        # walks that actually DRAW the reflection are sweep-suppressed
+        # via prefix_delta, so nothing double counts.
+        for a, ((yh_a, refl_a, prob_a, spawn_a), steps_a) in \
+                enumerate(arms):
+            ya, wa, da, pa, sa, _ = follow_chain(
+                yh_a, refl_a, prob_a, steps_a, n_chain - 1 - a, 0)
+            surrogate = surrogate + sweep_term(
+                ya, wa, da, pa, sa, gate0 & spawn_a,
+                2 + br * n_chain + a)
 
     return surrogate

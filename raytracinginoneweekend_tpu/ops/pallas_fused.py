@@ -67,16 +67,21 @@ def pack_camera(cam):
 
 
 def _kernel_shade_regen(
-        cam_ref, bk_ref,  # SMEM: (19,) f32 camera, (2,) u32 base key
-        *refs,
+        cam_ref, bk_ref, wb_ref,  # SMEM: (19,) f32 camera, (2,) u32 base
+        *refs,                    # key, (1,) i32 worker task base
         rows: int, max_depth: int, unit_sample: bool,
         phys_refract: bool, sky_bias: float, width: int, height: int,
         spp: int, task_samples: int, tpp: int, n_tasks: int,
         n_slots: int, stride: int, camera_mode: str,
         rr_terminate: bool = False, rr_start: int = 3,
-        rr_qmin: float = 0.05):
+        rr_qmin: float = 0.05, own_bl: int = 0, t_b: int = 0,
+        tiles_x: int = 0, tile: int = 32):
     # refs = [hit, t, 10 resolved params, state (19 + 4*n_slots)] inputs
     # followed by the (19 + 4*n_slots) state outputs.
+    # own_bl > 0 selects TILE ownership (ops/wavefront.py): the lane's
+    # task range ends at its ownership block's bound instead of n_tasks,
+    # and task ids map to pixels through the 32x32 tile swizzle
+    # (ops/cull.py tile_pixel, inlined in integer arithmetic).
     n_state = N_BASE + 4 * n_slots
     ins = refs[:12 + n_state]
     outs = refs[12 + n_state:]
@@ -85,8 +90,18 @@ def _kernel_shade_regen(
      alr_ref, alg_ref, alb_ref, fz_ref, io_ref) = ins[2:12]
     st = ins[12:]
 
+    if own_bl:
+        local_lane = (pl.program_id(0) * (rows * LANES)
+                      + jax.lax.broadcasted_iota(
+                          jnp.int32, (rows, LANES), 0) * LANES
+                      + jax.lax.broadcasted_iota(
+                          jnp.int32, (rows, LANES), 1))
+        block_end = wb_ref[0] + (local_lane // own_bl + 1) * t_b
+    else:
+        block_end = n_tasks
+
     live = (jnp.any(st[ACT][:] > 0) | jnp.any(st[1][:] >= 0)
-            | jnp.any(st[0][:] < n_tasks))
+            | jnp.any(st[0][:] < block_end))
 
     @pl.when(jnp.logical_not(live))
     def _():
@@ -189,12 +204,31 @@ def _kernel_shade_regen(
         acb = jnp.where(moved, 0.0, acb)
         task = jnp.where(moved, -1, task)
 
-        acquire = idle & (task < 0) & (nxt < n_tasks)
+        acquire = idle & (task < 0) & (nxt < block_end)
         task = jnp.where(acquire, nxt, task)
         nxt = jnp.where(acquire, nxt + stride, nxt)
 
-        pid = task // tpp
-        run_start = (task - pid * tpp) * task_samples
+        vp = task // tpp
+        run_start = (task - vp * tpp) * task_samples
+        if own_bl:
+            # ops/cull.py tile_pixel inlined: tile-order virtual pixel ->
+            # row-major (xp, yp); out-of-image pads trace as pixel 0 and
+            # are dropped at the engine's fold.
+            vp_c = jnp.maximum(vp, 0)
+            t_id = vp_c // (tile * tile)
+            o = vp_c - t_id * (tile * tile)
+            ty = t_id // tiles_x
+            txx = t_id - ty * tiles_x
+            oy_t = o // tile
+            ox_t = o - oy_t * tile
+            yp = ty * tile + oy_t
+            xp = txx * tile + ox_t
+            pvalid = (xp < width) & (yp < height)
+            yp = jnp.where(pvalid, yp, 0)
+            xp = jnp.where(pvalid, xp, 0)
+            pid = yp * width + xp
+        else:
+            pid = vp
         next_sample = idle & has_task & (sid + 1 < run_end_old) & ~task_done
         sid = jnp.where(acquire, run_start,
                         jnp.where(next_sample, sid + 1, sid))
@@ -208,8 +242,9 @@ def _kernel_shade_regen(
         nk0, nk1 = tf.fold_in_words(b0, b1, pid)
         nk0, nk1 = tf.fold_in_words(nk0, nk1, sid)
         jux, juy = tf.draw_uniform2(nk0, nk1, TAG_JITTER, 0)
-        yp = pid // width
-        xp = pid - yp * width
+        if not own_bl:
+            yp = pid // width
+            xp = pid - yp * width
         # planar.camera_rays divides by width/height; multiplying by an
         # f32 reciprocal is not bit-identical, so divide here too.
         u = (xp.astype(jnp.float32) + jux) / jnp.float32(width)
@@ -291,7 +326,8 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
                 n_tasks: int, n_slots: int, stride: int,
                 camera_mode: str, rr_terminate: bool = False,
                 rr_start: int = 3, rr_qmin: float = 0.05,
-                interpret: bool | None = None):
+                interpret: bool | None = None, own_bl: int = 0,
+                t_b: int = 0, tiles_x: int = 0, worker_base=None):
     """One fused shade+state-update+regen step on the lane state.
 
     lane_state: ops/wavefront.py's (19 + 4*n_slots)-plane tuple
@@ -302,13 +338,14 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
     params: the 10 resolved per-ray param planes
       (pallas_segment.resolve_params).
     camvec: pack_camera(cam); base_words: (2,) u32 base-key words.
+    own_bl/t_b/tiles_x/worker_base: TILE ownership statics + the
+      worker's task-base scalar (ops/wavefront.py; own_bl=0 = strided).
     Returns the next lane state (same layout).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n_state = N_BASE + 4 * n_slots
     assert len(lane_state) == n_state, (len(lane_state), n_state)
-    hit_i, t_b = seg
     ox = lane_state[4]
     r_total = ox.shape[0]
     assert r_total % rows == 0, (r_total, rows)
@@ -325,12 +362,17 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
     shapes = [jax.ShapeDtypeStruct((r_total, LANES), dt)
               for dt in out_dtypes]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(grid,),
+        num_scalar_prefetch=3, grid=(grid,),
         in_specs=[bs] * (12 + n_state), out_specs=[bs] * n_state)
     state_in = (lane_state[:3] + (lane_state[ACT].astype(i32),)
                 + lane_state[4:17]
                 + (lane_state[17].astype(u32), lane_state[18].astype(u32))
                 + lane_state[N_BASE:])
+    if worker_base is None:
+        wb = jnp.zeros((1,), i32)
+    else:
+        wb = jnp.reshape(worker_base, (1,)).astype(i32)
+    hit_i, seg_t = seg
     out = pl.pallas_call(
         functools.partial(
             _kernel_shade_regen, rows=rows, max_depth=max_depth,
@@ -339,7 +381,7 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
             task_samples=task_samples, tpp=tpp, n_tasks=n_tasks,
             n_slots=n_slots, stride=stride, camera_mode=camera_mode,
             rr_terminate=rr_terminate, rr_start=rr_start,
-            rr_qmin=rr_qmin),
+            rr_qmin=rr_qmin, own_bl=own_bl, t_b=t_b, tiles_x=tiles_x),
         grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
-    )(camvec, base_words, hit_i, t_b, *params, *state_in)
+    )(camvec, base_words, wb, hit_i, seg_t, *params, *state_in)
     return (tuple(out[:3]) + (out[ACT] > 0,) + tuple(out[4:n_state]))

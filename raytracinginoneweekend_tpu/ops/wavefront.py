@@ -175,8 +175,34 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     p = pool_lanes(pool_size, width, height, spp, rows,
                    task_samples)
     r_rows = p // LANES
-    stride = n_workers * p          # task-id stride between a lane's tasks
-    n_k = -(-n_tasks // stride)     # ledger rounds (max tasks per lane)
+    tiled_own = options.ownership == "tile"
+    if tiled_own:
+        # Tile ownership (see TraceOptions.ownership): tasks run over the
+        # 32x32-tile virtual pixel grid (ops/cull.py closed forms); each
+        # closest-hit kernel block owns a CONTIGUOUS tile-order range of
+        # T_b tasks, strided by the block's lane count within it. T_b is
+        # a multiple of lcm(OWN_BL, tpp) so (a) every ledger cell is
+        # exact by ownership and (b) each block's (and worker's) range
+        # aligns to whole virtual pixels -- the frame-end fold is pure
+        # reshape/transpose, no scatter. Virtual pixels outside the true
+        # image trace normally (<2% waste) and drop at the fold.
+        import math as _math
+
+        from .cull import TILE, tile_pixel, virtual_grid
+        tiles_x, tiles_y, n_vp = virtual_grid(width, height)
+        own_bl = (options.sorted_rows or rows) * LANES
+        own_bl = min(own_bl, p)
+        assert p % own_bl == 0, (p, own_bl)
+        nb_local = p // own_bl
+        nb_global = n_workers * nb_local
+        n_tasks_t = n_vp * tpp
+        align = own_bl * tpp // _math.gcd(own_bl, tpp)
+        own_tb = -(-n_tasks_t // (nb_global * align)) * align
+        n_k = own_tb // own_bl         # ledger rounds per lane
+        n_tasks = nb_global * own_tb   # padded task-id space
+    else:
+        stride = n_workers * p      # task-id stride between a lane's tasks
+        n_k = -(-n_tasks // stride)  # ledger rounds (max tasks per lane)
 
     if deposit in (None, "auto"):
         deposit = ("ledger" if 3 * 4 * n_k * p <= LEDGER_CAP_BYTES
@@ -188,6 +214,9 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             "rr_terminate is implemented for mega='fused' and mega='off' "
             "only (the whole-bounce megakernel is a measured-negative "
             "variant kept for ablation)")
+    if tiled_own and options.mega == "bounce":
+        raise ValueError("ownership='tile' is implemented for mega='fused' "
+                         "and mega='off' only")
 
     sphere_params = sphere_params_from_scene(scene)
     # Sphere-group culling (pallas_segment.group_scene) measured net
@@ -198,7 +227,21 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     group_params = None
     lane = (jax.lax.broadcasted_iota(jnp.int32, (r_rows, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (r_rows, LANES), 1))
-    lane0 = worker_index * p + lane
+    if tiled_own:
+        b_global = worker_index * nb_local + lane // own_bl
+        own_base = b_global * own_tb + lane % own_bl  # first task
+        block_end = (b_global + 1) * own_tb
+        stride = own_bl                            # within-block stride
+        lane0 = own_base
+    else:
+        lane0 = worker_index * p + lane
+        block_end = n_tasks
+
+    def task_pixel(t):
+        """Task id -> (run index base pixel id, validity)."""
+        if tiled_own:
+            return tile_pixel(t // tpp, width, height, TILE)
+        return t // tpp, None
 
     sky_bias = 0.5 if options.sky == "cuda" else 1.0
     unit_sample = options.scatter_sample == "unit"
@@ -228,7 +271,9 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                                   jnp.zeros_like(pg), jnp.zeros_like(pb)))
         else:
             for (pt, pr, pg, pb) in slots:
-                pix = jnp.where(pt >= 0, pt // tpp, n_pixels).reshape(-1)
+                pid, valid = task_pixel(jnp.maximum(pt, 0))
+                ok = pt >= 0 if valid is None else (pt >= 0) & valid
+                pix = jnp.where(ok, pid, n_pixels).reshape(-1)
                 dep_r = dep_r.at[pix].add(pr.reshape(-1), mode="drop")
                 dep_g = dep_g.at[pix].add(pg.reshape(-1), mode="drop")
                 dep_b = dep_b.at[pix].add(pb.reshape(-1), mode="drop")
@@ -240,6 +285,23 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         """Deposit arrays -> (n_pixels,) per-channel sums."""
         if deposit != "ledger":
             return dep_r, dep_g, dep_b
+        if tiled_own:
+            # Ledger cell (k, lane) holds task own_base + k*own_bl; block
+            # ranges are contiguous and vp-aligned, so the whole fold is
+            # reshape/transpose (de-swizzle the tile order), no scatter.
+            def f(ch):
+                x = ch.reshape(n_k, nb_local, own_bl).transpose(1, 0, 2)
+                vp_local = x.reshape(nb_local * own_tb // tpp,
+                                     tpp).sum(axis=1)
+                full = jnp.zeros((n_tasks // tpp,), jnp.float32)
+                off = worker_index * (nb_local * (own_tb // tpp))
+                full = jax.lax.dynamic_update_slice(full, vp_local, (off,))
+                img = full[:n_vp].reshape(tiles_y, tiles_x, TILE, TILE)
+                img = img.transpose(0, 2, 1, 3).reshape(
+                    tiles_y * TILE, tiles_x * TILE)
+                return img[:height, :width].reshape(n_pixels)
+
+            return f(dep_r), f(dep_g), f(dep_b)
         if n_workers == 1:
             # task id = k*p + lane exactly; pixel runs are contiguous.
             def f(ch):
@@ -288,13 +350,14 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         task = jnp.where(moved, -1, task)
 
         # 2. Taskless lanes acquire their next strided task.
-        acquire = idle & (task < 0) & (nxt < n_tasks)
+        acquire = idle & (task < 0) & (nxt < block_end)
         task = jnp.where(acquire, nxt, task)
         nxt = jnp.where(acquire, nxt + stride, nxt)
 
         # 3. Recompute pixel/run for the (possibly new) task; advance sid.
-        pid = task // tpp
-        run_start = (task - pid * tpp) * task_samples
+        vp = task // tpp
+        pid, _valid = task_pixel(jnp.maximum(task, 0))
+        run_start = (task - vp * tpp) * task_samples
         next_sample = idle & has_task & (sid + 1 < run_end_old) & ~task_done
         sid = jnp.where(acquire, run_start,
                         jnp.where(next_sample, sid + 1, sid))
@@ -428,6 +491,10 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                 (ox, oy, oz, dx, dy, dz), cx, cy, cz, r, options.t_min,
                 rows=rows, active=active, kernel=options.hit_kernel)
         params = resolve_params(s_b, sphere_params)
+        tile_kw = {}
+        if tiled_own:
+            tile_kw = dict(own_bl=own_bl, t_b=own_tb, tiles_x=tiles_x,
+                           worker_base=worker_index * nb_local * own_tb)
         return shade_regen(
             state, (hit_i, t_b), params, camvec, base_words,
             rows=rows, max_depth=max_depth, unit_sample=unit_sample,
@@ -435,12 +502,13 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             height=height, spp=spp, task_samples=task_samples, tpp=tpp,
             n_tasks=n_tasks, n_slots=n_slots, stride=stride,
             camera_mode=camera_mode, rr_terminate=options.rr_terminate,
-            rr_start=options.rr_start, rr_qmin=options.rr_qmin)
+            rr_start=options.rr_start, rr_qmin=options.rr_qmin, **tile_kw)
 
     def cond(state):
         lane_state = state[0]
         nxt, task, sid, active = lane_state[:4]
-        return jnp.any(active) | jnp.any(task >= 0) | jnp.any(nxt < n_tasks)
+        return (jnp.any(active) | jnp.any(task >= 0)
+                | jnp.any(nxt < block_end))
 
     use_sorted = options.hit_kernel == "sorted"
     sorted_rows = options.sorted_rows or rows

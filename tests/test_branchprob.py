@@ -257,3 +257,94 @@ def test_hollow_glass_ior_matches_finite_differences():
     assert abs(ad0 - fd) > 0.5 * abs(fd), (ad0, fd)
     # ...and the delta-lobe terms close it to FD repeatability.
     assert np.isclose(ad, fd, rtol=0.15), (ad, fds)
+
+
+@pytest.mark.slow
+def test_internal_rr_reflection_arm_matches_finite_differences():
+    """The round-3 scope extension: internal-RR REFLECTION arms of the
+    deterministic refract chain carry their own direction-sweep edge
+    term (branch_probability_surrogate(chain_rr_arms=K)).
+
+    Config built so the arm term is load-bearing: a glass sphere in
+    front of the camera and a BLACK occluder BEHIND the camera --
+    invisible to primaries, seen only by backward-exiting glass paths:
+    the br=0 primary-reflection branch (covered with or without arms)
+    and the internally-reflected exit arms (covered only by
+    chain_rr_arms > 0). Batch = the glass disk's pixels; the loss
+    gradient w.r.t. the occluder RADIUS (coherent sign around the whole
+    edge ring, unlike lateral motion which cancels across the ring) is
+    measured against central FD at 256 spp.
+
+    Measured on this config (eps 0.04/0.08 FD: -0.004821/-0.004787):
+    arms=0 reports -0.00225 -- 47% of the truth -- while arms=2 gives
+    -0.00494, within 2.5% of FD. The assertions bound both facts.
+    """
+    from raytracinginoneweekend_tpu.models.camera import make_camera
+    from raytracinginoneweekend_tpu.models.scene import DIELECTRIC, LAMBERT
+    from raytracinginoneweekend_tpu.ops.branchprob import (
+        branch_probability_surrogate)
+    from raytracinginoneweekend_tpu.render import render_pixels_impl
+    import raytracinginoneweekend_tpu.ops.silhouette as sil
+
+    w, h, spp, depth = 96, 72, 256, 8
+
+    def make_scene(orad):
+        return Scene(
+            centers=jnp.array([[0.0, 0.0, -3.0], [0.0, 0.1, 1.2]],
+                              jnp.float32),
+            radii=jnp.stack([jnp.float32(1.0), orad]),
+            material_index=jnp.array([0, 1], jnp.int32),
+            mtype=jnp.array([DIELECTRIC, LAMBERT], jnp.int32),
+            albedo=jnp.array([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0]],
+                             jnp.float32),
+            fuzz=jnp.array([0.0, 0.0], jnp.float32),
+            ior=jnp.array([1.5, 1.0], jnp.float32),
+        )
+
+    cam = make_camera((0, 0, 0), (0, 0, -3), (0, 1, 0), w / h, 45.0, 0.0,
+                      3.0)
+    key = jax.random.key(3)
+    ys, xs = np.mgrid[0:h, 0:w]
+    uu = (xs + 0.5) / w
+    vv = (ys + 0.5) / h
+    uv_c, _ = sil.project_to_screen(cam, jnp.array([[0., 0., -3.]]),
+                                    "pinhole")
+    uv_e, _ = sil.project_to_screen(cam, jnp.array([[1., 0., -3.]]),
+                                    "pinhole")
+    uc, vc = float(uv_c[0, 0]), float(uv_c[0, 1])
+    ru = abs(float(uv_e[0, 0]) - uc)
+    m = ((uu - uc) / ru) ** 2 + ((vv - vc) / ru) ** 2 < 0.95 ** 2
+    ids = jnp.asarray(np.where(m.ravel())[0].astype(np.int32))
+    kw = dict(width=w, height=h, spp=spp, max_depth=depth,
+              camera_mode="pinhole", options=DEFAULT)
+
+    def rendered(sc):
+        return render_pixels_impl(sc, cam, ids, key, wave_spp=spp,
+                                  differentiable=True, **kw)
+
+    base = rendered(make_scene(jnp.float32(0.8)))
+    target = jax.lax.stop_gradient(base) - 0.5
+    size = base.size
+
+    def loss_of(orad, arms):
+        sc = make_scene(orad)
+        diff = rendered(sc) - target
+        loss = jnp.mean(diff * diff)
+        if arms is None:
+            return loss
+        cot = 2.0 * jax.lax.stop_gradient(diff) / size
+        sur = branch_probability_surrogate(
+            sc, cam, "pinhole", cot, ids, w, h,
+            jax.random.fold_in(key, 0x51172), depth, DEFAULT,
+            chain_rr_arms=arms)
+        return loss + sur - jax.lax.stop_gradient(sur)
+
+    g0 = float(jax.grad(lambda r: loss_of(r, 0))(jnp.float32(0.8)))
+    g2 = float(jax.grad(lambda r: loss_of(r, 2))(jnp.float32(0.8)))
+    eps = 0.06
+    fd = float((loss_of(jnp.float32(0.8 + eps), None)
+                - loss_of(jnp.float32(0.8 - eps), None)) / (2 * eps))
+    assert fd < -1e-3, fd  # the config carries real signal
+    # New term closes the gap; refract-chain-only measurably misses.
+    assert abs(g2 - fd) < 0.15 * abs(fd), (g2, fd)
+    assert abs(g0 - fd) > 0.35 * abs(fd), (g0, fd)

@@ -4,6 +4,8 @@ jits + executes the full sharded training step on the virtual CPU mesh."""
 import sys
 import os
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -19,5 +21,6 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)

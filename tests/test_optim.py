@@ -235,6 +235,7 @@ def test_fit_with_mesh_psums_gradients():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mesh_gradients_with_all_boundary_terms():
     """render_loss gradients under the 8-device mesh match the unsharded
     ones with EVERY gradient term enabled (primary + secondary boundary,

@@ -6,6 +6,8 @@ renders are bitwise identical, and parameter gradients survive shard_map's
 psum transpose unchanged.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +65,7 @@ def test_sharded_image_nondivisible_pixel_count():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_param_grads_match_through_shard_map():
     """shard_map AD transpose (psum) must reproduce single-device grads."""
     scene, cam, key = _setup()

@@ -547,6 +547,7 @@ def two_bounce_scene() -> Scene:
     )
 
 
+@pytest.mark.slow
 def test_vertex_depth1_term_is_nonzero_and_depth0_unchanged():
     """Fast control for the deeper-vertex extension: summing vertex
     depths {0,1} adds a nonzero, finite depth-1 part on the occluder of
@@ -707,6 +708,7 @@ def test_fit_recovers_center_through_silhouette():
     assert losses[-1] < losses[0] * 0.2
 
 
+@pytest.mark.slow
 def test_render_pixels_vjp_matches_finite_differences():
     """The LITERAL BASELINE pixel-gradient metric (BASELINE.md:32):
     d<u, I>/d(param) for an ARBITRARY per-pixel cotangent u via

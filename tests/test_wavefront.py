@@ -229,3 +229,43 @@ def test_wavefront_hit_kernel_mxu_matches():
         err = np.abs(a - b) / (np.abs(a) + 1e-3)
         outliers = (err.max(axis=-1) > 1e-3).mean()
         assert outliers <= 0.01, (mega, outliers, err.max())
+
+
+def test_tile_ownership_images_bit_identical():
+    """ownership='tile' (block-contiguous tile-swizzled task ownership,
+    the coherence layout for hit_kernel='sorted') must reproduce the
+    strided engine's image BIT-exactly on both scenes, across the fused
+    and XLA bodies, the sorted kernel, the scatter-deposit fallback and
+    the stats path -- the RNG contract keys by (pixel, sample), so only
+    the task->lane mapping moves, and the ledger fold sums each pixel's
+    tasks in the same order."""
+    import dataclasses
+
+    from raytracinginoneweekend_tpu.models.camera import reference_cpu_camera
+    from raytracinginoneweekend_tpu.models.scene import (huge_scene,
+                                                         simple_scene_cuda)
+
+    for scene, w, h in ((simple_scene_cuda(), 40, 24), (huge_scene(0), 36,
+                                                        20)):
+        cam = reference_cpu_camera(w, h)
+        key = jax.random.key(0)
+        kw = dict(width=w, height=h, spp=4, max_depth=6,
+                  camera_mode="thinlens", pool_size=2048)
+        base = np.asarray(render_wavefront(scene, cam, key, options=DEFAULT,
+                                           **kw))
+        assert np.isfinite(base).all() and base.max() > 0.05
+        for mega, hk in (("off", "sublane"), ("fused", "sublane"),
+                         ("fused", "sorted")):
+            o = dataclasses.replace(DEFAULT, ownership="tile", mega=mega,
+                                    hit_kernel=hk)
+            got = np.asarray(render_wavefront(scene, cam, key, options=o,
+                                              **kw))
+            np.testing.assert_array_equal(base, got, err_msg=f"{mega}/{hk}")
+        o = dataclasses.replace(DEFAULT, ownership="tile")
+        got = np.asarray(render_wavefront(scene, cam, key, options=o,
+                                          deposit="scatter", **kw))
+        np.testing.assert_array_equal(base, got, err_msg="scatter")
+        got2, st = render_wavefront(scene, cam, key, options=o,
+                                    return_stats=True, **kw)
+        np.testing.assert_array_equal(base, np.asarray(got2))
+        assert int(st["segments"]) > 0

@@ -45,7 +45,8 @@ def _build_camera(name: str, width: int, height: int):
 
 
 def _options(compat: str, fusion: str | None = None,
-             rr_terminate: bool = False, hit_kernel: str | None = None):
+             rr_terminate: bool = False, hit_kernel: str | None = None,
+             ownership: str | None = None):
     import dataclasses
 
     from . import config
@@ -61,6 +62,8 @@ def _options(compat: str, fusion: str | None = None,
         opts = dataclasses.replace(opts, rr_terminate=True)
     if hit_kernel is not None:
         opts = dataclasses.replace(opts, hit_kernel=hit_kernel)
+    if ownership is not None:
+        opts = dataclasses.replace(opts, ownership=ownership)
     return opts
 
 
@@ -98,6 +101,12 @@ def _add_render_flags(p: argparse.ArgumentParser):
                    help="closest-hit kernel layout (TraceOptions."
                         "hit_kernel; 'sorted' = distance-ordered "
                         "whole-block early exit, see ARCHITECTURE.md)")
+    p.add_argument("--ownership", default=None,
+                   choices=["strided", "tile"],
+                   help="wavefront task-ownership layout (TraceOptions."
+                        "ownership; 'tile' = block-contiguous 32x32-"
+                        "pixel tile ranges -- the coherent layout for "
+                        "--hit-kernel sorted)")
     p.add_argument("--rr-terminate", action="store_true",
                    help="Russian-roulette path termination (unbiased "
                         "estimator change: fewer traced segments, "
@@ -126,7 +135,8 @@ def _render_image(args):
     cam = _build_camera(camera_name, args.width, args.height)
     options = _options(args.compat, getattr(args, "fusion", None),
                        getattr(args, "rr_terminate", False),
-                       getattr(args, "hit_kernel", None))
+                       getattr(args, "hit_kernel", None),
+                       getattr(args, "ownership", None))
     key = jax.random.key(args.seed)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, camera_mode=args.mode,

@@ -19,7 +19,27 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class TraceOptions:
-    """Semantics switches for the integrator (all static)."""
+    """Semantics switches for the integrator (all static).
+
+    SUPPORTED-COMBINATION MATRIX (the one place; engine guards raise on
+    the unsupported cells):
+
+      mega:        "fused" (default) | "off" | "bounce"
+      rr_terminate: fused ok | off ok | bounce RAISES (ablation kernel)
+      hit_kernel:  "sorted"/"mxu" apply under fused/off; under "bounce"
+                   the megakernel does its own intersect (ignored)
+      ownership:   "tile" requires mega in (fused, off); RAISES on bounce
+      dual-pool engine (ops/wavefront_dual.py): rr_terminate RAISES
+                   (not implemented there); ownership/hit_kernel="sorted"
+                   are ignored (it has its own cone-cull list path)
+      deposit:     "ledger"/"scatter" valid for every combination above
+      tiled/planar AD engines (render_pixels / integrate_planar): use
+                   options.intersect + gather only; the wavefront-only
+                   switches (mega, hit_kernel, ownership, rr_*) are
+                   ignored there -- rr_terminate is a forward-estimator
+                   change and the AD engines keep the reference-faithful
+                   estimator.
+    """
 
     # Minimum hit distance epsilon (raytracer.hxx:98; cuda_impl.cu:176).
     t_min: float = 0.008
@@ -98,6 +118,15 @@ class TraceOptions:
     rr_terminate: bool = False
     rr_start: int = 3
     rr_qmin: float = 0.05
+    # Survival probability q = clip(rr_scale * max-channel(attenuation),
+    # rr_qmin, 1): rr_scale > 1 kills less aggressively -- smaller speed
+    # gain, much smaller variance inflation. The default (3, 4.0) is
+    # tuned for VARIANCE x TIME efficiency, not raw rays/s: measured
+    # eff 1.27x vs rr-off at +1.2% variance, where the raw-speed-optimal
+    # (1, scale 1) reaches 79.8 Mrays/s but at 2.97x variance --
+    # eff 0.41, a net LOSS (ARCHITECTURE.md "Russian-roulette",
+    # docs/RR_EFFICIENCY_r03.jsonl).
+    rr_scale: float = 4.0
 
     def __post_init__(self):
         assert self.scatter_sample in ("unit", "ball")
@@ -108,6 +137,7 @@ class TraceOptions:
         assert self.hit_kernel in ("sublane", "mxu", "sorted")
         assert self.gather in ("onehot", "take")
         assert self.rr_start >= 1 and 0.0 < self.rr_qmin <= 1.0
+        assert self.rr_scale > 0.0
         assert self.sorted_rows >= 0
         assert all(int(c) > 0 for c in self.sorted_ladder)
         assert self.ownership in ("strided", "tile")

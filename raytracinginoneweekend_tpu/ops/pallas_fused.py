@@ -74,7 +74,8 @@ def _kernel_shade_regen(
         spp: int, task_samples: int, tpp: int, n_tasks: int,
         n_slots: int, stride: int, camera_mode: str,
         rr_terminate: bool = False, rr_start: int = 3,
-        rr_qmin: float = 0.05, own_bl: int = 0, t_b: int = 0,
+        rr_qmin: float = 0.05, rr_scale: float = 1.0,
+        own_bl: int = 0, t_b: int = 0,
         tiles_x: int = 0, tile: int = 32):
     # refs = [hit, t, 10 resolved params, state (19 + 4*n_slots)] inputs
     # followed by the (19 + 4*n_slots) state outputs.
@@ -169,7 +170,7 @@ def _kernel_shade_regen(
             # counter 2; survivors boost 1/q, casualties die like absorb.
             tag = jnp.uint32(TAG_BOUNCE) + dep.astype(jnp.uint32)
             u_rr, _ = tf.draw_uniform2(k0, k1, tag, 2)
-            q = jnp.clip(jnp.maximum(ax, jnp.maximum(ay, az)),
+            q = jnp.clip(rr_scale * jnp.maximum(ax, jnp.maximum(ay, az)),
                          rr_qmin, 1.0)
             consider = keep & (dep + 1 >= rr_start)
             surv = consider & (u_rr < q)
@@ -326,6 +327,7 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
                 n_tasks: int, n_slots: int, stride: int,
                 camera_mode: str, rr_terminate: bool = False,
                 rr_start: int = 3, rr_qmin: float = 0.05,
+                rr_scale: float = 1.0,
                 interpret: bool | None = None, own_bl: int = 0,
                 t_b: int = 0, tiles_x: int = 0, worker_base=None):
     """One fused shade+state-update+regen step on the lane state.
@@ -381,7 +383,8 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
             task_samples=task_samples, tpp=tpp, n_tasks=n_tasks,
             n_slots=n_slots, stride=stride, camera_mode=camera_mode,
             rr_terminate=rr_terminate, rr_start=rr_start,
-            rr_qmin=rr_qmin, own_bl=own_bl, t_b=t_b, tiles_x=tiles_x),
+            rr_qmin=rr_qmin, rr_scale=rr_scale, own_bl=own_bl, t_b=t_b,
+            tiles_x=tiles_x),
         grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
     )(camvec, base_words, wb, hit_i, seg_t, *params, *state_in)
     return (tuple(out[:3]) + (out[ACT] > 0,) + tuple(out[4:n_state]))

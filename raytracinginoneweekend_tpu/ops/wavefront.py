@@ -21,7 +21,9 @@ TPU-native design decisions (all measured on v5e, see git history):
   * Lane regeneration is strided, not compacted: lane l owns global ray
     ids l, l+P, l+2P, ... and advances independently -- no cumsum/prefix
     ranks (lane-crossing scans measured ~30ms at 512k) and no
-    inter-lane communication at all.
+    inter-lane communication at all. (options.ownership="tile" swaps in
+    block-contiguous tile-swizzled ownership -- the coherent layout for
+    hit_kernel="sorted"; bit-identical images, see TraceOptions.)
   * Framebuffer deposit: a TASK-INDEXED LEDGER, not pixel scatter-adds.
     Because task ownership is strided, every task has a statically-known
     unique slot ledger[k, lane] (task id = k*stride + lane0), so the
@@ -457,7 +459,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             from . import threefry as _tf
             tag = jnp.uint32(_rng.TAG_BOUNCE) + depth.astype(jnp.uint32)
             u_rr, _ = _tf.draw_uniform2(rk0, rk1, tag, 2)
-            q = jnp.clip(jnp.maximum(ax, jnp.maximum(ay, az)),
+            q = jnp.clip(options.rr_scale
+                         * jnp.maximum(ax, jnp.maximum(ay, az)),
                          options.rr_qmin, 1.0)
             consider = keep & (depth + 1 >= options.rr_start)
             surv = consider & (u_rr < q)
@@ -502,7 +505,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             height=height, spp=spp, task_samples=task_samples, tpp=tpp,
             n_tasks=n_tasks, n_slots=n_slots, stride=stride,
             camera_mode=camera_mode, rr_terminate=options.rr_terminate,
-            rr_start=options.rr_start, rr_qmin=options.rr_qmin, **tile_kw)
+            rr_start=options.rr_start, rr_qmin=options.rr_qmin,
+            rr_scale=options.rr_scale, **tile_kw)
 
     def cond(state):
         lane_state = state[0]

@@ -87,8 +87,12 @@ def test_rr_termination_unbiased_and_saves_segments():
     key = jax.random.key(5)
     kw = dict(width=w, height=h, spp=spp, max_depth=depth,
               camera_mode="thinlens", pool_size=4096)
+    # rr_scale pinned at 1.0: this test measures the AGGRESSIVE
+    # q = attenuation ablation (the 23.6%-fewer-segments figure); the
+    # shipped default rr_scale=4.0 trades most of that saving for
+    # near-zero variance inflation (docs/RR_EFFICIENCY_r03.jsonl).
     rr = dataclasses.replace(DEFAULT, rr_terminate=True, rr_start=2,
-                             rr_qmin=0.05)
+                             rr_qmin=0.05, rr_scale=1.0)
 
     base, sb = render_wavefront(scene, cam, key, options=DEFAULT,
                                 return_stats=True, **kw)

@@ -46,7 +46,7 @@ def _build_camera(name: str, width: int, height: int):
 
 def _options(compat: str, fusion: str | None = None,
              rr_terminate: bool = False, hit_kernel: str | None = None,
-             ownership: str | None = None):
+             ownership: str | None = None, sampling: str | None = None):
     import dataclasses
 
     from . import config
@@ -64,6 +64,8 @@ def _options(compat: str, fusion: str | None = None,
         opts = dataclasses.replace(opts, hit_kernel=hit_kernel)
     if ownership is not None:
         opts = dataclasses.replace(opts, ownership=ownership)
+    if sampling is not None:
+        opts = dataclasses.replace(opts, sampling=sampling)
     return opts
 
 
@@ -107,6 +109,12 @@ def _add_render_flags(p: argparse.ArgumentParser):
                         "ownership; 'tile' = block-contiguous 32x32-"
                         "pixel tile ranges -- the coherent layout for "
                         "--hit-kernel sorted)")
+    p.add_argument("--sampling", default=None,
+                   choices=["iid", "stratified"],
+                   help="pixel-jitter sampling (TraceOptions.sampling; "
+                        "'stratified' = opt-in low-discrepancy jitter, "
+                        "unbiased, ~7% lower variance on the cover "
+                        "config)")
     p.add_argument("--rr-terminate", action="store_true",
                    help="Russian-roulette path termination (unbiased "
                         "estimator change: fewer traced segments, "
@@ -136,7 +144,8 @@ def _render_image(args):
     options = _options(args.compat, getattr(args, "fusion", None),
                        getattr(args, "rr_terminate", False),
                        getattr(args, "hit_kernel", None),
-                       getattr(args, "ownership", None))
+                       getattr(args, "ownership", None),
+                       getattr(args, "sampling", None))
     key = jax.random.key(args.seed)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, camera_mode=args.mode,

@@ -95,6 +95,13 @@ class TraceOptions:
     # ablation).
     sorted_rows: int = 0
     sorted_ladder: tuple = (4,)  # measured best on v5e (ARCHITECTURE.md)
+    # Pixel-jitter sampling: "iid" (reference-faithful, the parity
+    # default) or "stratified" (opt-in estimator change: the TAG_JITTER
+    # words are remapped so u is exactly stratified over the spp strata
+    # and v rides a van-der-Corput sequence under a full-range rotation
+    # -- unbiased, lower pixel-antialiasing variance; ops/rng.py
+    # stratify_uv). Lens/bounce draws stay iid.
+    sampling: str = "iid"
     # Wavefront task OWNERSHIP layout:
     #   "strided" = lane l owns global tasks l, l+P, ... (row-major
     #     pixels): perfect load balance, but a kernel block's in-flight
@@ -141,6 +148,7 @@ class TraceOptions:
         assert self.sorted_rows >= 0
         assert all(int(c) > 0 for c in self.sorted_ladder)
         assert self.ownership in ("strided", "tile")
+        assert self.sampling in ("iid", "stratified")
 
 
 # The semantics of the reference's ACTIVE renderer (the CUDA path).

@@ -387,7 +387,8 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
     sid = sid_flat.reshape(r_total, LANES)
 
     ox, oy, oz, dx, dy, dz, rk0, rk1 = planar.camera_rays(
-        cam, pid, sid, base_key, width, height, camera_mode)
+        cam, pid, sid, base_key, width, height, camera_mode,
+        sampling=options.sampling, spp=spp)
     resr, resg, resb = trace_planar(
         scene, (ox, oy, oz, dx, dy, dz), (rk0, rk1), max_depth, options,
         rows=rows)

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import rng as _rng
 from . import threefry as tf
 from .pallas_mega import TAG_BOUNCE, kernel_bounce_draws, kernel_shade
 
@@ -76,7 +77,7 @@ def _kernel_shade_regen(
         rr_terminate: bool = False, rr_start: int = 3,
         rr_qmin: float = 0.05, rr_scale: float = 1.0,
         own_bl: int = 0, t_b: int = 0,
-        tiles_x: int = 0, tile: int = 32):
+        tiles_x: int = 0, tile: int = 32, sampling: str = "iid"):
     # refs = [hit, t, 10 resolved params, state (19 + 4*n_slots)] inputs
     # followed by the (19 + 4*n_slots) state outputs.
     # own_bl > 0 selects TILE ownership (ops/wavefront.py): the lane's
@@ -243,6 +244,8 @@ def _kernel_shade_regen(
         nk0, nk1 = tf.fold_in_words(b0, b1, pid)
         nk0, nk1 = tf.fold_in_words(nk0, nk1, sid)
         jux, juy = tf.draw_uniform2(nk0, nk1, TAG_JITTER, 0)
+        if sampling == "stratified":
+            jux, juy = _rng.stratify_uv(jux, juy, sid, spp)
         if not own_bl:
             yp = pid // width
             xp = pid - yp * width
@@ -329,7 +332,8 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
                 rr_start: int = 3, rr_qmin: float = 0.05,
                 rr_scale: float = 1.0,
                 interpret: bool | None = None, own_bl: int = 0,
-                t_b: int = 0, tiles_x: int = 0, worker_base=None):
+                t_b: int = 0, tiles_x: int = 0, worker_base=None,
+                sampling: str = "iid"):
     """One fused shade+state-update+regen step on the lane state.
 
     lane_state: ops/wavefront.py's (19 + 4*n_slots)-plane tuple
@@ -384,7 +388,7 @@ def shade_regen(lane_state, seg, params, camvec, base_words, *,
             n_slots=n_slots, stride=stride, camera_mode=camera_mode,
             rr_terminate=rr_terminate, rr_start=rr_start,
             rr_qmin=rr_qmin, rr_scale=rr_scale, own_bl=own_bl, t_b=t_b,
-            tiles_x=tiles_x),
+            tiles_x=tiles_x, sampling=sampling),
         grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
     )(camvec, base_words, wb, hit_i, seg_t, *params, *state_in)
     return (tuple(out[:3]) + (out[ACT] > 0,) + tuple(out[4:n_state]))

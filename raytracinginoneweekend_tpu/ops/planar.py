@@ -152,12 +152,13 @@ def bounce_planar(seg, dirs, k0, k1, depth, *, unit_sample: bool,
 
 
 def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
-                camera_mode: str):
+                camera_mode: str, sampling: str = "iid", spp: int = 0):
     """Planar camera-ray generation for (pixel, sample) planes.
 
     pid, sid: (R, 128) i32 planes. Returns (ox, oy, oz, dx, dy, dz, k0,
     k1) with k0/k1 the per-ray KEY-WORD planes (the ops/rng.py ray_key
     contract -- draws are bit-identical to the scalar path).
+    sampling="stratified" remaps the jitter per rng.stratify_uv.
 
     Modes mirror models/camera.camera_ray exactly: "cuda" (no defocus +
     quirk Q11 direction), "pinhole", "cpu" (quirks Q2+Q11), "thinlens".
@@ -169,6 +170,8 @@ def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
 
     k0, k1 = ray_key_words(base_key, pid, sid)
     jux, juy = tf.draw_uniform2(k0, k1, rng.TAG_JITTER, 0)
+    if sampling == "stratified":
+        jux, juy = rng.stratify_uv(jux, juy, sid, spp)
     y = pid // width
     x = pid - y * width
     u = (x.astype(jnp.float32) + jux) / width

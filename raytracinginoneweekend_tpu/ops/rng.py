@@ -105,6 +105,46 @@ def bounce_draws(rkey, bounce, sample: str):
     return vec, u3
 
 
+def bitrev32(x):
+    """Bit-reversed uint32: the base-2 radical inverse scaled by 2^32.
+
+    Pure u32 shift/mask ladder -- usable elementwise on (R, 128) planes
+    inside Pallas kernels (same ops as ops/threefry.py).
+    """
+    x = x.astype(jnp.uint32)
+    x = ((x & jnp.uint32(0x55555555)) << 1) | (
+        (x >> 1) & jnp.uint32(0x55555555))
+    x = ((x & jnp.uint32(0x33333333)) << 2) | (
+        (x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | (
+        (x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | (
+        (x >> 8) & jnp.uint32(0x00FF00FF))
+    return (x << 16) | (x >> 16)
+
+
+def stratify_uv(ju, jv, sid, spp: int):
+    """Remap an iid sub-pixel jitter pair to a STRATIFIED one (opt-in
+    TraceOptions.sampling="stratified"; an estimator change, so the
+    reference-faithful default never calls this).
+
+    u: exactly stratified -- sample sid jitters within stratum
+    [sid/spp, (sid+1)/spp) (deterministic sid covers every stratum
+    once, so the pixel-area integral stays exactly unbiased).
+    v: base-2 van der Corput radical inverse of sid plus the FULL-range
+    iid jitter (a Cranley-Patterson rotation): the marginal stays
+    U[0,1) (unbiased) while consecutive samples keep low-discrepancy
+    spacing. Draw COUNT and the (pixel, sample, tag, word) contract are
+    untouched -- this is a pure remap of the existing TAG_JITTER words,
+    so every engine implements it identically (bit-equal images).
+    """
+    u = (jnp.asarray(sid).astype(jnp.float32) + ju) / spp
+    rv = bitrev32(jnp.asarray(sid)).astype(jnp.float32) * (
+        1.0 / 4294967296.0)
+    v = rv + jv
+    return u, v - jnp.floor(v)
+
+
 def unit_from_uv(u0, u1):
     """Uniform unit direction from two uniforms (polar/Archimedes map).
 

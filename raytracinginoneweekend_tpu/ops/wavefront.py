@@ -371,7 +371,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         #    than carried: unissued lanes keep their pid/sid, so their
         #    key is bit-identical either way.
         nox, noy, noz, ndx, ndy, ndz, rk0, rk1 = _planar_camera_rays(
-            cam, pid, sid, base_key, width, height, camera_mode)
+            cam, pid, sid, base_key, width, height, camera_mode,
+            sampling=options.sampling, spp=spp)
 
         one = jnp.float32(1.0)
         ox = jnp.where(issue, nox, ox)
@@ -506,7 +507,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             n_tasks=n_tasks, n_slots=n_slots, stride=stride,
             camera_mode=camera_mode, rr_terminate=options.rr_terminate,
             rr_start=options.rr_start, rr_qmin=options.rr_qmin,
-            rr_scale=options.rr_scale, **tile_kw)
+            rr_scale=options.rr_scale, sampling=options.sampling,
+            **tile_kw)
 
     def cond(state):
         lane_state = state[0]

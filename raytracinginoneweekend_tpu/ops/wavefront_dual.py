@@ -234,7 +234,8 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         blocked_now = has_task & ~dead_task & ~issue
 
         ox, oy, oz, dx, dy, dz, rk0, rk1 = camera_rays(
-            cam, pid, sid, base_key, width, height, camera_mode)
+            cam, pid, sid, base_key, width, height, camera_mode,
+            sampling=options.sampling, spp=spp)
 
         # ---- primary trace: cone cull + list kernel ------------------
         stats = cull.block_cone_stats(issue, (ox, oy, oz, dx, dy, dz),

@@ -39,20 +39,25 @@ from .ops.integrate import trace, trace_fast
 
 
 def make_primary_rays(cam: Camera, pixel_ids, sample_ids, base_key,
-                      width: int, height: int, camera_mode: str):
+                      width: int, height: int, camera_mode: str,
+                      sampling: str = "iid", spp: int = 0):
     """Generate jittered camera rays for (pixel, sample) pairs.
 
     pixel_ids, sample_ids: equal-shape (R,) i32 arrays.
+    sampling="stratified" remaps the jitter per rng.stratify_uv (needs
+    spp, the total samples per pixel).
     Returns (origins (R,3), directions (R,3), ray_keys (R,) key array).
     """
 
     def one(pid, sid):
         rkey = rng.ray_key(base_key, pid, sid)
-        jit_uv = rng.jitter_uv(rkey)
+        ju, jv = rng.jitter_uv(rkey)
+        if sampling == "stratified":
+            ju, jv = rng.stratify_uv(ju, jv, sid, spp)
         y = pid // width
         x = pid - y * width
-        u = (x.astype(jnp.float32) + jit_uv[0]) / width
-        v = (y.astype(jnp.float32) + jit_uv[1]) / height
+        u = (x.astype(jnp.float32) + ju) / width
+        v = (y.astype(jnp.float32) + jv) / height
         o, d = camera_ray(cam, u, v, rkey, camera_mode)
         return o, d, rkey
 
@@ -82,7 +87,8 @@ def render_pixels_impl(scene: Scene, cam: Camera, pixel_ids, base_key, *,
         pids = jnp.repeat(pixel_ids, wave_spp)
         sids = jnp.tile(sample_ids, p)
         o, d, rkeys = make_primary_rays(cam, pids, sids, base_key, width,
-                                        height, camera_mode)
+                                        height, camera_mode,
+                                        sampling=options.sampling, spp=spp)
         colors = tracer(scene, o, d, rkeys, max_depth, options)
         # Mask samples beyond spp (when spp % wave_spp != 0).
         live = (sids < spp).astype(colors.dtype)[:, None]

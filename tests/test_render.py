@@ -130,3 +130,74 @@ def test_degenerate_inputs_produce_no_nans():
                         wave_spp=2, max_depth=6, camera_mode="thinlens",
                         options=DEFAULT)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_stratified_sampling_unbiased_and_engine_invariant():
+    """Opt-in TraceOptions.sampling='stratified' (ops/rng.stratify_uv):
+    the TAG_JITTER words are remapped so u is exactly stratified over
+    the spp strata and v rides a van-der-Corput sequence under a
+    full-range rotation. Checks: (a) every engine implements the remap
+    identically (fused wavefront == XLA wavefront BIT-exact; tiled
+    agrees to accumulation order), (b) the estimator stays unbiased
+    (mean within MC noise of iid), (c) it actually reduces variance on
+    the huge cover config (measured ratio 0.934 at 16 spp over 8 keys;
+    the AA dimension is a small slice of total path variance, so the
+    honest bound is modest).
+    """
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from raytracinginoneweekend_tpu.config import DEFAULT
+    from raytracinginoneweekend_tpu.models.camera import reference_cpu_camera
+    from raytracinginoneweekend_tpu.models.scene import huge_scene
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+    from raytracinginoneweekend_tpu.render import render_pixels
+
+    import jax.numpy as jnp
+
+    scene = huge_scene(0)
+    w, h, spp = 48, 32, 16
+    cam = reference_cpu_camera(w, h)
+    key = jax.random.key(0)
+    strat = dataclasses.replace(DEFAULT, sampling="stratified")
+    kw = dict(width=w, height=h, spp=spp, max_depth=6,
+              camera_mode="thinlens")
+    a = np.asarray(render_wavefront(scene, cam, key, options=strat,
+                                    pool_size=2048, **kw))
+    b = np.asarray(render_wavefront(
+        scene, cam, key, options=dataclasses.replace(strat, mega="off"),
+        pool_size=2048, **kw))
+    np.testing.assert_array_equal(a, b)  # in-kernel == XLA remap
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    c = np.asarray(render_pixels(scene, cam, ids, key, wave_spp=spp,
+                                 options=strat, **kw))
+    # The tiled engine shares the stratified jitter bit-exactly (checked
+    # directly for the remap) but uses a DIFFERENT closest-hit
+    # implementation (jnp t-space vs the Pallas q-space kernel): this
+    # particular stratified ray set includes a handful of knife-edge
+    # candidates whose winner flips between the two, each worth one
+    # sample's radiance (~0.26/spp). Bound the flip fraction instead of
+    # demanding allclose.
+    close = np.isclose(a, c, rtol=2e-4, atol=2e-5)
+    assert close.mean() > 0.99, close.mean()
+    assert np.abs(a - c).max() < 0.3 / spp * 1.5
+    assert abs(a.mean() - c.mean()) < 1e-3
+
+    n = 6
+    var = {}
+    mean = {}
+    for smp in ("iid", "stratified"):
+        o = dataclasses.replace(DEFAULT, sampling=smp)
+        fr = np.stack([np.asarray(render_wavefront(
+            scene, cam, jax.random.key(k), options=o, pool_size=2048,
+            **kw)) for k in range(n)])
+        var[smp] = fr.var(0, ddof=1).mean()
+        mean[smp] = fr.mean()
+    # Unbiased: means agree within a few x the per-run standard error.
+    se = np.sqrt(var["iid"] / (n * w * h * 3))
+    assert abs(mean["stratified"] - mean["iid"]) < 8 * se
+    # Variance strictly helped (measured 0.93; bound loose vs noise).
+    assert var["stratified"] < 0.99 * var["iid"], (
+        var["stratified"] / var["iid"])

@@ -27,7 +27,8 @@ class TraceOptions:
       mega:        "fused" (default) | "off" | "bounce"
       rr_terminate: fused ok | off ok | bounce RAISES (ablation kernel)
       hit_kernel:  "sorted"/"mxu" apply under fused/off; under "bounce"
-                   the megakernel does its own intersect (ignored)
+                   "sorted" RAISES and "mxu" is ignored (the megakernel
+                   does its own intersect)
       ownership:   "tile" requires mega in (fused, off); RAISES on bounce
       dual-pool engine (ops/wavefront_dual.py): rr_terminate RAISES
                    (not implemented there); ownership/hit_kernel="sorted"

@@ -241,11 +241,15 @@ def _kernel_shade_regen(
         zf = jnp.zeros((rows, LANES), jnp.float32)
         b0 = jnp.zeros((rows, LANES), jnp.uint32) + bk_ref[0]
         b1 = jnp.zeros((rows, LANES), jnp.uint32) + bk_ref[1]
-        nk0, nk1 = tf.fold_in_words(b0, b1, pid)
-        nk0, nk1 = tf.fold_in_words(nk0, nk1, sid)
+        pk0, pk1 = tf.fold_in_words(b0, b1, pid)
+        nk0, nk1 = tf.fold_in_words(pk0, pk1, sid)
         jux, juy = tf.draw_uniform2(nk0, nk1, TAG_JITTER, 0)
         if sampling == "stratified":
-            jux, juy = _rng.stratify_uv(jux, juy, sid, spp)
+            # Per-PIXEL rotation from the (pid, sid=0) key.
+            zk0, zk1 = tf.fold_in_words(pk0, pk1,
+                                        jnp.zeros_like(sid))
+            _, rot_v = tf.draw_uniform2(zk0, zk1, TAG_JITTER, 0)
+            jux, juy = _rng.stratify_uv(jux, rot_v, sid, spp)
         if not own_bl:
             yp = pid // width
             xp = pid - yp * width

@@ -171,7 +171,10 @@ def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
     k0, k1 = ray_key_words(base_key, pid, sid)
     jux, juy = tf.draw_uniform2(k0, k1, rng.TAG_JITTER, 0)
     if sampling == "stratified":
-        jux, juy = rng.stratify_uv(jux, juy, sid, spp)
+        # Per-PIXEL rotation from the (pid, sid=0) key (rng.stratify_uv).
+        k0z, k1z = ray_key_words(base_key, pid, jnp.zeros_like(sid))
+        _, rot_v = tf.draw_uniform2(k0z, k1z, rng.TAG_JITTER, 0)
+        jux, juy = rng.stratify_uv(jux, rot_v, sid, spp)
     y = pid // width
     x = pid - y * width
     u = (x.astype(jnp.float32) + jux) / width

@@ -123,25 +123,29 @@ def bitrev32(x):
     return (x << 16) | (x >> 16)
 
 
-def stratify_uv(ju, jv, sid, spp: int):
+def stratify_uv(ju, rot_v, sid, spp: int):
     """Remap an iid sub-pixel jitter pair to a STRATIFIED one (opt-in
     TraceOptions.sampling="stratified"; an estimator change, so the
     reference-faithful default never calls this).
 
-    u: exactly stratified -- sample sid jitters within stratum
-    [sid/spp, (sid+1)/spp) (deterministic sid covers every stratum
-    once, so the pixel-area integral stays exactly unbiased).
-    v: base-2 van der Corput radical inverse of sid plus the FULL-range
-    iid jitter (a Cranley-Patterson rotation): the marginal stays
-    U[0,1) (unbiased) while consecutive samples keep low-discrepancy
-    spacing. Draw COUNT and the (pixel, sample, tag, word) contract are
-    untouched -- this is a pure remap of the existing TAG_JITTER words,
-    so every engine implements it identically (bit-equal images).
+    u: exactly stratified -- sample sid jitters (with its own iid draw
+    ju) within stratum [sid/spp, (sid+1)/spp); deterministic sid covers
+    every stratum once, so the pixel-area integral stays exactly
+    unbiased.
+    v: base-2 van der Corput radical inverse of sid plus a PER-PIXEL
+    Cranley-Patterson rotation rot_v. The rotation MUST be shared by
+    every sample of the pixel (callers pass the pixel's sid=0 jitter
+    word: one extra fold+hash per camera ray) -- a per-sample rotation
+    would make v exactly iid again and erase the low-discrepancy
+    structure. The marginal stays U[0,1) (unbiased); sample 0's v
+    equals its iid value (vdc(0) = 0). The (pixel, sample, tag, word)
+    contract is untouched, so every engine implements the remap
+    identically (bit-equal images).
     """
     u = (jnp.asarray(sid).astype(jnp.float32) + ju) / spp
     rv = bitrev32(jnp.asarray(sid)).astype(jnp.float32) * (
         1.0 / 4294967296.0)
-    v = rv + jv
+    v = rv + rot_v
     return u, v - jnp.floor(v)
 
 

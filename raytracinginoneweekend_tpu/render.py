@@ -53,7 +53,10 @@ def make_primary_rays(cam: Camera, pixel_ids, sample_ids, base_key,
         rkey = rng.ray_key(base_key, pid, sid)
         ju, jv = rng.jitter_uv(rkey)
         if sampling == "stratified":
-            ju, jv = rng.stratify_uv(ju, jv, sid, spp)
+            # Per-PIXEL rotation: the pixel's sid=0 jitter word (shared
+            # across samples -- see rng.stratify_uv).
+            rot_v = rng.jitter_uv(rng.ray_key(base_key, pid, 0))[1]
+            ju, jv = rng.stratify_uv(ju, rot_v, sid, spp)
         y = pid // width
         x = pid - y * width
         u = (x.astype(jnp.float32) + ju) / width

@@ -104,7 +104,8 @@ def main() -> None:
         return render_wavefront(scene, cam, key, return_stats=True, **cfg)
 
     t_frame, (fb, stats) = time_fn(frame, warmup=1, iters=2)
-    iters = int(stats["segments"]) and int(stats["iters"])
+    assert int(stats["segments"]) > 0
+    iters = int(stats["iters"])
     lanes = int(stats["lanes"])
 
     per_iter = t_frame / iters

@@ -140,9 +140,10 @@ def test_stratified_sampling_unbiased_and_engine_invariant():
     identically (fused wavefront == XLA wavefront BIT-exact; tiled
     agrees to accumulation order), (b) the estimator stays unbiased
     (mean within MC noise of iid), (c) it actually reduces variance on
-    the huge cover config (measured ratio 0.934 at 16 spp over 8 keys;
-    the AA dimension is a small slice of total path variance, so the
-    honest bound is modest).
+    the huge cover config (measured ratio 0.83 at 16 spp over 8 keys;
+    0.47 on a pinhole simple-scene config where the AA dimension
+    dominates -- the per-PIXEL rotation is what makes the van der
+    Corput structure engage, see rng.stratify_uv).
     """
     import dataclasses
 
@@ -198,6 +199,6 @@ def test_stratified_sampling_unbiased_and_engine_invariant():
     # Unbiased: means agree within a few x the per-run standard error.
     se = np.sqrt(var["iid"] / (n * w * h * 3))
     assert abs(mean["stratified"] - mean["iid"]) < 8 * se
-    # Variance strictly helped (measured 0.93; bound loose vs noise).
-    assert var["stratified"] < 0.99 * var["iid"], (
+    # Variance strictly helped (measured 0.83; bound loose vs noise).
+    assert var["stratified"] < 0.93 * var["iid"], (
         var["stratified"] / var["iid"])

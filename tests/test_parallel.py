@@ -100,3 +100,33 @@ def test_sharded_wavefront_matches_single_device():
     want = render_wavefront(scene, cam, key, **kwargs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_tile_ownership_shard_invariant():
+    """ownership='tile' under an 8-device mesh: the tile fold's
+    dynamic_update_slice runs at a TRACED worker offset inside
+    shard_map; the sharded image must be BIT-identical to the
+    single-device engine (shard-invariant RNG + disjoint per-worker
+    block ranges + one psum of partial frames)."""
+    import dataclasses
+
+    from raytracinginoneweekend_tpu.config import DEFAULT
+    from raytracinginoneweekend_tpu.models.camera import reference_cpu_camera
+    from raytracinginoneweekend_tpu.models.scene import huge_scene
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+    from raytracinginoneweekend_tpu.parallel.mesh import (
+        make_mesh, render_wavefront_sharded)
+
+    o = dataclasses.replace(DEFAULT, ownership="tile", hit_kernel="sorted")
+    scene = huge_scene(0)
+    w, h = 36, 20
+    cam = reference_cpu_camera(w, h)
+    mesh = make_mesh(jax.devices()[:8])
+    kw = dict(width=w, height=h, spp=4, max_depth=6,
+              camera_mode="thinlens", pool_size=2048)
+    a = np.asarray(render_wavefront_sharded(
+        scene, cam, jax.random.key(0), mesh=mesh, options=o, **kw))
+    b = np.asarray(render_wavefront(scene, cam, jax.random.key(0),
+                                    options=o, **kw))
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all() and a.max() > 0.05

@@ -143,8 +143,10 @@ def stratify_uv(ju, rot_v, sid, spp: int):
     identically (bit-equal images).
     """
     u = (jnp.asarray(sid).astype(jnp.float32) + ju) / spp
-    rv = bitrev32(jnp.asarray(sid)).astype(jnp.float32) * (
-        1.0 / 4294967296.0)
+    # Top 24 bits via i32: Mosaic has no u32->f32 cast, and f32 holds
+    # only 24 mantissa bits anyway (values < 2^24 convert exactly).
+    rv = (bitrev32(jnp.asarray(sid)) >> 8).astype(jnp.int32).astype(
+        jnp.float32) * (1.0 / 16777216.0)
     v = rv + rot_v
     return u, v - jnp.floor(v)
 

@@ -326,3 +326,48 @@ def test_huge_scene_matches_reference_cpp():
     lb = ref[0].mean(-1).ravel() - ref[0].mean()
     corr = float((la @ lb) / np.sqrt((la @ la) * (lb @ lb)))
     assert corr > 0.99, corr
+
+
+@pytest.mark.slow
+def test_stratified_sampling_matches_reference_cpp():
+    """sampling='stratified' vs the reference C++ harness: the opt-in
+    low-discrepancy jitter is an estimator change (like rr_terminate),
+    so it gets the same external gate -- converged means must match the
+    reference's own compiled math to the statistical bound. Stratified
+    converges FASTER, so the bound is if anything conservative."""
+    import dataclasses
+    import tempfile
+
+    import jax
+
+    from raytracinginoneweekend_tpu.config import REFERENCE_CPU
+    from raytracinginoneweekend_tpu.models.camera import make_camera
+    from raytracinginoneweekend_tpu.models.scene import simple_scene_cpu
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+
+    with tempfile.TemporaryDirectory() as tmp:
+        exe = _build_harness(tmp)
+        out = os.path.join(tmp, "ref.bin")
+        ref = []
+        for seed in (123, 456):
+            subprocess.run(
+                [exe, str(W), str(H), "1024", str(DEPTH), str(seed), "0",
+                 out], check=True, timeout=600)
+            ref.append(np.fromfile(out, np.float32).reshape(H, W, 3))
+
+        pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
+        focus = float(np.linalg.norm(np.subtract(pos, lookat)))
+        cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
+        opts = dataclasses.replace(REFERENCE_CPU, sampling="stratified")
+        ours = np.asarray(render_wavefront(
+            simple_scene_cpu(), cam, jax.random.key(0), options=opts,
+            width=W, height=H, spp=256, max_depth=DEPTH,
+            camera_mode="cpu")).reshape(H, W, 3)
+
+    self_noise = np.abs(ref[0] - ref[1]).mean()
+    diff = np.abs(ours - ref[0]).mean()
+    assert diff < max(4.0 * self_noise, 0.01), (diff, self_noise)
+    la = ours.mean(-1).ravel() - ours.mean()
+    lb = ref[0].mean(-1).ravel() - ref[0].mean()
+    corr = float((la @ lb) / np.sqrt((la @ la) * (lb @ lb)))
+    assert corr > 0.995, corr

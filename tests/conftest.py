@@ -7,9 +7,9 @@ pod needed).
 
 import os
 
-# Force CPU: the ambient environment may point JAX_PLATFORMS at real TPU
-# hardware (e.g. a tunneled chip), which would make every tiny test op cross
-# the tunnel. Tests always run on a virtual 8-device CPU mesh.
+# Force CPU: the ambient environment may point JAX at real TPU hardware
+# (e.g. a tunneled chip), which would make every tiny test op cross the
+# tunnel. Tests always run on a virtual 8-device CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -17,6 +17,15 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The axon tunnel's sitecustomize (active when PALLAS_AXON_POOL_IPS is
+# set, i.e. under bare `pytest` without run_tests.sh) registers its PJRT
+# plugin AND sets jax_platforms="axon,cpu" at the CONFIG level, which
+# overrides the env var above -- tests would then run on the real chip
+# and the engines' interpret-mode heuristics flip. Forcing the config
+# back makes every pytest entry point hermetic (run_tests.sh remains the
+# convenient wrapper).
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_threefry_partitionable", True)
 

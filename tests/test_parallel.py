@@ -110,18 +110,17 @@ def test_tile_ownership_shard_invariant():
     block ranges + one psum of partial frames)."""
     import dataclasses
 
-    from raytracinginoneweekend_tpu.config import DEFAULT
     from raytracinginoneweekend_tpu.models.camera import reference_cpu_camera
     from raytracinginoneweekend_tpu.models.scene import huge_scene
     from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
     from raytracinginoneweekend_tpu.parallel.mesh import (
-        make_mesh, render_wavefront_sharded)
+        render_wavefront_sharded)
 
     o = dataclasses.replace(DEFAULT, ownership="tile", hit_kernel="sorted")
     scene = huge_scene(0)
     w, h = 36, 20
     cam = reference_cpu_camera(w, h)
-    mesh = make_mesh(jax.devices()[:8])
+    mesh = make_mesh()
     kw = dict(width=w, height=h, spp=4, max_depth=6,
               camera_mode="thinlens", pool_size=2048)
     a = np.asarray(render_wavefront_sharded(

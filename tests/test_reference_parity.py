@@ -47,10 +47,30 @@ def _build_harness(tmp_path):
     return exe
 
 
-@pytest.mark.slow
-def test_image_matches_reference_cpp():
-    import tempfile
+@pytest.fixture(scope="module")
+def ref_harness(tmp_path_factory):
+    """One compiled reference harness per module (was rebuilt per test)."""
+    tmp = str(tmp_path_factory.mktemp("refharness"))
+    return _build_harness(tmp), tmp
 
+
+@pytest.fixture(scope="module")
+def ref_simple_1024(ref_harness):
+    """The dual-seed 1024-spp aperture-0 reference render pair shared by
+    the simple-scene parity tests (was rendered 3x per slow run)."""
+    exe, tmp = ref_harness
+    out = os.path.join(tmp, "ref_simple.bin")
+    ref = []
+    for seed in (123, 456):
+        subprocess.run(
+            [exe, str(W), str(H), "1024", str(DEPTH), str(seed), "0",
+             out], check=True, timeout=600)
+        ref.append(np.fromfile(out, np.float32).reshape(H, W, 3))
+    return ref
+
+
+@pytest.mark.slow
+def test_image_matches_reference_cpp(ref_simple_1024):
     import jax
 
     from raytracinginoneweekend_tpu.config import REFERENCE_CPU, RenderConfig
@@ -58,26 +78,16 @@ def test_image_matches_reference_cpp():
     from raytracinginoneweekend_tpu.models.scene import simple_scene_cpu
     from raytracinginoneweekend_tpu.render import render
 
-    with tempfile.TemporaryDirectory() as tmp:
-        exe = _build_harness(tmp)
-        out = os.path.join(tmp, "ref.bin")
-        # Two independent seeds of the reference, to calibrate MC noise.
-        ref = []
-        for seed in (123, 456):
-            subprocess.run(
-                [exe, str(W), str(H), "1024", str(DEPTH), str(seed), "0",
-                 out], check=True, timeout=600)
-            ref.append(np.fromfile(out, np.float32).reshape(H, W, 3))
-
-        # aperture=0: the reference CPU camera's quirky defocus (Q2)
-        # degenerates to no offset, removing lens-sampling variance.
-        pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
-        focus = float(np.linalg.norm(np.subtract(pos, lookat)))
-        cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
-        cfg = RenderConfig(width=W, height=H, spp=256, max_depth=DEPTH,
-                           camera_mode="cpu", options=REFERENCE_CPU)
-        ours = np.asarray(render(simple_scene_cpu(), cam, cfg,
-                                 jax.random.key(0)))
+    ref = ref_simple_1024
+    # aperture=0: the reference CPU camera's quirky defocus (Q2)
+    # degenerates to no offset, removing lens-sampling variance.
+    pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
+    focus = float(np.linalg.norm(np.subtract(pos, lookat)))
+    cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
+    cfg = RenderConfig(width=W, height=H, spp=256, max_depth=DEPTH,
+                       camera_mode="cpu", options=REFERENCE_CPU)
+    ours = np.asarray(render(simple_scene_cpu(), cam, cfg,
+                             jax.random.key(0)))
 
     # Noise calibration: two reference runs differ only by MC noise.
     self_noise = np.abs(ref[0] - ref[1]).mean()
@@ -96,7 +106,7 @@ def test_image_matches_reference_cpp():
 
 
 @pytest.mark.slow
-def test_u8_ppm_byte_exact_vs_reference():
+def test_u8_ppm_byte_exact_vs_reference(ref_harness):
     """The reference's END PRODUCT is the gamma+u8 PPM (main.cxx:77-101).
     Feed the harness's own float radiance through THIS framework's
     quantizers and writer and compare at the byte level:
@@ -117,8 +127,8 @@ def test_u8_ppm_byte_exact_vs_reference():
     from raytracinginoneweekend_tpu.ops.postprocess import to_u8
 
     w, h = 48, 27
+    exe, _ = ref_harness
     with tempfile.TemporaryDirectory() as tmp:
-        exe = _build_harness(tmp)
         fbin = os.path.join(tmp, "ref.bin")
         fppm = os.path.join(tmp, "ref.ppm")
         subprocess.run([exe, str(w), str(h), "64", "12", "7", "0",
@@ -149,7 +159,7 @@ def test_u8_ppm_byte_exact_vs_reference():
 
 
 @pytest.mark.slow
-def test_defocus_active_matches_reference_cpp():
+def test_defocus_active_matches_reference_cpp(ref_harness):
     """Nonzero aperture (0.0625, main.cxx:182): the reference CPU path's
     quirky lens sampling (camera.hxx:51-56, Q2) vs camera_mode='cpu'.
     Statistical parity on converged means -- the round-1 gap where every
@@ -164,8 +174,8 @@ def test_defocus_active_matches_reference_cpp():
     from raytracinginoneweekend_tpu.render import render
 
     aperture = 0.0625
+    exe, _ = ref_harness
     with tempfile.TemporaryDirectory() as tmp:
-        exe = _build_harness(tmp)
         out = os.path.join(tmp, "ref.bin")
         ref = []
         for seed in (123, 456):
@@ -199,7 +209,7 @@ def test_defocus_active_matches_reference_cpp():
 
 
 @pytest.mark.slow
-def test_rr_terminate_matches_reference_cpp():
+def test_rr_terminate_matches_reference_cpp(ref_simple_1024):
     """Russian-roulette path termination vs the reference C++ harness.
 
     rr_terminate is an ESTIMATOR change (unbiased path termination;
@@ -218,7 +228,6 @@ def test_rr_terminate_matches_reference_cpp():
     estimator-change magnitude itself.
     """
     import dataclasses
-    import tempfile
 
     import jax
 
@@ -228,28 +237,19 @@ def test_rr_terminate_matches_reference_cpp():
     from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
 
     spp = 256
-    with tempfile.TemporaryDirectory() as tmp:
-        exe = _build_harness(tmp)
-        out = os.path.join(tmp, "ref.bin")
-        ref = []
-        for seed in (123, 456):
-            subprocess.run(
-                [exe, str(W), str(H), "1024", str(DEPTH), str(seed), "0",
-                 out], check=True, timeout=600)
-            ref.append(np.fromfile(out, np.float32).reshape(H, W, 3))
-
-        pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
-        focus = float(np.linalg.norm(np.subtract(pos, lookat)))
-        cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
-        opts_rr = dataclasses.replace(REFERENCE_CPU, rr_terminate=True)
-        kw = dict(width=W, height=H, spp=spp, max_depth=DEPTH,
-                  camera_mode="cpu")
-        scene = simple_scene_cpu()
-        key = jax.random.key(0)
-        ours_rr = np.asarray(render_wavefront(
-            scene, cam, key, options=opts_rr, **kw)).reshape(H, W, 3)
-        ours_off = np.asarray(render_wavefront(
-            scene, cam, key, options=REFERENCE_CPU, **kw)).reshape(H, W, 3)
+    ref = ref_simple_1024
+    pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
+    focus = float(np.linalg.norm(np.subtract(pos, lookat)))
+    cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
+    opts_rr = dataclasses.replace(REFERENCE_CPU, rr_terminate=True)
+    kw = dict(width=W, height=H, spp=spp, max_depth=DEPTH,
+              camera_mode="cpu")
+    scene = simple_scene_cpu()
+    key = jax.random.key(0)
+    ours_rr = np.asarray(render_wavefront(
+        scene, cam, key, options=opts_rr, **kw)).reshape(H, W, 3)
+    ours_off = np.asarray(render_wavefront(
+        scene, cam, key, options=REFERENCE_CPU, **kw)).reshape(H, W, 3)
 
     self_noise = np.abs(ref[0] - ref[1]).mean()
     diff = np.abs(ours_rr - ref[0]).mean()
@@ -285,7 +285,7 @@ def _write_scene_bin(path, scene):
 
 
 @pytest.mark.slow
-def test_huge_scene_matches_reference_cpp():
+def test_huge_scene_matches_reference_cpp(ref_harness):
     """The BASELINE huge scene rendered by the reference's own math vs this
     framework -- the scene arrays are exported to the harness so both sides
     see the identical geometry/materials (the reference's generator itself
@@ -300,8 +300,8 @@ def test_huge_scene_matches_reference_cpp():
     from raytracinginoneweekend_tpu.render import render
 
     scene = huge_scene(0)
+    exe, _ = ref_harness
     with tempfile.TemporaryDirectory() as tmp:
-        exe = _build_harness(tmp)
         scene_bin = os.path.join(tmp, "scene.bin")
         _write_scene_bin(scene_bin, scene)
         out = os.path.join(tmp, "ref.bin")
@@ -329,14 +329,13 @@ def test_huge_scene_matches_reference_cpp():
 
 
 @pytest.mark.slow
-def test_stratified_sampling_matches_reference_cpp():
+def test_stratified_sampling_matches_reference_cpp(ref_simple_1024):
     """sampling='stratified' vs the reference C++ harness: the opt-in
     low-discrepancy jitter is an estimator change (like rr_terminate),
     so it gets the same external gate -- converged means must match the
     reference's own compiled math to the statistical bound. Stratified
     converges FASTER, so the bound is if anything conservative."""
     import dataclasses
-    import tempfile
 
     import jax
 
@@ -345,24 +344,15 @@ def test_stratified_sampling_matches_reference_cpp():
     from raytracinginoneweekend_tpu.models.scene import simple_scene_cpu
     from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
 
-    with tempfile.TemporaryDirectory() as tmp:
-        exe = _build_harness(tmp)
-        out = os.path.join(tmp, "ref.bin")
-        ref = []
-        for seed in (123, 456):
-            subprocess.run(
-                [exe, str(W), str(H), "1024", str(DEPTH), str(seed), "0",
-                 out], check=True, timeout=600)
-            ref.append(np.fromfile(out, np.float32).reshape(H, W, 3))
-
-        pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
-        focus = float(np.linalg.norm(np.subtract(pos, lookat)))
-        cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
-        opts = dataclasses.replace(REFERENCE_CPU, sampling="stratified")
-        ours = np.asarray(render_wavefront(
-            simple_scene_cpu(), cam, jax.random.key(0), options=opts,
-            width=W, height=H, spp=256, max_depth=DEPTH,
-            camera_mode="cpu")).reshape(H, W, 3)
+    ref = ref_simple_1024
+    pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
+    focus = float(np.linalg.norm(np.subtract(pos, lookat)))
+    cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
+    opts = dataclasses.replace(REFERENCE_CPU, sampling="stratified")
+    ours = np.asarray(render_wavefront(
+        simple_scene_cpu(), cam, jax.random.key(0), options=opts,
+        width=W, height=H, spp=256, max_depth=DEPTH,
+        camera_mode="cpu")).reshape(H, W, 3)
 
     self_noise = np.abs(ref[0] - ref[1]).mean()
     diff = np.abs(ours - ref[0]).mean()

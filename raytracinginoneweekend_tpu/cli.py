@@ -207,7 +207,14 @@ def _via_server(args, cmd: str) -> int:
            "camera": args.camera, "mode": args.mode, "compat": args.compat,
            "width": args.width, "height": args.height, "spp": args.spp,
            "depth": args.depth, "engine": args.engine,
-           "pool_size": args.pool_size}
+           "pool_size": args.pool_size,
+           # TraceOptions knobs must forward too, or a --via render would
+           # silently differ from the local one.
+           "fusion": getattr(args, "fusion", None),
+           "rr_terminate": getattr(args, "rr_terminate", False),
+           "hit_kernel": getattr(args, "hit_kernel", None),
+           "ownership": getattr(args, "ownership", None),
+           "sampling": getattr(args, "sampling", None)}
     if cmd == "render":
         req["out"] = args.out
         req["clamp"] = not args.no_clamp

@@ -37,7 +37,9 @@ import time
 
 _DEFAULTS = dict(scene="simple-cuda", seed=0, camera=None, mode="thinlens",
                  compat="default", width=400, height=225, spp=8, depth=16,
-                 engine="auto", pool_size=1 << 15, clamp=True, iters=2)
+                 engine="auto", pool_size=1 << 15, clamp=True, iters=2,
+                 fusion=None, rr_terminate=False, hit_kernel=None,
+                 ownership=None, sampling=None)
 
 
 def _render_once(req):
@@ -52,7 +54,10 @@ def _render_once(req):
         scene=cfg["scene"], seed=cfg["seed"], camera=cfg["camera"],
         mode=cfg["mode"], compat=cfg["compat"], width=cfg["width"],
         height=cfg["height"], spp=cfg["spp"], depth=cfg["depth"],
-        engine=cfg["engine"], pool_size=cfg["pool_size"], profile=None)
+        engine=cfg["engine"], pool_size=cfg["pool_size"], profile=None,
+        fusion=cfg["fusion"], rr_terminate=cfg["rr_terminate"],
+        hit_kernel=cfg["hit_kernel"], ownership=cfg["ownership"],
+        sampling=cfg["sampling"])
     img, _ = cli._render_image(args)
     return img, cfg
 

@@ -88,3 +88,26 @@ def test_bad_request_keeps_server_alive(server):
     resp = serve.request(server, {"cmd": "render", "scene": "nope"})
     assert not resp["ok"] and "error" in resp
     assert serve.request(server, {"cmd": "ping"})["ok"]
+
+
+def test_options_forward_through_server(server):
+    """TraceOptions knobs sent over the wire must reach the engine: a
+    stratified + rr-terminate render must produce a DIFFERENT image
+    than the default request (same seed), and succeed."""
+    import numpy as np
+
+    from raytracinginoneweekend_tpu.io.image import read_ppm
+
+    out_a = server + "_a.ppm"
+    out_b = server + "_b.ppm"
+    base = {"cmd": "render", "scene": "simple-cuda", "width": 64,
+            "height": 36, "spp": 4, "depth": 6}
+    r1 = serve.request(server, dict(base, out=out_a))
+    r2 = serve.request(server, dict(base, out=out_b,
+                                    sampling="stratified",
+                                    rr_terminate=True))
+    assert r1["ok"] and r2["ok"], (r1, r2)
+    a = np.asarray(read_ppm(out_a))
+    b = np.asarray(read_ppm(out_b))
+    assert a.shape == b.shape
+    assert (a != b).any()  # the options actually changed the estimator

@@ -30,8 +30,9 @@ class TraceOptions:
                    "sorted" RAISES and "mxu" is ignored (the megakernel
                    does its own intersect)
       ownership:   "tile" requires mega in (fused, off); RAISES on bounce
-      dual-pool engine (ops/wavefront_dual.py): rr_terminate RAISES
-                   (not implemented there); ownership/hit_kernel="sorted"
+      dual-pool engine (ops/wavefront_dual.py): rr_terminate supported
+                   (same draws as the single pool, images agree to
+                   accumulation order); ownership/hit_kernel="sorted"
                    are ignored (it has its own cone-cull list path)
       deposit:     "ledger"/"scatter" valid for every combination above
       tiled/planar AD engines (render_pixels / integrate_planar): use

@@ -100,10 +100,24 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     (iterations, issue/active/blocked lane-iteration sums, candidate
     totals) for performance diagnosis.
     """
-    if options.rr_terminate:
-        raise ValueError(
-            "rr_terminate is not implemented in the dual-pool engine "
-            "(opt-in ablation variant); use the single-pool wavefront")
+    from . import rng as _rng
+    from . import threefry as _tf
+
+    def _rr(keep, rk0, rk1, dep, nar, nag, nab):
+        """Russian-roulette termination, bit-identical draws/semantics
+        to the single-pool engines (ops/wavefront.py): TAG_BOUNCE +
+        depth, counter 2; q = clip(rr_scale * max-channel(new
+        attenuation), qmin, 1); survivors boost 1/q, casualties die
+        like absorb. Returns (keep', boost)."""
+        tag = jnp.uint32(_rng.TAG_BOUNCE) + dep.astype(jnp.uint32)
+        u_rr, _ = _tf.draw_uniform2(rk0, rk1, tag, 2)
+        q = jnp.clip(options.rr_scale
+                     * jnp.maximum(nar, jnp.maximum(nag, nab)),
+                     options.rr_qmin, 1.0)
+        consider = keep & (dep + 1 >= options.rr_start)
+        surv = consider & (u_rr < q)
+        boost = jnp.where(surv, 1.0 / q, 1.0)
+        return keep & (~consider | surv), boost
 
     n_pixels = width * height
     _, _, n_vp = cull.virtual_grid(width, height)
@@ -256,6 +270,12 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         accb = jnp.where(miss_now, accb + sky_b, accb)
 
         survive = issue & hit & valid & (max_depth > 1)
+        if options.rr_terminate:
+            survive, pboost = _rr(survive, rk0, rk1,
+                                  jnp.zeros_like(sid), seg["ar"],
+                                  seg["ag"], seg["ab"])
+        else:
+            pboost = 1.0
         to_h0 = survive & ~h0_val
         to_h1 = survive & h0_val          # issue guaranteed FIFO room
         h0_val = h0_val | to_h0
@@ -270,9 +290,9 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         h0_dx, h1_dx = fifo_write(h0_dx, h1_dx, ndx)
         h0_dy, h1_dy = fifo_write(h0_dy, h1_dy, ndy)
         h0_dz, h1_dz = fifo_write(h0_dz, h1_dz, ndz)
-        h0_ar, h1_ar = fifo_write(h0_ar, h1_ar, seg["ar"])
-        h0_ag, h1_ag = fifo_write(h0_ag, h1_ag, seg["ag"])
-        h0_ab, h1_ab = fifo_write(h0_ab, h1_ab, seg["ab"])
+        h0_ar, h1_ar = fifo_write(h0_ar, h1_ar, seg["ar"] * pboost)
+        h0_ag, h1_ag = fifo_write(h0_ag, h1_ag, seg["ag"] * pboost)
+        h0_ab, h1_ab = fifo_write(h0_ab, h1_ab, seg["ab"] * pboost)
         h0_pid, h1_pid = fifo_write(h0_pid, h1_pid, pid)
         h0_sid, h1_sid = fifo_write(h0_sid, h1_sid, sid)
         outs = outs + survive.astype(jnp.int32)
@@ -290,6 +310,12 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         s_miss = s_act & ~s_hit
         s_scatter = s_act & s_hit & s_valid
         s_keep = s_scatter & (s_dep + 1 < max_depth)
+        if options.rr_terminate:
+            s_keep, sboost = _rr(s_keep, s_rk0, s_rk1, s_dep,
+                                 s_ar * sseg["ar"], s_ag * sseg["ag"],
+                                 s_ab * sseg["ab"])
+        else:
+            sboost = 1.0
         s_done = s_act & ~s_keep
         s_act_old = s_act
 
@@ -314,9 +340,9 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         s_dx = jnp.where(s_keep, sdx2, s_dx)
         s_dy = jnp.where(s_keep, sdy2, s_dy)
         s_dz = jnp.where(s_keep, sdz2, s_dz)
-        s_ar = jnp.where(s_keep, s_ar * sseg["ar"], s_ar)
-        s_ag = jnp.where(s_keep, s_ag * sseg["ag"], s_ag)
-        s_ab = jnp.where(s_keep, s_ab * sseg["ab"], s_ab)
+        s_ar = jnp.where(s_keep, s_ar * sseg["ar"] * sboost, s_ar)
+        s_ag = jnp.where(s_keep, s_ag * sseg["ag"] * sboost, s_ag)
+        s_ab = jnp.where(s_keep, s_ab * sseg["ab"] * sboost, s_ab)
         s_dep = jnp.where(s_keep, s_dep + 1, s_dep)
         s_act = s_keep
 

@@ -132,3 +132,23 @@ def test_list_kernel_restricted_list_matches_subscene():
     np.testing.assert_array_equal(np.asarray(t2)[hm], np.asarray(t3)[hm])
     np.testing.assert_array_equal(np.asarray(s2)[hm],
                                   sub[np.asarray(s3)[hm]])
+
+
+def test_rr_terminate_matches_single_pool():
+    """Russian-roulette termination in the dual-pool engine: the draws
+    (TAG_BOUNCE + depth, counter 2 on the ray key) and semantics are
+    the single-pool engine's, so per-ray radiance is identical and the
+    images agree to accumulation order -- closing the round-2 option-
+    matrix gap where the dual engine raised on rr_terminate."""
+    import dataclasses
+
+    rr = dataclasses.replace(DEFAULT, rr_terminate=True, rr_start=2,
+                             rr_scale=1.0)  # aggressive: many decisions
+    img1, img2 = _render_pair(huge_scene(0), reference_cpu_camera(64, 48),
+                              "thinlens", rr, spp=8, depth=10)
+    np.testing.assert_allclose(img1, img2, atol=5e-5)
+    # And the estimator actually terminates paths: it must differ from
+    # the rr-off render beyond float noise.
+    off1, _ = _render_pair(huge_scene(0), reference_cpu_camera(64, 48),
+                           "thinlens", DEFAULT, spp=8, depth=10)
+    assert np.abs(img1 - off1).max() > 1e-3

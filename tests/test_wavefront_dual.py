@@ -152,3 +152,14 @@ def test_rr_terminate_matches_single_pool():
     off1, _ = _render_pair(huge_scene(0), reference_cpu_camera(64, 48),
                            "thinlens", DEFAULT, spp=8, depth=10)
     assert np.abs(img1 - off1).max() > 1e-3
+
+
+def test_stratified_sampling_matches_single_pool():
+    """sampling='stratified' flows through the dual engine's camera-ray
+    path identically (shared planar.camera_rays remap)."""
+    import dataclasses
+
+    strat = dataclasses.replace(DEFAULT, sampling="stratified")
+    img1, img2 = _render_pair(huge_scene(0), reference_cpu_camera(64, 48),
+                              "thinlens", strat, spp=8, depth=8)
+    np.testing.assert_allclose(img1, img2, atol=5e-5)

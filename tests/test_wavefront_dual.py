@@ -147,6 +147,12 @@ def test_rr_terminate_matches_single_pool():
     img1, img2 = _render_pair(huge_scene(0), reference_cpu_camera(64, 48),
                               "thinlens", rr, spp=8, depth=10)
     np.testing.assert_allclose(img1, img2, atol=5e-5)
+    # rr_start=1 additionally fires the PRIMARY-handoff decision (the
+    # dual engine's depth-0 rr path), which rr_start=2 never reaches.
+    rr1 = dataclasses.replace(rr, rr_start=1, rr_qmin=0.2)
+    img3, img4 = _render_pair(huge_scene(0), reference_cpu_camera(64, 48),
+                              "thinlens", rr1, spp=8, depth=10)
+    np.testing.assert_allclose(img3, img4, atol=5e-5)
     # And the estimator actually terminates paths: it must differ from
     # the rr-off render beyond float noise.
     off1, _ = _render_pair(huge_scene(0), reference_cpu_camera(64, 48),

@@ -138,19 +138,35 @@ class TraceOptions:
     rr_scale: float = 4.0
 
     def __post_init__(self):
-        assert self.scatter_sample in ("unit", "ball")
-        assert self.sky in ("cuda", "cpu")
-        assert self.refract in ("physical", "reference")
-        assert self.intersect in ("jnp", "pallas")
-        assert self.mega in ("off", "bounce", "fused")
-        assert self.hit_kernel in ("sublane", "mxu", "sorted")
-        assert self.gather in ("onehot", "take")
-        assert self.rr_start >= 1 and 0.0 < self.rr_qmin <= 1.0
-        assert self.rr_scale > 0.0
-        assert self.sorted_rows >= 0
-        assert all(int(c) > 0 for c in self.sorted_ladder)
-        assert self.ownership in ("strided", "tile")
-        assert self.sampling in ("iid", "stratified")
+        # Real raises (not asserts): these also validate strings arriving
+        # from untrusted sources (the render server forwards request
+        # options straight into TraceOptions, serve.py), and asserts
+        # vanish under `python -O`.
+        def _choice(name, value, allowed):
+            if value not in allowed:
+                raise ValueError(
+                    f"TraceOptions.{name}={value!r}; must be one of "
+                    f"{allowed}")
+
+        _choice("scatter_sample", self.scatter_sample, ("unit", "ball"))
+        _choice("sky", self.sky, ("cuda", "cpu"))
+        _choice("refract", self.refract, ("physical", "reference"))
+        _choice("intersect", self.intersect, ("jnp", "pallas"))
+        _choice("mega", self.mega, ("off", "bounce", "fused"))
+        _choice("hit_kernel", self.hit_kernel, ("sublane", "mxu", "sorted"))
+        _choice("gather", self.gather, ("onehot", "take"))
+        _choice("ownership", self.ownership, ("strided", "tile"))
+        _choice("sampling", self.sampling, ("iid", "stratified"))
+        if not (self.rr_start >= 1 and 0.0 < self.rr_qmin <= 1.0
+                and self.rr_scale > 0.0):
+            raise ValueError(
+                f"bad rr knobs: rr_start={self.rr_start} "
+                f"rr_qmin={self.rr_qmin} rr_scale={self.rr_scale}")
+        if self.sorted_rows < 0 or not all(
+                int(c) > 0 for c in self.sorted_ladder):
+            raise ValueError(
+                f"bad sorted knobs: sorted_rows={self.sorted_rows} "
+                f"sorted_ladder={self.sorted_ladder}")
 
 
 # The semantics of the reference's ACTIVE renderer (the CUDA path).

@@ -142,6 +142,11 @@ def stratify_uv(ju, rot_v, sid, spp: int):
     contract is untouched, so every engine implements the remap
     identically (bit-equal images).
     """
+    if spp <= 0:
+        # Entry points default spp=0 for the iid path; a stratified call
+        # that forgot to thread spp through would silently produce NaN u.
+        raise ValueError("sampling='stratified' requires spp > 0 "
+                         f"(got spp={spp})")
     u = (jnp.asarray(sid).astype(jnp.float32) + ju) / spp
     # Top 24 bits via i32: Mosaic has no u32->f32 cast, and f32 holds
     # only 24 mantissa bits anyway (values < 2^24 convert exactly).

@@ -336,7 +336,7 @@ def cmd_fit(args) -> int:
         boundary_samples=args.boundary_samples,
         secondary_samples=args.secondary_samples,
         secondary_vertex_depths=args.secondary_vertex_depths,
-        rr_grad=args.rr_grad, **init)
+        rr_grad=args.rr_grad, engine=args.ad_engine, **init)
     if ckpt_path:
         save_checkpoint(ckpt_path, params, opt_state,
                         init.get("start_step", 0) + args.steps)
@@ -394,6 +394,12 @@ def main(argv=None) -> int:
                    help="path-vertex depths the secondary boundary term "
                         "covers (1 = first hit only; n sums vertex "
                         "depths 0..n-1)")
+    p.add_argument("--ad-engine", default="planar",
+                   choices=["wavefront", "planar", "tiled"],
+                   help="reverse-mode engine: 'wavefront' = regenerative "
+                        "pool (ops/wavefront_ad.py, wavefront-class "
+                        "occupancy at high depth), 'planar' = fixed-depth "
+                        "(R,128) scan, 'tiled' = the (N,3) scan")
     p.add_argument("--rr-grad", action="store_true",
                    help="add the dielectric Russian-roulette branch-flip "
                         "gradient term (needed for accurate ior "

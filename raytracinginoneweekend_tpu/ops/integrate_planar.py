@@ -190,31 +190,16 @@ def _ohg_bwd(res, d_out):
 _onehot_gather.defvjp(_ohg_fwd, _ohg_bwd)
 
 
-def _shade_step_planar(scene: Scene, options: TraceOptions,
-                       state, khit, bounce):
-    """Everything in a bounce downstream of the closest-hit kernel."""
-    (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb, alive,
-     rk0, rk1) = state
-    r_total = ox.shape[0]
+def shade_geometry_planar(state6, khit, params_cols):
+    """Hit position + outward normal from the one-hot-gathered winner.
 
+    state6: (ox..dz) planes; params_cols: (chx, chy, chz, rh) winner
+    geometry columns. Shared by the fixed-depth and regenerative AD
+    engines (ops/wavefront_ad.py) so per-ray values stay bit-equal."""
+    ox, oy, oz, dx, dy, dz = state6
     t, sb, hit_i = khit
     hit = hit_i > 0
-
-    # One-hot gather of the winning sphere's geometry + material. The
-    # one-hot matrix is a piecewise-constant function of sb (no gradient);
-    # the TABLE carries the scene-leaf gradients through the matmul
-    # transpose (custom VJP: one bf16 one-hot per direction).
-    table = _material_table(scene)
-    params = _onehot_gather(sb.reshape(-1), table)
-
-    def col(i):
-        return params[:, i].reshape(r_total, LANES)
-
-    chx, chy, chz, rh = col(0), col(1), col(2), col(3)
-    mt = col(4).astype(jnp.int32)
-    alr, alg, alb_ = col(5), col(6), col(7)
-    fz, io = col(8), col(9)
-
+    chx, chy, chz, rh = params_cols
     t_safe = jnp.where(hit, t, 1.0)
     px = ox + t_safe * dx
     py = oy + t_safe * dy
@@ -224,11 +209,23 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
     nx = (px - chx) * inv_r
     ny = (py - chy) * inv_r
     nz = (pz - chz) * inv_r
+    return hit, px, py, pz, nx, ny, nz
 
-    # Per-bounce randomness (ops/rng.py draw-order contract v3);
-    # ``bounce`` may be a traced scalar.
-    rvx, rvy, rvz, ru = planar.bounce_draws(
-        rk0, rk1, bounce, options.scatter_sample == "unit")
+
+def scatter_planar_ad(dirs, normals, mats, draws, options: TraceOptions):
+    """The per-material scatter math with AD-safe double-where guards.
+
+    dirs: (dx, dy, dz); normals: (nx, ny, nz); mats: (mt, fz, io);
+    draws: (rvx, rvy, rvz, ru) from planar.bounce_draws. Returns
+    (ndx, ndy, ndz, valid, uy) with uy the unit-direction y (for the
+    sky term). Identical op sequence for every reverse-mode engine
+    (fixed-depth scan and the regenerative pool), so per-ray radiance
+    is bit-equal across them. Semantics: lambert cuda_impl.cu:204-213,
+    metal :216-229, dielectric :232-262 (Schlick + TIR)."""
+    dx, dy, dz = dirs
+    nx, ny, nz = normals
+    mt, fz, io = mats
+    rvx, rvy, rvz, ru = draws
 
     ux, uy, uz = planar.normalize3(dx, dy, dz)
 
@@ -280,6 +277,43 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
     ndy = jnp.where(is_diel, gdy, jnp.where(is_metal, mdy, ldy))
     ndz = jnp.where(is_diel, gdz, jnp.where(is_metal, mdz, ldz))
     valid = jnp.where(is_metal, metal_ok, True)
+    return ndx, ndy, ndz, valid, uy
+
+
+def _shade_step_planar(scene: Scene, options: TraceOptions,
+                       state, khit, bounce):
+    """Everything in a bounce downstream of the closest-hit kernel."""
+    (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb, alive,
+     rk0, rk1) = state
+    r_total = ox.shape[0]
+
+    t, sb, hit_i = khit
+
+    # One-hot gather of the winning sphere's geometry + material. The
+    # one-hot matrix is a piecewise-constant function of sb (no gradient);
+    # the TABLE carries the scene-leaf gradients through the matmul
+    # transpose (custom VJP: one bf16 one-hot per direction).
+    table = _material_table(scene)
+    params = _onehot_gather(sb.reshape(-1), table)
+
+    def col(i):
+        return params[:, i].reshape(r_total, LANES)
+
+    mt = col(4).astype(jnp.int32)
+    alr, alg, alb_ = col(5), col(6), col(7)
+    fz, io = col(8), col(9)
+
+    hit, px, py, pz, nx, ny, nz = shade_geometry_planar(
+        (ox, oy, oz, dx, dy, dz), khit, (col(0), col(1), col(2), col(3)))
+
+    # Per-bounce randomness (ops/rng.py draw-order contract v3);
+    # ``bounce`` may be a traced scalar.
+    rvx, rvy, rvz, ru = planar.bounce_draws(
+        rk0, rk1, bounce, options.scatter_sample == "unit")
+
+    ndx, ndy, ndz, valid, uy = scatter_planar_ad(
+        (dx, dy, dz), (nx, ny, nz), (mt, fz, io), (rvx, rvy, rvz, ru),
+        options)
 
     miss_now = alive & ~hit
     scatter_now = alive & hit & valid

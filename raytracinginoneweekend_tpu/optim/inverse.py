@@ -112,6 +112,12 @@ def _render_batch(full_scene, cam, pixel_ids, base_key, *, width, height,
     if engine == "planar":
         from ..ops.integrate_planar import render_pixels_planar_impl
         impl = render_pixels_planar_impl
+    elif engine == "wavefront":
+        # Regenerative pool (ops/wavefront_ad.py): wavefront-class
+        # occupancy under reverse-mode AD -- the depth-50 train-step
+        # engine (fixed-depth scans waste ~93% of lanes there).
+        from ..ops.wavefront_ad import render_pixels_wavefront_ad_impl
+        impl = render_pixels_wavefront_ad_impl
     elif engine == "tiled":
         impl = render_pixels_impl
     else:

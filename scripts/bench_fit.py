@@ -1,17 +1,25 @@
 #!/usr/bin/env python
 """Benchmark the differentiable (inverse-rendering) train step on TPU.
 
-VERDICT r2 item 7: the planar-AD train step's performance must gate like
-the forward path's. Times make_train_step (forward render + backward
-pass + adam update in ONE jitted program) on the simple CUDA scene at
-4096 batch pixels x 8 spp (32k rays/step, the config of the round-2
-"6.2x" claim), in two arms:
+Two tiers:
 
-  * interior: plain interior AD (no surrogate terms);
-  * full: boundary + secondary + rr_grad surrogates (the gradient
-    machinery the FD suites validate).
+* SMALL (the round-2/3 artifact, kept for continuity): simple CUDA scene
+  at 4096 batch pixels x 8 spp depth 8, interior vs full-surrogate arms.
 
-Prints one JSON line; the round driver may redirect it to
+* FLAGSHIP (VERDICT r3 item 1): the gradient path at the forward
+  headline's own scale -- huge scene, 1200x800 camera, depth 50,
+  16384 batch pixels x 8 spp (131072 rays/step) -- recording
+  gradient-path rays/s for BOTH reverse-mode engines:
+    - planar:    fixed-depth scan (ops/integrate_planar.py) -- every
+      bounce processes every lane for all 50 bounces (~93% dead lanes
+      at the measured ~3.4 segments/ray);
+    - wavefront: the regenerative differentiable pool
+      (ops/wavefront_ad.py) -- dead lanes hand their slot to the next
+      ray, epochs skip once drained.
+  Plus the forward-only wavefront number on the same workload, so the
+  artifact states the gradient-path/forward ratio directly.
+
+Prints one JSON line; the round driver / operator redirects it to
 docs/FIT_r{N}.json.
 """
 
@@ -28,8 +36,10 @@ import jax.numpy as jnp
 import optax
 
 from raytracinginoneweekend_tpu.config import DEFAULT
-from raytracinginoneweekend_tpu.models.camera import reference_cuda_camera
-from raytracinginoneweekend_tpu.models.scene import simple_scene_cuda
+from raytracinginoneweekend_tpu.models.camera import (reference_cpu_camera,
+                                                      reference_cuda_camera)
+from raytracinginoneweekend_tpu.models.scene import (huge_scene,
+                                                     simple_scene_cuda)
 from raytracinginoneweekend_tpu.optim.inverse import (make_train_step,
                                                       params_from_scene)
 from raytracinginoneweekend_tpu.utils.compilecache import (
@@ -40,13 +50,18 @@ W, H, SPP, DEPTH = 320, 180, 8, 8
 BATCH = 4096
 STEPS_PER_CALL = 20  # amortize dispatch: scan the step inside one jit
 
+FLAG_W, FLAG_H, FLAG_SPP, FLAG_DEPTH = 1200, 800, 8, 50
+FLAG_BATCH = 16384
 
-def arm(scene, cam, target, pixel_ids, label, **terms):
+
+def arm(scene, cam, target, pixel_ids, label, *, width, height, spp,
+        depth, camera_mode, steps_per_call=STEPS_PER_CALL, iters=3,
+        **terms):
     opt = optax.adam(1e-2)
     params = params_from_scene(scene)
     opt_state = opt.init(params)
-    step = make_train_step(opt, width=W, height=H, spp=SPP,
-                           max_depth=DEPTH, camera_mode="cuda",
+    step = make_train_step(opt, width=width, height=height, spp=spp,
+                           max_depth=depth, camera_mode=camera_mode,
                            options=DEFAULT, **terms)
 
     def many(params, opt_state):
@@ -57,15 +72,62 @@ def arm(scene, cam, target, pixel_ids, label, **terms):
             return (p, s), loss
 
         (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(STEPS_PER_CALL))
+            body, (params, opt_state), jnp.arange(steps_per_call))
         return params, opt_state, losses
 
     many_j = jax.jit(many)
     sec, (_, _, losses) = time_fn(lambda: many_j(params, opt_state),
-                                  warmup=1, iters=3)
+                                  warmup=1, iters=iters)
     assert bool(jnp.isfinite(losses).all())
-    return {"label": label, "ms_per_step": sec / STEPS_PER_CALL * 1e3,
-            "steps_per_s": STEPS_PER_CALL / sec}
+    rays = pixel_ids.shape[0] * spp
+    ms = sec / steps_per_call * 1e3
+    return {"label": label, "ms_per_step": ms,
+            "steps_per_s": steps_per_call / sec,
+            "grad_rays_per_s": rays / (ms / 1e3)}
+
+
+def flagship():
+    """Gradient path at forward-headline scale (VERDICT r3 item 1)."""
+    scene = huge_scene(seed=0)
+    cam = reference_cpu_camera(FLAG_W, FLAG_H)
+    pixel_ids = jax.random.choice(
+        jax.random.key(3), FLAG_W * FLAG_H, (FLAG_BATCH,),
+        replace=False).astype(jnp.int32)
+    target = jnp.zeros((FLAG_BATCH, 3), jnp.float32) + 0.25
+    kw = dict(width=FLAG_W, height=FLAG_H, spp=FLAG_SPP, depth=FLAG_DEPTH,
+              camera_mode="thinlens", steps_per_call=5, iters=2)
+
+    wavefront = arm(scene, cam, target, pixel_ids, "wavefront_regen",
+                    engine="wavefront", **kw)
+    planar = arm(scene, cam, target, pixel_ids, "planar_fixed_depth",
+                 engine="planar", **kw)
+
+    # Forward-only floor on the same workload: one forward render of
+    # the same ray count through the regenerative AD engine's forward
+    # pass (no grad), plus the engine-of-record headline from bench.py
+    # is quoted by the caller for frame-level context.
+    from raytracinginoneweekend_tpu.ops.wavefront_ad import (
+        render_pixels_wavefront_ad)
+
+    def fwd():
+        return render_pixels_wavefront_ad(
+            scene, cam, pixel_ids, jax.random.key(1), width=FLAG_W,
+            height=FLAG_H, spp=FLAG_SPP, max_depth=FLAG_DEPTH,
+            camera_mode="thinlens", options=DEFAULT)
+
+    fsec, _ = time_fn(fwd, warmup=1, iters=4)
+    rays = FLAG_BATCH * FLAG_SPP
+    return {
+        "metric": "train_step_huge_1200x800cam_16384px_8spp_d50",
+        "rays_per_step": rays,
+        "wavefront": wavefront,
+        "planar": planar,
+        "forward_only_rays_per_s": rays / fsec,
+        "grad_to_forward_ratio": (rays / fsec) / wavefront[
+            "grad_rays_per_s"],
+        "speedup_vs_fixed_depth": (wavefront["grad_rays_per_s"]
+                                   / planar["grad_rays_per_s"]),
+    }
 
 
 def main() -> None:
@@ -75,16 +137,18 @@ def main() -> None:
     pixel_ids = jax.random.choice(jax.random.key(3), W * H, (BATCH,),
                                   replace=False).astype(jnp.int32)
     target = jnp.zeros((BATCH, 3), jnp.float32) + 0.25
+    kw = dict(width=W, height=H, spp=SPP, depth=DEPTH, camera_mode="cuda")
 
-    interior = arm(scene, cam, target, pixel_ids, "interior")
+    interior = arm(scene, cam, target, pixel_ids, "interior", **kw)
     full = arm(scene, cam, target, pixel_ids, "full",
                boundary_samples=512, secondary_samples=4,
-               secondary_vertex_depths=2, rr_grad=True)
+               secondary_vertex_depths=2, rr_grad=True, **kw)
     rec = {
         "metric": "train_step_simple_4096px_8spp_d8",
         "rays_per_step": BATCH * SPP,
         "interior": interior,
         "full": full,
+        "flagship": flagship(),
         "device": str(jax.devices()[0].platform),
     }
     print(json.dumps(rec))

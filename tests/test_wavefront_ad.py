@@ -1,0 +1,174 @@
+"""Regenerative differentiable wavefront (ops/wavefront_ad.py).
+
+The engine re-expresses the fixed-depth planar scan with wavefront-style
+lane regeneration; radiance must agree with the fixed engine to
+instruction-level f32 noise (FMA contraction differs between the two
+program contexts), be BIT-invariant to pool_size, and its gradients
+must match the fixed engine (f32 reassociation) and finite differences.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracinginoneweekend_tpu.config import DEFAULT, REFERENCE_CUDA
+from raytracinginoneweekend_tpu.models.camera import reference_cuda_camera
+from raytracinginoneweekend_tpu.models.scene import (huge_scene,
+                                                     simple_scene_cuda)
+from raytracinginoneweekend_tpu.ops.integrate_planar import (
+    render_pixels_planar)
+from raytracinginoneweekend_tpu.ops.wavefront_ad import (
+    render_pixels_wavefront_ad)
+from raytracinginoneweekend_tpu.optim import (params_from_scene,
+                                              render_loss,
+                                              scene_with_params)
+
+W, H, SPP, DEPTH = 24, 16, 4, 6
+
+
+def _batch(n=256, seed=3):
+    return jax.random.choice(jax.random.key(seed), W * H, (n,),
+                             replace=False).astype(jnp.int32)
+
+
+@pytest.mark.parametrize("mode,opts", [
+    ("thinlens", DEFAULT),
+    ("cuda", REFERENCE_CUDA),
+])
+def test_matches_fixed_depth_engine(mode, opts):
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(7)
+    ids = _batch()
+    kw = dict(width=W, height=H, spp=SPP, max_depth=DEPTH,
+              camera_mode=mode, options=opts)
+    a = np.asarray(render_pixels_planar(scene, cam, ids, key, **kw))
+    b = np.asarray(render_pixels_wavefront_ad(scene, cam, ids, key,
+                                              pool_size=1024, **kw))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
+
+
+def test_pool_size_bit_invariance():
+    """Regeneration schedule must not change any ray's radiance: pools of
+    1, 2 and 4 waves produce BITWISE identical pixels."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(5)
+    ids = _batch()
+    kw = dict(width=W, height=H, spp=SPP, max_depth=DEPTH,
+              camera_mode="thinlens", options=DEFAULT)
+    imgs = [np.asarray(render_pixels_wavefront_ad(
+        scene, cam, ids, key, pool_size=ps, **kw))
+        for ps in (256, 512, 1024)]
+    assert (imgs[0] == imgs[1]).all()
+    assert (imgs[0] == imgs[2]).all()
+
+
+def test_epoch_len_bit_invariance_and_tight_budget():
+    """epoch_len is a pure scheduling knob; a budget covering the actual
+    max lane-iteration count equals the guaranteed worst case."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(5)
+    ids = _batch()
+    kw = dict(width=W, height=H, spp=SPP, max_depth=DEPTH,
+              camera_mode="thinlens", options=DEFAULT, pool_size=512)
+    a = np.asarray(render_pixels_wavefront_ad(scene, cam, ids, key,
+                                              epoch_len=4, **kw))
+    b = np.asarray(render_pixels_wavefront_ad(scene, cam, ids, key,
+                                              epoch_len=16, **kw))
+    assert (a == b).all()
+
+
+def test_depth_exhaustion_semantics():
+    """max_depth = 1 and 2 (depth-out kills without deposit) match the
+    fixed engine exactly at the same tolerance."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(9)
+    ids = _batch()
+    for depth in (1, 2):
+        kw = dict(width=W, height=H, spp=SPP, max_depth=depth,
+                  camera_mode="cuda", options=DEFAULT)
+        a = np.asarray(render_pixels_planar(scene, cam, ids, key, **kw))
+        b = np.asarray(render_pixels_wavefront_ad(scene, cam, ids, key,
+                                                  pool_size=512, **kw))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
+
+
+def test_stratified_sampling_parity():
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(2)
+    ids = _batch()
+    import dataclasses
+    opts = dataclasses.replace(DEFAULT, sampling="stratified")
+    kw = dict(width=W, height=H, spp=SPP, max_depth=DEPTH,
+              camera_mode="thinlens", options=opts)
+    a = np.asarray(render_pixels_planar(scene, cam, ids, key, **kw))
+    b = np.asarray(render_pixels_wavefront_ad(scene, cam, ids, key,
+                                              pool_size=512, **kw))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
+
+
+def test_gradients_match_fixed_engine():
+    """Parameter gradients agree with the fixed-depth engine to f32
+    reassociation (table-gradient matmuls group lanes by pool iteration
+    instead of bounce index)."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(4)
+    ids = _batch(128)
+    target = jnp.zeros((128, 3), jnp.float32) + 0.3
+    kw = dict(width=W, height=H, spp=2, max_depth=4,
+              camera_mode="cuda", options=DEFAULT)
+    params = params_from_scene(scene)
+
+    ga = jax.grad(render_loss)(params, scene, cam, target, ids, key,
+                               engine="planar", **kw)
+    gb = jax.grad(render_loss)(params, scene, cam, target, ids, key,
+                               engine="wavefront", **kw)
+    for name in params:
+        a, b = np.asarray(ga[name]), np.asarray(gb[name])
+        assert np.isfinite(b).all(), name
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=name)
+
+
+def test_grad_albedo_matches_finite_differences():
+    """Direct FD validation of the regenerative engine's gradient."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(11)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    kw = dict(width=W, height=H, spp=2, max_depth=3,
+              camera_mode="pinhole", options=DEFAULT, engine="wavefront")
+
+    def loss_of_albedo(albedo):
+        return render_loss({"albedo": albedo}, scene, cam, target, ids,
+                           key, **kw)
+
+    g = jax.grad(loss_of_albedo)(scene.albedo)
+    eps = 1e-3
+    up = scene.albedo.at[0, 0].add(eps)
+    dn = scene.albedo.at[0, 0].add(-eps)
+    fd = (loss_of_albedo(up) - loss_of_albedo(dn)) / (2 * eps)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(float(g[0, 0]), float(fd), rtol=2e-2)
+
+
+@pytest.mark.slow
+def test_huge_scene_parity():
+    scene = huge_scene(0)
+    cam = reference_cuda_camera(16, 8)
+    key = jax.random.key(2)
+    ids = jnp.arange(16 * 8, dtype=jnp.int32)
+    kw = dict(width=16, height=8, spp=2, max_depth=4,
+              camera_mode="thinlens", options=DEFAULT)
+    a = np.asarray(render_pixels_planar(scene, cam, ids, key, **kw))
+    b = np.asarray(render_pixels_wavefront_ad(scene, cam, ids, key,
+                                              pool_size=128, **kw))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)

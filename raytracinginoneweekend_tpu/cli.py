@@ -218,8 +218,20 @@ def _via_server(args, cmd: str) -> int:
     if cmd == "render":
         req["out"] = args.out
         req["clamp"] = not args.no_clamp
-    else:
+    elif cmd == "bench":
         req["iters"] = args.iters
+    else:  # fit
+        req.update({
+            "params": args.params, "perturb": args.perturb,
+            "steps": args.steps, "lr": args.lr,
+            "batch_pixels": args.batch_pixels, "fit_spp": args.fit_spp,
+            "boundary_samples": args.boundary_samples,
+            "secondary_samples": args.secondary_samples,
+            "secondary_vertex_depths": args.secondary_vertex_depths,
+            "rr_grad": args.rr_grad, "ad_engine": args.ad_engine,
+            "log_every": args.log_every, "checkpoint": args.checkpoint,
+            "checkpoint_every": args.checkpoint_every,
+            "resume": args.resume})
     resp = serve.request(args.via, req)
     import json as _json
 
@@ -281,10 +293,17 @@ def cmd_bench(args) -> int:
     return 0
 
 
-def cmd_fit(args) -> int:
+def _fit_impl(args, log=print) -> dict:
+    """The fit pipeline (perturb -> recover); returns a result dict.
+
+    Shared by cmd_fit (prints it) and the render server's "fit" command
+    (returns it as the response), so the one workflow that most needs
+    compile amortization on the TPU-tunnel environment -- iterative
+    inverse rendering -- can run inside the long-lived server process.
+    """
     import jax
     import jax.numpy as jnp
-    import numpy as np
+
     import optax
 
     from .config import RenderConfig
@@ -299,7 +318,7 @@ def cmd_fit(args) -> int:
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, camera_mode=args.mode,
                        options=_options(args.compat))
-    print("rendering target...", flush=True)
+    log("rendering target...")
     target = render(scene, cam, cfg, jax.random.key(args.seed))
 
     # Perturb the optimizable leaves, then recover them.
@@ -319,13 +338,13 @@ def cmd_fit(args) -> int:
         p0, o0, step0 = load_checkpoint(args.resume, tmpl_p,
                                         optimizer.init(tmpl_p))
         init = dict(init_params=p0, init_opt_state=o0, start_step=step0)
-        print(f"resumed from {args.resume} at step {step0}")
+        log(f"resumed from {args.resume} at step {step0}")
 
     ckpt_path = args.checkpoint
 
     def callback(i, params, opt_state, loss):
         if (i + 1) % args.log_every == 0:
-            print(f"step {i + 1}: loss {loss:.6f}", flush=True)
+            log(f"step {i + 1}: loss {loss:.6f}")
         if ckpt_path and (i + 1) % args.checkpoint_every == 0:
             save_checkpoint(ckpt_path, params, opt_state, i + 1)
 
@@ -341,10 +360,19 @@ def cmd_fit(args) -> int:
         save_checkpoint(ckpt_path, params, opt_state,
                         init.get("start_step", 0) + args.steps)
     truth = params_from_scene(scene, which)
-    for name in which:
-        err = float(jnp.abs(params[name] - truth[name]).max())
+    errors = {name: float(jnp.abs(params[name] - truth[name]).max())
+              for name in which}
+    return {"errors": errors, "loss_start": losses[0],
+            "loss_end": losses[-1], "steps": len(losses)}
+
+
+def cmd_fit(args) -> int:
+    if args.via:
+        return _via_server(args, "fit")
+    res = _fit_impl(args, log=lambda s: print(s, flush=True))
+    for name, err in res["errors"].items():
         print(f"{name}: max abs err vs truth = {err:.5f}")
-    print(f"loss: {losses[0]:.6f} -> {losses[-1]:.6f}")
+    print(f"loss: {res['loss_start']:.6f} -> {res['loss_end']:.6f}")
     return 0
 
 

@@ -14,6 +14,9 @@ Protocol: newline-delimited JSON over a Unix domain socket.
   {"cmd": "render", "scene": "huge", "width": 400, ...,
    "out": "/tmp/x.png"}
   {"cmd": "bench",  "scene": "huge", ..., "iters": 3}
+  {"cmd": "fit",    "scene": "simple-cuda", "params": "albedo",
+   "steps": 50, ...}   (server-side inverse rendering: the train-step
+                        compile amortizes across fit invocations)
   {"cmd": "shutdown"}
 
 Responses: {"ok": true, ...} or {"ok": false, "error": "..."}. The
@@ -40,6 +43,15 @@ _DEFAULTS = dict(scene="simple-cuda", seed=0, camera=None, mode="thinlens",
                  engine="auto", pool_size=1 << 15, clamp=True, iters=2,
                  fusion=None, rr_terminate=False, hit_kernel=None,
                  ownership=None, sampling=None)
+
+# Fit-request knobs (mirror the CLI fit flags; cli._fit_impl consumes the
+# same Namespace either way).
+_FIT_DEFAULTS = dict(params="albedo,centers", perturb=0.1, steps=100,
+                     lr=1e-2, batch_pixels=4096, fit_spp=4,
+                     boundary_samples=0, secondary_samples=0,
+                     secondary_spheres=2, secondary_vertex_depths=1,
+                     rr_grad=False, ad_engine="planar", log_every=10,
+                     checkpoint=None, checkpoint_every=25, resume=None)
 
 
 def _render_once(req):
@@ -100,6 +112,23 @@ def handle_request(req):
             rays = cfg["width"] * cfg["height"] * cfg["spp"]
             return {"ok": True, "seconds_per_frame": secs,
                     "rays_per_s": rays / secs}
+        if cmd == "fit":
+            # Server-side inverse rendering: the train-step compile is
+            # the single most expensive jit on the tunnel environment
+            # (20-300 s); inside this process repeat fits are free.
+            import argparse
+            import time as _time
+
+            from . import cli
+
+            cfg = dict(_DEFAULTS, **_FIT_DEFAULTS)
+            cfg.update({k: v for k, v in req.items() if k in cfg})
+            cfg["via"] = None
+            args = argparse.Namespace(**cfg)
+            t0 = _time.perf_counter()
+            res = cli._fit_impl(args, log=lambda s: None)
+            res.update(ok=True, seconds=_time.perf_counter() - t0)
+            return res
         return {"ok": False, "error": f"unknown cmd: {cmd!r}"}
     except Exception as e:  # keep the server alive on bad requests
         return {"ok": False, "error": f"{type(e).__name__}: {e}"}

@@ -90,6 +90,20 @@ def test_bad_request_keeps_server_alive(server):
     assert serve.request(server, {"cmd": "ping"})["ok"]
 
 
+def test_fit(server):
+    """Server-side inverse rendering (VERDICT r3 item 8): a tiny fit
+    request must run the train loop in-process and report improvement."""
+    resp = serve.request(server, {
+        "cmd": "fit", "scene": "simple-cuda", "width": 24, "height": 16,
+        "spp": 2, "depth": 3, "mode": "pinhole", "params": "albedo",
+        "steps": 6, "fit_spp": 2, "batch_pixels": 128,
+        "ad_engine": "wavefront"})
+    assert resp["ok"], resp
+    assert resp["steps"] == 6
+    assert "albedo" in resp["errors"]
+    assert resp["loss_end"] <= resp["loss_start"]
+
+
 def test_options_forward_through_server(server):
     """TraceOptions knobs sent over the wire must reach the engine: a
     stratified + rr-terminate render must produce a DIFFERENT image

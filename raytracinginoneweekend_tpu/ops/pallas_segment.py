@@ -244,7 +244,7 @@ _SORT_ABS = 1e-4   # additive slack (world units)
 _SORT_KEY_MARGIN = 1e-3  # key-side absolute margin (sorted_cull_state)
 
 
-def _kernel_sorted(perm_ref, suf_ref, oc_ref, ymax_ref,  # SMEM per-block
+def _kernel_sorted(perm_ref, suf_ref, oc_ref, yb_ref,    # SMEM per-block
                    cx_ref, cy_ref, cz_ref, rr_ref,       # SMEM (S+1,)
                    act_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    hit_ref, t_ref, sb_ref,
@@ -267,13 +267,16 @@ def _kernel_sorted(perm_ref, suf_ref, oc_ref, ymax_ref,  # SMEM per-block
         the bound but never breaks it).
       * suf_ref[b, i] = min key over every sphere from chunk i on
         (suffix min at chunk granularity, computed with the sort).
-      * a lane is FINISHED at chunk i when min(dist_best, dist_up) + bl
-        <= suf_ref[b, i], where dist_up is the distance at which an
-        ascending ray leaves the slab containing every sphere (top
-        plane ymax): sky rays -- which never acquire a dist_best --
-        become provably finished instead of forcing a full scan. A ray
-        already ABOVE the slab heading up (dist_up <= 0) is finished
-        regardless of bl -- this term needs no block coherence at all.
+      * a lane is FINISHED at chunk i when min(dist_best, dist_exit) + bl
+        <= suf_ref[b, i], where dist_exit is the distance at which the
+        ray leaves the slab containing every sphere (top plane ymax for
+        ascending rays, bottom plane ymin for descending ones): sky rays
+        -- which never acquire a dist_best -- become provably finished
+        instead of forcing a full scan. A ray already OUTSIDE the slab
+        heading away (dist_exit <= 0) is finished regardless of bl --
+        this term needs no block coherence at all. (The descending bound
+        was an ADVICE r3 finding: without it one dy <= 0 miss ray kept
+        dist_exit at _BIG and blocked the whole block's early exit.)
 
     Exit structure: a static LADDER, not a while_loop (measured: a
     data-dependent while_loop defeats Mosaic's SMEM-prefetch pipelining
@@ -315,11 +318,16 @@ def _kernel_sorted(perm_ref, suf_ref, oc_ref, ymax_ref,  # SMEM per-block
         blz = oz - ocz
         bl = jnp.sqrt(blx * blx + bly * bly + blz * blz)
         bl = bl + (bl * _SORT_REL + _SORT_ABS)
-        # Ascending rays leave the all-spheres slab (y <= ymax) at
-        # dist_up; any hit must lie before that. |d| = a * rsa.
-        up = (ymax_ref[0] - oy) * (a * rsa) / jnp.where(dy > 0.0, dy, 1.0)
-        dist_up = jnp.where(dy > 0.0, up + (jnp.abs(up) * _SORT_REL
-                                            + _SORT_ABS), _BIG)
+        # Rays leave the all-spheres slab (ymin <= y <= ymax) at
+        # dist_exit; any hit must lie before that. |d| = a * rsa.
+        # Ascending rays exit through the top plane, descending through
+        # the bottom; dy == 0 rays never exit (no bound).
+        going = jnp.abs(dy) > 0.0
+        yexit = jnp.where(dy > 0.0, yb_ref[0], yb_ref[1])
+        ex = ((yexit - oy) * (a * rsa)
+              / jnp.where(going, dy, 1.0))
+        dist_up = jnp.where(going, ex + (jnp.abs(ex) * _SORT_REL
+                                         + _SORT_ABS), _BIG)
 
         def cand(s):
             cx, cy, cz, rr = cx_ref[s], cy_ref[s], cz_ref[s], rr_ref[s]
@@ -421,9 +429,10 @@ def sorted_cull_state(active, origins, cx, cy, cz, r, rows: int):
     suf = jnp.flip(jax.lax.cummin(jnp.flip(cmin, axis=1), axis=1), axis=1)
     suf = jnp.concatenate(
         [suf, jnp.full((nb, 1), _BIG, jnp.float32)], axis=1)
-    ymax = jnp.max(cy + jnp.abs(r)).reshape(1)
+    yb = jnp.stack([jnp.max(cy + jnp.abs(r)),    # slab top (ymax)
+                    jnp.min(cy - jnp.abs(r))])   # slab bottom (ymin)
     oc = jnp.stack([ocx, ocy, ocz], axis=1)
-    return perm, suf, oc, ymax
+    return perm, suf, oc, yb
 
 
 def segment_closest_hit_sorted(rays, cx, cy, cz, r, sortstate, t_min,
@@ -439,7 +448,7 @@ def segment_closest_hit_sorted(rays, cx, cy, cz, r, sortstate, t_min,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    perm, suf, oc, ymax = sortstate
+    perm, suf, oc, yb = sortstate
     r_total = rays[0].shape[0]
     assert r_total % rows == 0, (r_total, rows)
     grid = r_total // rows
@@ -469,7 +478,7 @@ def segment_closest_hit_sorted(rays, cx, cy, cz, r, sortstate, t_min,
         functools.partial(_kernel_sorted, rows=rows, n_chunks=n_chunks,
                           ladder=tuple(ladder), t_min=float(t_min)),
         grid_spec=grid_spec, out_shape=shapes, interpret=interpret,
-    )(perm, suf, oc, ymax, cx, cy, cz, rr, act, *rays)
+    )(perm, suf, oc, yb, cx, cy, cz, rr, act, *rays)
 
 
 def _kernel_grouped(cx_ref, cy_ref, cz_ref, r_ref,  # SMEM (S_pad,) sorted

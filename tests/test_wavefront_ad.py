@@ -112,6 +112,37 @@ def test_stratified_sampling_parity():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
 
 
+def test_tuned_budget_flat_scan_bit_equal():
+    """A validated iteration budget (flat scan, both remat modes) is
+    bitwise identical to the guaranteed worst-case epoch structure, in
+    values AND gradients; the done validator discriminates budgets."""
+    from raytracinginoneweekend_tpu.ops.wavefront_ad import (
+        render_pixels_wavefront_ad_impl, wavefront_ad_done)
+
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(0)
+    ids = _batch()
+    kw = dict(width=W, height=H, spp=SPP, max_depth=DEPTH,
+              camera_mode="cuda", options=DEFAULT, pool_size=512)
+    assert not bool(wavefront_ad_done(scene, cam, ids, key, iters=4, **kw))
+    assert bool(wavefront_ad_done(scene, cam, ids, key, iters=24, **kw))
+
+    def img_of(p, **extra):
+        return render_pixels_wavefront_ad_impl(
+            scene._replace(**p), cam, ids, key, **kw, **extra)
+
+    params = {"albedo": scene.albedo}
+    base = np.asarray(img_of(params))
+    g0 = jax.grad(lambda p: jnp.sum(img_of(p) ** 2))(params)["albedo"]
+    for extra in (dict(iters=24, remat="none"), dict(iters=24,
+                                                     remat="step")):
+        assert (np.asarray(img_of(params, **extra)) == base).all(), extra
+        g = jax.grad(lambda p: jnp.sum(img_of(p, **extra) ** 2))(
+            params)["albedo"]
+        assert (np.asarray(g) == np.asarray(g0)).all(), extra
+
+
 def test_gradients_match_fixed_engine():
     """Parameter gradients agree with the fixed-depth engine to f32
     reassociation (table-gradient matmuls group lanes by pool iteration

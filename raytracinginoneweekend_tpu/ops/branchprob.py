@@ -98,9 +98,39 @@ contributing the same final-air-segment edge term weighted by
 prob_before * schlick; the measured estimate lands within 2.5% of FD.
 Deeper vertex_depth walks whose draws actually TAKE an internal
 reflection are sweep-suppressed via prefix_delta, so arms never double
-count. Residual out-of-scope terms: reflect-of-reflect arms, air-gap
-edge crossings that change the CHAIN'S OWN topology mid-walk, and
-prefix-hop motion at vertex_depth >= 1 (detached).
+count.
+
+PREFIX-HOP MOTION (round 4): the vertex walk runs on the ATTACHED
+scene (matching silhouette.secondary_boundary_surrogate), so at
+vertex_depth >= 1 the arrival direction d(theta) carries the
+prefix-motion channel of dp/dtheta -- a mirror steering the view onto
+glass contributes the incidence-angle dependence of Schlick/TIR.
+Measured on the mirror->glass->occluder reproducer
+(tests/test_branchprob.py::
+test_mirror_chain_prefix_attachment_reduces_bias): the channel is
+-0.07 +- 0.02 on the mirror-center gradient and HALVES that config's
+total bias (below).
+
+RESIDUAL OUT-OF-SCOPE TERMS, each with its measured bound on the
+reproducer configs:
+  * MIRROR-PREFIX CHAIN SWEEP BIAS: on a mirror ground steering the
+    camera through glass onto a black occluder, expected-value FD puts
+    the mirror-center gradient at 0.002 +- 0.001 while the vd0
+    direction-sweep term claims +0.13 +- 0.04 (post-chain occluder-edge
+    crossings); with the attached prefix the vd1 RR channel cancels
+    roughly half, leaving ~ +0.06 net bias. The same term WITHOUT the
+    occluder under-claims (-0.005 vs FD -0.018). The chain's dg/dtheta
+    through lensed exits is not yet trustworthy on mirror-prefix
+    configs -- the family is pinned by the reproducer test.
+  * reflect-of-reflect arms (second-order internal RR): unmeasured on
+    shipped scenes (no failing config found; the first-order arms are
+    within 2.5% of FD on the config built to expose them).
+  * air-gap edge crossings that change the CHAIN'S OWN topology
+    mid-walk (hollow-glass air gap, main.cxx:128-129): no measurable
+    failing config on shipped scenes -- hollow-glass ior FD parity is
+    full (test_hollow_glass_ior_matches_finite_differences); the
+    mirror-chain reproducer above is the nearest measured relative of
+    this family.
 """
 
 from __future__ import annotations

@@ -411,9 +411,10 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     throughput), and the edge term is evaluated at the resulting vertex.
     Summing depths 0..D-2 covers the path-space boundary term at
     diffuse/glossy vertices, including the final hop's vertex-motion
-    (receiver) component; residual approximations are the PREFIX hops'
-    motion at depth >= 1 (detached) and delta-lobe (mirror/dielectric)
-    VERTICES (module docstring).
+    (receiver) component AND the prefix hops' motion (the walk runs on
+    the attached scene -- see the step-1 note below); the residual
+    approximation is delta-lobe (mirror/dielectric) VERTICES, whose
+    terms live in ops/branchprob.py (module docstring).
 
     Args:
       cot: (P, 3) dL/dI for exactly the ``pixel_ids`` batch (detached).
@@ -466,8 +467,8 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     # RECEIVER-MOTION boundary component -- the shadow sweeping because
     # its receiver moves -- not just the occluder-motion one. (Measured
     # without this: AD undershoots FD by ~17% on the shadow scene's
-    # ground c_y/radius.) Prefix hops (vertex_depth >= 1) stay detached:
-    # their motion term is a documented residual approximation.
+    # ground c_y/radius.) Prefix-hop motion (vertex_depth >= 1) rides
+    # the attached walk above.
     t_a, idx, hit = closest_hit(o, d, scene.centers, scene.radii,
                                 options.t_min, options.sphere_block)
     y_att, n_att = hit_surface(o, d, t_a, idx, hit, scene.centers,

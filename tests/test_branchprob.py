@@ -348,3 +348,93 @@ def test_internal_rr_reflection_arm_matches_finite_differences():
     # New term closes the gap; refract-chain-only measurably misses.
     assert abs(g2 - fd) < 0.15 * abs(fd), (g2, fd)
     assert abs(g0 - fd) > 0.35 * abs(fd), (g0, fd)
+
+
+@pytest.mark.slow
+def test_mirror_chain_prefix_attachment_reduces_bias():
+    """MEASURED-BOUND reproducer for the mirror-prefix chain family (the
+    round-4 delta-lobe scope experiment; ops/branchprob.py docstring
+    "residual out-of-scope" list).
+
+    Config: a huge flat-ish MIRROR ground steers the camera onto a glass
+    sphere with a black occluder above it. Expected-value FD says the
+    mirror-center gradient is ~0.002 +- 0.001; the vd0 direction-sweep
+    term (the chain's post-exit occluder-edge crossings) claims
+    +0.13 +- 0.04 -- a measured bias of the round-3 estimator on
+    mirror-prefix chains. Attaching the vertex-walk prefix (round 4, as
+    silhouette.secondary_boundary_surrogate already does) adds the vd1
+    RR incidence channel (-0.07 +- 0.02) which PARTIALLY CANCELS it:
+    total bias drops ~2x (mean |AD - FD| 0.13 -> 0.06). This test pins
+    (a) the truth being small, (b) the attachment reducing the bias, and
+    (c) the residual bias still existing -- if a future estimator closes
+    it, update the docstring scope list and tighten this test.
+    """
+    from raytracinginoneweekend_tpu.ops.branchprob import (
+        branch_probability_surrogate)
+
+    w, h = 48, 36
+    scene = Scene(
+        centers=jnp.array([[0.0, -100.0, -2.0],
+                           [0.0, 1.6, -2.0],
+                           [0.0, 4.6, -2.0]], jnp.float32),
+        radii=jnp.array([100.0, 0.8, 1.6], jnp.float32),
+        material_index=jnp.array([0, 1, 2], jnp.int32),
+        mtype=jnp.array([METAL, DIELECTRIC, LAMBERT], jnp.int32),
+        albedo=jnp.array([[0.9, 0.9, 0.9], [1.0, 1.0, 1.0],
+                          [0.0, 0.0, 0.0]], jnp.float32),
+        fuzz=jnp.zeros(3, jnp.float32),
+        ior=jnp.array([1.0, 1.5, 1.0], jnp.float32),
+    )
+    cam = make_camera((0.0, 1.2, 0.8), (0.0, 0.0, -2.0), (0, 1, 0),
+                      w / h, 45.0, 0.0, 1.0)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    spp = 64
+    base_key = jax.random.key(3)
+    base = render_pixels_impl(scene, cam, ids, base_key, width=w, height=h,
+                              spp=spp, wave_spp=spp, max_depth=4,
+                              camera_mode="pinhole", options=DEFAULT)
+    target = base - 0.5
+
+    # (a) expected-value FD across render keys: the truth is ~0.
+    def mse(cy, rkey):
+        s = scene._replace(centers=scene.centers.at[0, 1].add(cy))
+        img = render_pixels_impl(s, cam, ids, rkey, width=w, height=h,
+                                 spp=spp, wave_spp=spp, max_depth=4,
+                                 camera_mode="pinhole", options=DEFAULT)
+        return float(jnp.mean((img - target) ** 2))
+
+    eps = 0.05
+    fds = np.array([(mse(eps, jax.random.key(200 + k))
+                     - mse(-eps, jax.random.key(200 + k))) / (2 * eps)
+                    for k in range(4)])
+    assert abs(fds.mean()) < 0.012, fds
+
+    # (b)/(c) AD totals with the delta-lobe terms, attached vs detached.
+    def ad(skey, detach):
+        def f(params):
+            s = scene._replace(**params)
+            img = render_pixels_impl(s, cam, ids, base_key, width=w,
+                                     height=h, spp=spp, wave_spp=spp,
+                                     max_depth=4, camera_mode="pinhole",
+                                     options=DEFAULT, differentiable=True)
+            diff = img - target
+            val = jnp.mean(diff * diff)
+            cot = 2.0 * jax.lax.stop_gradient(diff) / diff.size
+            for b in (0, 1):
+                sur = branch_probability_surrogate(
+                    s, cam, "pinhole", cot, ids, w, h,
+                    jax.random.fold_in(skey, 0x8800 + b), 4, DEFAULT,
+                    vertex_depth=b, _detach_prefix=detach)
+                val = val + sur - jax.lax.stop_gradient(sur)
+            return val
+
+        return float(jax.grad(f)({"centers": scene.centers})
+                     ["centers"][0, 1])
+
+    att = np.array([ad(jax.random.key(100 + k), False) for k in range(3)])
+    det = np.array([ad(jax.random.key(100 + k), True) for k in range(3)])
+    truth = fds.mean()
+    bias_att = abs(att.mean() - truth)
+    bias_det = abs(det.mean() - truth)
+    assert bias_att < 0.75 * bias_det, (att, det, truth)  # (b) reduction
+    assert bias_det > 0.05, (det, truth)  # (c) the documented residual

@@ -81,7 +81,11 @@ N_SLOTS = 2        # pending slots per lane (task-done buffering)
 # (32,64): 33.6), shorter tasks under long epochs hit pending contention
 # ((8,32): 36.0). The ledger deposit decouples flush cost from slot
 # count, so 2 slots absorb the ~1.9 completions/epoch of sky-dominated
-# tasks that used to stall 24% of lane-slots.
+# tasks that used to stall 24% of lane-slots. Re-measured round 4 on
+# the headline: flush_every 32/16/8 -> 58.04/57.39/56.49 Mrays/s at
+# occupancy .8965/.8991/.8991 -- the epoch-grain while-exit
+# quantization is worth <0.3% occupancy and finer flushes cost more
+# than they recover (32 stays).
 
 # Ledger auto-deposit cap: a frame's task count must fit 3 f32 ledger
 # channels under this budget, else the engine falls back to pixel

@@ -88,8 +88,10 @@ def _add_render_flags(p: argparse.ArgumentParser):
                    choices=["auto", "wavefront", "wavefront-dual",
                             "wavefront-sharded", "wavefront-dual-sharded",
                             "tiled"],
-                   help="auto: dual-pool for many-sphere scenes (the "
-                        "coherence-split engine), single-pool otherwise")
+                   help="auto = the single-pool wavefront engine (the "
+                        "dual pool measured slower in every regime, "
+                        "docs/DUAL_AB_r04.json; it remains selectable "
+                        "as an ablation)")
     p.add_argument("--pool-size", type=int, default=1 << 15)
     p.add_argument("--fusion", default=None,
                    choices=["off", "bounce", "fused"],
@@ -152,10 +154,11 @@ def _render_image(args):
                        options=options)
     engine = args.engine
     if engine == "auto":
-        # The dual-pool engine's primary pass is ~3.4x cheaper per
-        # segment, but measured end-to-end on v5e it still trails the
-        # single pool (secondary-pool packing, see ARCHITECTURE.md), so
-        # auto stays on the single pool until that flips.
+        # The dual-pool engine loses in EVERY measured regime, including
+        # its best case (pure-primary pinhole depth-1: 0.73x; depth 2-4:
+        # 0.65-0.67x; flagship deep: 0.7x -- docs/DUAL_AB_r04.json,
+        # ARCHITECTURE.md). auto routes everything to the single pool;
+        # the dual engine stays as an explicit ablation choice.
         engine = "wavefront"
     kw = dict(width=args.width, height=args.height, spp=args.spp,
               max_depth=args.depth, camera_mode=args.mode,

@@ -97,6 +97,12 @@ class TraceOptions:
     # ablation).
     sorted_rows: int = 0
     sorted_ladder: tuple = (4,)  # measured best on v5e (ARCHITECTURE.md)
+    # Winning-sphere parameter resolve in the fused wavefront path:
+    # "onehot" = one (N, S) bf16 one-hot MXU matmul (default); "split" =
+    # factorized lo-matmul + hi-select (pallas_segment.
+    # resolve_params_split; bit-exact, measured ~8% cheaper standalone
+    # at S=489 -- kept as an A/B variant).
+    resolve: str = "onehot"
     # Pixel-jitter sampling: "iid" (reference-faithful, the parity
     # default) or "stratified" (opt-in estimator change: the TAG_JITTER
     # words are remapped so u is exactly stratified over the spp strata
@@ -155,6 +161,7 @@ class TraceOptions:
         _choice("mega", self.mega, ("off", "bounce", "fused"))
         _choice("hit_kernel", self.hit_kernel, ("sublane", "mxu", "sorted"))
         _choice("gather", self.gather, ("onehot", "take"))
+        _choice("resolve", self.resolve, ("onehot", "split"))
         _choice("ownership", self.ownership, ("strided", "tile"))
         _choice("sampling", self.sampling, ("iid", "stratified"))
         if not (self.rr_start >= 1 and 0.0 < self.rr_qmin <= 1.0

@@ -839,6 +839,52 @@ def resolve_params(s_b, sphere_params):
             col(5), col(6), col(7), col(8), col(9))
 
 
+def resolve_params_split(s_b, sphere_params, lo_n: int = 64):
+    """resolve_params via a FACTORIZED one-hot: lo-matmul + hi-select.
+
+    params[i] = table[s_b[i]] with the (N, S) one-hot split into
+    s_b = hi * lo_n + lo: one (N, lo_n) bf16 one-hot matmul against the
+    (lo_n, hi_n * 10) re-laid table, then an hi_n-way masked select per
+    row. Bit-exact (one nonzero per one-hot row; the select picks exact
+    f32 values). Measured standalone at 32k lanes x S=489 on v5e:
+    31.7 us/iter vs 34.4 for the plain one-hot at lo_n=64 (lo_n 32/128
+    measured worse: 39.1/46.5) -- the traffic saved on the one-hot is
+    partly returned by the (N, hi_n*10) intermediate + select ladder.
+    Kept as an opt-in A/B variant; the plain matmul stays the default.
+    """
+    r_total, lanes = s_b.shape
+    s = sphere_params[0].shape[0]
+    s_pad = -(-s // lo_n) * lo_n
+    hi_n = s_pad // lo_n
+
+    table = jnp.zeros((s_pad, TABLE_COLS), jnp.float32)
+    cx, cy, cz, r = sphere_params[:4]
+    table = table.at[:s, 0].set(cx).at[:s, 1].set(cy)
+    table = table.at[:s, 2].set(cz).at[:s, 3].set(r)
+    table = table.at[:s, 4].set(sphere_params[4].astype(jnp.float32))
+    for i in range(5, 10):
+        table = table.at[:s, i].set(sphere_params[i])
+    tmat = table.reshape(hi_n, lo_n, TABLE_COLS).transpose(1, 0, 2)
+    tmat = tmat.reshape(lo_n, hi_n * TABLE_COLS)
+
+    flat = s_b.reshape(-1)
+    lo = flat % lo_n
+    hi = flat // lo_n
+    oh_lo = (lo[:, None] == jnp.arange(lo_n, dtype=jnp.int32)[None, :]
+             ).astype(jnp.bfloat16)
+    tmp = jnp.dot(oh_lo, tmat, preferred_element_type=jnp.float32)
+    tmp = tmp.reshape(-1, hi_n, TABLE_COLS)
+    out = jnp.zeros((flat.shape[0], TABLE_COLS), jnp.float32)
+    for h in range(hi_n):
+        out = jnp.where((hi == h)[:, None], tmp[:, h, :], out)
+
+    def col(i):
+        return out[:, i].reshape(r_total, lanes)
+
+    return (col(0), col(1), col(2), col(3), col(4).astype(jnp.int32),
+            col(5), col(6), col(7), col(8), col(9))
+
+
 def resolve_segment(rays, sphere_params, hit_i, t_b, s_b):
     """Winning (hit, t, idx) -> full surface/material planes."""
     cx_b, cy_b, cz_b, r_b, mt, ar, ag, ab, fz, io = resolve_params(

@@ -484,7 +484,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         # a prologue below; per-ray semantics are unchanged (draws are
         # keyed by (pixel, sample, bounce), not engine iteration).
         from .pallas_fused import shade_regen
-        from .pallas_segment import closest_hit_planar, resolve_params
+        from .pallas_segment import (closest_hit_planar, resolve_params,
+                                     resolve_params_split)
 
         (ox, oy, oz, dx, dy, dz) = state[4:10]
         active = state[3]
@@ -498,7 +499,10 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             hit_i, t_b, s_b = closest_hit_planar(
                 (ox, oy, oz, dx, dy, dz), cx, cy, cz, r, options.t_min,
                 rows=rows, active=active, kernel=options.hit_kernel)
-        params = resolve_params(s_b, sphere_params)
+        if options.resolve == "split":
+            params = resolve_params_split(s_b, sphere_params)
+        else:
+            params = resolve_params(s_b, sphere_params)
         tile_kw = {}
         if tiled_own:
             tile_kw = dict(own_bl=own_bl, t_b=own_tb, tiles_x=tiles_x,

@@ -100,8 +100,11 @@ class TraceOptions:
     # Winning-sphere parameter resolve in the fused wavefront path:
     # "onehot" = one (N, S) bf16 one-hot MXU matmul (default); "split" =
     # factorized lo-matmul + hi-select (pallas_segment.
-    # resolve_params_split; bit-exact, measured ~8% cheaper standalone
-    # at S=489 -- kept as an A/B variant).
+    # resolve_params_split; bit-exact). Measured: split wins standalone
+    # (31.7 vs 34.4 us/iter at 32k lanes x S=489) but LOSES in-engine
+    # (53.1 vs 58.2 Mrays/s headline) -- the (N, hi*10) intermediate +
+    # select ladder breaks the fusion context around shade_regen. Kept
+    # as a documented ablation.
     resolve: str = "onehot"
     # Pixel-jitter sampling: "iid" (reference-faithful, the parity
     # default) or "stratified" (opt-in estimator change: the TAG_JITTER

@@ -128,6 +128,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                  flush_every: int | None = None,
                  pending_slots: int | None = None,
                  deposit: str | None = None,
+                 reserve_frac: float | None = None,
                  return_stats: bool = False):
     """Trace this worker's task chunks -> UNNORMALIZED (H*W, 3) fb sums.
 
@@ -208,7 +209,28 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         n_tasks = nb_global * own_tb   # padded task-id space
     else:
         stride = n_workers * p      # task-id stride between a lane's tasks
-        n_k = -(-n_tasks // stride)  # ledger rounds (max tasks per lane)
+
+    # RESERVE-TAIL WORK STEALING (round 4, strided ownership only): the
+    # ~10% occupancy shortfall is lane-total variance -- lanes finish
+    # their strided queues at different iterations and idle through the
+    # frame tail. Withholding the LAST reserve_frac of the task space
+    # from strided ownership and granting it on demand (once per epoch,
+    # after the flush: exhausted-idle lanes take consecutive reserve ids
+    # by cumsum rank -- no sort, no per-lane gathers) keeps every lane
+    # busy until the reserve drains. Reserve tasks deposit through a
+    # per-pixel scatter accumulator (their ledger cell does not exist;
+    # the flush routes pendings with pt >= owned_end there), which only
+    # costs anything in tail epochs.
+    use_reserve = bool(reserve_frac) and not tiled_own
+    if use_reserve:
+        res_per_worker = int(n_tasks * reserve_frac) // n_workers
+        owned_end = n_tasks - n_workers * res_per_worker
+        if owned_end <= 0 or res_per_worker == 0:
+            use_reserve, owned_end = False, n_tasks
+    else:
+        owned_end = n_tasks
+    if not tiled_own:
+        n_k = -(-owned_end // stride)  # ledger rounds (max tasks per lane)
 
     if deposit in (None, "auto"):
         deposit = ("ledger" if 3 * 4 * n_k * p <= LEDGER_CAP_BYTES
@@ -241,7 +263,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         lane0 = own_base
     else:
         lane0 = worker_index * p + lane
-        block_end = n_tasks
+        block_end = owned_end
 
     def task_pixel(t):
         """Task id -> (run index base pixel id, validity)."""
@@ -260,7 +282,9 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         b0, b1 = tf.key_words(base_key)
         base_words = jnp.stack([b0, b1]).astype(jnp.uint32)
 
-    def flush(slots, dep_r, dep_g, dep_b):
+    use_sfb = use_reserve and deposit == "ledger"
+
+    def flush(slots, dep_r, dep_g, dep_b, sfb=None):
         """Drain every pending slot into the deposit arrays; free slots."""
         new_slots = []
         if deposit == "ledger":
@@ -268,13 +292,35 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             for (pt, pr, pg, pb) in slots:
                 # Exact by ownership: pt = lane0 + k*stride when pt >= 0;
                 # free slots (pt = -1) map to k < 0 and match no row.
-                k = jnp.where(pt >= 0, (pt - lane0) // stride, -1)
+                # Reserve-granted tasks (pt >= owned_end) have no ledger
+                # cell; they route to the pixel scatter accumulator.
+                own = ((pt >= 0) & (pt < owned_end)) if use_reserve \
+                    else (pt >= 0)
+                k = jnp.where(own, (pt - lane0) // stride, -1)
                 m = kk == k[None]
                 dep_r = dep_r + jnp.where(m, pr[None], 0.0)
                 dep_g = dep_g + jnp.where(m, pg[None], 0.0)
                 dep_b = dep_b + jnp.where(m, pb[None], 0.0)
                 new_slots.append((jnp.full_like(pt, -1), jnp.zeros_like(pr),
                                   jnp.zeros_like(pg), jnp.zeros_like(pb)))
+            if use_sfb:
+                foreign = [(pt >= owned_end) for (pt, _, _, _) in slots]
+
+                def scatter_foreign(sfb):
+                    sr, sg, sb_ = sfb
+                    for fm, (pt, pr, pg, pb) in zip(foreign, slots):
+                        pix = jnp.where(fm, pt // tpp, n_pixels
+                                        ).reshape(-1)
+                        sr = sr.at[pix].add(pr.reshape(-1), mode="drop")
+                        sg = sg.at[pix].add(pg.reshape(-1), mode="drop")
+                        sb_ = sb_.at[pix].add(pb.reshape(-1), mode="drop")
+                    return sr, sg, sb_
+
+                any_foreign = jnp.any(jnp.stack(
+                    [jnp.any(f) for f in foreign]))
+                # The scatter only runs in reserve-tail epochs.
+                sfb = jax.lax.cond(any_foreign, scatter_foreign,
+                                   lambda s: s, sfb)
         else:
             for (pt, pr, pg, pb) in slots:
                 pid, valid = task_pixel(jnp.maximum(pt, 0))
@@ -285,9 +331,9 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                 dep_b = dep_b.at[pix].add(pb.reshape(-1), mode="drop")
                 new_slots.append((jnp.full_like(pt, -1), jnp.zeros_like(pr),
                                   jnp.zeros_like(pg), jnp.zeros_like(pb)))
-        return new_slots, dep_r, dep_g, dep_b
+        return new_slots, dep_r, dep_g, dep_b, sfb
 
-    def fold(dep_r, dep_g, dep_b):
+    def fold(dep_r, dep_g, dep_b, sfb=None):
         """Deposit arrays -> (n_pixels,) per-channel sums."""
         if deposit != "ledger":
             return dep_r, dep_g, dep_b
@@ -311,19 +357,26 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         if n_workers == 1:
             # task id = k*p + lane exactly; pixel runs are contiguous.
             def f(ch):
-                flat = ch.reshape(n_k * p)[:n_tasks]
+                flat = ch.reshape(n_k * p)[:owned_end]
+                if owned_end < n_tasks:  # reserve region: zeros (its
+                    flat = jnp.concatenate([  # radiance lives in sfb)
+                        flat, jnp.zeros((n_tasks - owned_end,),
+                                        jnp.float32)])
                 return flat.reshape(n_pixels, tpp).sum(axis=1)
         else:
             # Strided global ownership: one scatter-add per frame.
             t_ids = (lane0.reshape(-1)[None, :]
                      + jnp.arange(n_k, dtype=jnp.int32)[:, None] * stride)
-            pix = jnp.where(t_ids < n_tasks, t_ids // tpp,
+            pix = jnp.where(t_ids < owned_end, t_ids // tpp,
                             n_pixels).reshape(-1)
 
             def f(ch):
                 return jnp.zeros((n_pixels,), jnp.float32).at[pix].add(
                     ch.reshape(-1), mode="drop")
-        return f(dep_r), f(dep_g), f(dep_b)
+        out = (f(dep_r), f(dep_g), f(dep_b))
+        if use_sfb:
+            out = tuple(o + s for o, s in zip(out, sfb))
+        return out
 
     def regen(state):
         (nxt, task, sid, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
@@ -512,17 +565,75 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
             rows=rows, max_depth=max_depth, unit_sample=unit_sample,
             phys_refract=phys_refract, sky_bias=sky_bias, width=width,
             height=height, spp=spp, task_samples=task_samples, tpp=tpp,
-            n_tasks=n_tasks, n_slots=n_slots, stride=stride,
+            n_tasks=(n_tasks if tiled_own else owned_end),
+            n_slots=n_slots, stride=stride,
             camera_mode=camera_mode, rr_terminate=options.rr_terminate,
             rr_start=options.rr_start, rr_qmin=options.rr_qmin,
             rr_scale=options.rr_scale, sampling=options.sampling,
             **tile_kw)
 
+    if use_reserve:
+        res_start = owned_end + worker_index * res_per_worker
+        res_end_w = res_start + res_per_worker
+
+        def grant(lane_state, res_next):
+            """Exhausted-idle lanes take consecutive reserve tasks (by
+            cumsum rank) and are issued their first camera ray -- the
+            XLA analogue of regen() for reserve ids. Runs once per
+            epoch, only while reserve work remains (cond-gated)."""
+            planes = lane_state[:N_BASE]
+            rest = lane_state[N_BASE:]
+            (nxt, task, sid, active) = planes[:4]
+            idle_ex = (~active) & (task < 0) & (nxt >= block_end)
+
+            def do(args):
+                (nxt, task, sid, active, ox, oy, oz, dx, dy, dz,
+                 ax, ay, az, depth, accr, accg, accb, k0v, k1v,
+                 res_next) = args
+                flat = idle_ex.reshape(-1).astype(jnp.int32)
+                rank = (jnp.cumsum(flat) - flat).reshape(idle_ex.shape)
+                gid = res_next + rank
+                take = idle_ex & (gid < res_end_w)
+                t_new = jnp.where(take, gid, task)
+                t_safe = jnp.maximum(t_new, 0)
+                vp = t_safe // tpp
+                run_start = (t_safe - vp * tpp) * task_samples
+                nsid = jnp.where(take, run_start, sid)
+                nox, noy, noz, ndx, ndy, ndz, rk0, rk1 = \
+                    _planar_camera_rays(
+                        cam, vp, nsid, base_key, width, height,
+                        camera_mode, sampling=options.sampling, spp=spp)
+                one = jnp.float32(1.0)
+                ox = jnp.where(take, nox, ox)
+                oy = jnp.where(take, noy, oy)
+                oz = jnp.where(take, noz, oz)
+                dx = jnp.where(take, ndx, dx)
+                dy = jnp.where(take, ndy, dy)
+                dz = jnp.where(take, ndz, dz)
+                ax = jnp.where(take, one, ax)
+                ay = jnp.where(take, one, ay)
+                az = jnp.where(take, one, az)
+                depth = jnp.where(take, 0, depth)
+                k0v = jnp.where(take, rk0, k0v)
+                k1v = jnp.where(take, rk1, k1v)
+                res_next = res_next + jnp.sum(take.astype(jnp.int32))
+                return (nxt, t_new, nsid, active | take, ox, oy, oz,
+                        dx, dy, dz, ax, ay, az, depth, accr, accg, accb,
+                        k0v, k1v, res_next)
+
+            pred = jnp.any(idle_ex) & (res_next < res_end_w)
+            out = jax.lax.cond(pred, do, lambda a: a,
+                               planes + (res_next,))
+            return out[:N_BASE] + rest, out[N_BASE]
+
     def cond(state):
         lane_state = state[0]
         nxt, task, sid, active = lane_state[:4]
-        return (jnp.any(active) | jnp.any(task >= 0)
+        more = (jnp.any(active) | jnp.any(task >= 0)
                 | jnp.any(nxt < block_end))
+        if use_reserve:
+            more = more | (state[-1][0] < res_end_w)
+        return more
 
     use_sorted = options.hit_kernel == "sorted"
     sorted_rows = options.sorted_rows or rows
@@ -569,7 +680,7 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         else:
             sortstate = None
         if return_stats:
-            iters, segs = state[4:]
+            iters, segs = state[4:6]
             lane_state, segs = jax.lax.fori_loop(
                 0, flush_every, lambda i, c: body_c(*c, sortstate),
                 (lane_state, segs))
@@ -580,11 +691,21 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                 lane_state)
         slots = [tuple(lane_state[N_BASE + 4 * j: N_BASE + 4 * (j + 1)])
                  for j in range(n_slots)]
-        slots, dep_r, dep_g, dep_b = flush(slots, dep_r, dep_g, dep_b)
+        sfb = state[-1][1:] if use_sfb else None
+        slots, dep_r, dep_g, dep_b, sfb = flush(slots, dep_r, dep_g,
+                                                dep_b, sfb)
         lane_state = lane_state[:N_BASE] + tuple(
             pl_ for s in slots for pl_ in s)
+        if use_reserve:
+            res_next = state[-1][0]
+            lane_state, res_next = grant(lane_state, res_next)
+            res = (res_next,) + (tuple(sfb) if use_sfb else ())
         out = (lane_state, dep_r, dep_g, dep_b)
-        return (out + (iters, segs)) if return_stats else out
+        if return_stats:
+            out = out + (iters, segs)
+        if use_reserve:
+            out = out + (res,)
+        return out
 
     zero = jnp.zeros((r_rows, LANES), jnp.float32)
     izero = jnp.zeros((r_rows, LANES), jnp.int32)
@@ -614,12 +735,17 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     init = (lane_state0, dep0, dep0, dep0)
     if return_stats:
         init = init + (jnp.uint32(0), jnp.uint32(0))
+    if use_reserve:
+        sfb0 = ((jnp.zeros((n_pixels,), jnp.float32),) * 3
+                if use_sfb else ())
+        init = init + ((jnp.asarray(res_start, jnp.int32),) + sfb0,)
     final = jax.lax.while_loop(cond, epoch, init)
     lane_state, dep_r, dep_g, dep_b = final[:4]
     slots = [tuple(lane_state[N_BASE + 4 * j: N_BASE + 4 * (j + 1)])
              for j in range(n_slots)]
-    _, dep_r, dep_g, dep_b = flush(slots, dep_r, dep_g, dep_b)
-    fbr, fbg, fbb = fold(dep_r, dep_g, dep_b)
+    sfb = final[-1][1:] if use_sfb else None
+    _, dep_r, dep_g, dep_b, sfb = flush(slots, dep_r, dep_g, dep_b, sfb)
+    fbr, fbg, fbb = fold(dep_r, dep_g, dep_b, sfb)
     fb = jnp.stack([fbr, fbg, fbb], axis=-1)
     if return_stats:
         stats = {"iters": final[4], "segments": final[5],
@@ -632,7 +758,8 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
                      "options", "pool_size", "task_samples", "flush_every",
-                     "pending_slots", "deposit", "return_stats"))
+                     "pending_slots", "deposit", "reserve_frac",
+                     "return_stats"))
 def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
                      height: int, spp: int, max_depth: int,
                      camera_mode: str, options: TraceOptions,
@@ -641,6 +768,7 @@ def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
                      flush_every: int | None = None,
                      pending_slots: int | None = None,
                      deposit: str | None = None,
+                     reserve_frac: float | None = None,
                      return_stats: bool = False):
     """Render the full image -> (H*W, 3) linear radiance means (1 device).
 
@@ -652,6 +780,7 @@ def render_wavefront(scene: Scene, cam: Camera, base_key, *, width: int,
                        options=options, pool_size=pool_size,
                        task_samples=task_samples, flush_every=flush_every,
                        pending_slots=pending_slots, deposit=deposit,
+                       reserve_frac=reserve_frac,
                        return_stats=return_stats)
     if return_stats:
         fb, stats = out

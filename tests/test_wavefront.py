@@ -273,3 +273,45 @@ def test_tile_ownership_images_bit_identical():
                                     return_stats=True, **kw)
         np.testing.assert_array_equal(base, np.asarray(got2))
         assert int(st["segments"]) > 0
+
+
+def test_reserve_tail_stealing_matches_default():
+    """reserve_frac withholds the task-space tail and grants it to
+    exhausted-idle lanes at epoch boundaries (round 4): images must
+    match the reserve-off engine to accumulation order, with every
+    reserve task rendered exactly once (the mean over a bright scene
+    catches drops/doubles), across deposit modes, fusion levels, rr,
+    and multi-sample tasks (spp > task_samples exercises per-pixel
+    fold ordering with the scatter-accumulated reserve)."""
+    import dataclasses
+
+    scene = huge_scene(0)
+    w, h = 48, 32
+    cam = reference_cpu_camera(w, h)
+    key = jax.random.key(0)
+    kw = dict(width=w, height=h, spp=24, max_depth=6,
+              camera_mode="thinlens", pool_size=1024, task_samples=8)
+    base = np.asarray(render_wavefront(scene, cam, key, options=DEFAULT,
+                                       **kw))
+    for label, extra in [
+            ("rf.1", dict(reserve_frac=0.1)),
+            ("rf.3", dict(reserve_frac=0.3)),
+            ("rf.1+scatter", dict(reserve_frac=0.1, deposit="scatter")),
+    ]:
+        got = np.asarray(render_wavefront(scene, cam, key, options=DEFAULT,
+                                          **kw, **extra))
+        np.testing.assert_allclose(base, got, rtol=2e-6, atol=2e-6,
+                                   err_msg=label)
+    for opts in (dataclasses.replace(DEFAULT, mega="off"),
+                 dataclasses.replace(DEFAULT, rr_terminate=True)):
+        a = np.asarray(render_wavefront(scene, cam, key, options=opts,
+                                        **kw))
+        b = np.asarray(render_wavefront(scene, cam, key, options=opts,
+                                        reserve_frac=0.15, **kw))
+        np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)
+    # tile ownership has its own fold; reserve is silently inert there
+    o = dataclasses.replace(DEFAULT, ownership="tile")
+    a = np.asarray(render_wavefront(scene, cam, key, options=o, **kw))
+    b = np.asarray(render_wavefront(scene, cam, key, options=o,
+                                    reserve_frac=0.2, **kw))
+    np.testing.assert_array_equal(a, b)

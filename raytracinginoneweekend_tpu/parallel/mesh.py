@@ -143,12 +143,14 @@ def render_image_sharded(scene: Scene, cam: Camera, cfg: RenderConfig,
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "width", "height", "spp", "max_depth",
-                     "camera_mode", "options", "pool_size"))
+                     "camera_mode", "options", "pool_size",
+                     "reserve_frac"))
 def render_wavefront_sharded(scene: Scene, cam: Camera, base_key, *,
                              mesh: Mesh, width: int, height: int, spp: int,
                              max_depth: int, camera_mode: str,
                              options: TraceOptions,
-                             pool_size: int = 1 << 15):
+                             pool_size: int = 1 << 15,
+                             reserve_frac: float | None = None):
     """Multi-chip wavefront render -> (H*W, 3) linear radiance means.
 
     Each device runs an independent persistent-wavefront loop over a
@@ -168,7 +170,8 @@ def render_wavefront_sharded(scene: Scene, cam: Camera, base_key, *,
         fb = wavefront_fb(
             scene, cam, key, width=width, height=height, spp=spp,
             max_depth=max_depth, camera_mode=camera_mode, options=options,
-            pool_size=pool_size, worker_index=d, n_workers=n_dev)
+            pool_size=pool_size, worker_index=d, n_workers=n_dev,
+            reserve_frac=reserve_frac)
         return jax.lax.psum(fb, AXIS)
 
     sharded = shard_map(shard_fn, mesh=mesh, in_specs=(P(), P(), P()),

@@ -129,3 +129,27 @@ def test_tile_ownership_shard_invariant():
                                     options=o, **kw))
     np.testing.assert_array_equal(a, b)
     assert np.isfinite(a).all() and a.max() > 0.05
+
+
+def test_sharded_reserve_stealing_matches():
+    """Per-worker reserve slices (round 4): reserve grants under the
+    mesh must reproduce the reserve-off sharded render exactly (each
+    worker grants only from its own slice; deposits route per worker)."""
+    from raytracinginoneweekend_tpu.models.scene import huge_scene
+    from raytracinginoneweekend_tpu.parallel.mesh import (
+        render_wavefront_sharded)
+
+    from raytracinginoneweekend_tpu.models.camera import (
+        reference_cpu_camera)
+
+    scene = huge_scene(0)
+    w, h = 36, 20
+    cam = reference_cpu_camera(w, h)
+    mesh = make_mesh()
+    kw = dict(mesh=mesh, width=w, height=h, spp=4, max_depth=4,
+              camera_mode="thinlens", options=DEFAULT, pool_size=1024)
+    a = np.asarray(render_wavefront_sharded(scene, cam, jax.random.key(2),
+                                            **kw))
+    b = np.asarray(render_wavefront_sharded(scene, cam, jax.random.key(2),
+                                            reserve_frac=0.15, **kw))
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6)

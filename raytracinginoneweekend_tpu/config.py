@@ -100,11 +100,13 @@ class TraceOptions:
     # Winning-sphere parameter resolve in the fused wavefront path:
     # "onehot" = one (N, S) bf16 one-hot MXU matmul (default); "split" =
     # factorized lo-matmul + hi-select (pallas_segment.
-    # resolve_params_split; bit-exact). Measured: split wins standalone
-    # (31.7 vs 34.4 us/iter at 32k lanes x S=489) but LOSES in-engine
-    # (53.1 vs 58.2 Mrays/s headline) -- the (N, hi*10) intermediate +
-    # select ladder breaks the fusion context around shade_regen. Kept
-    # as a documented ablation.
+    # resolve_params_split; bit-exact); "f32" = the one-hot kept in f32
+    # (drops the pred->bf16 convert; bit-exact). Measured (v5e,
+    # ARCHITECTURE.md "Resolve phase closure"): split LOSES in-engine
+    # (53.1 vs 58.2 Mrays/s -- the (N, hi*16) intermediate materializes
+    # ~16 MB/iter), f32 is noise-level (1.0009x); the resolve cost is
+    # ~73% one-hot CONSTRUCTION at the VPU compare floor, so both stay
+    # documented ablations.
     resolve: str = "onehot"
     # Pixel-jitter sampling: "iid" (reference-faithful, the parity
     # default) or "stratified" (opt-in estimator change: the TAG_JITTER
@@ -164,7 +166,7 @@ class TraceOptions:
         _choice("mega", self.mega, ("off", "bounce", "fused"))
         _choice("hit_kernel", self.hit_kernel, ("sublane", "mxu", "sorted"))
         _choice("gather", self.gather, ("onehot", "take"))
-        _choice("resolve", self.resolve, ("onehot", "split"))
+        _choice("resolve", self.resolve, ("onehot", "split", "f32"))
         _choice("ownership", self.ownership, ("strided", "tile"))
         _choice("sampling", self.sampling, ("iid", "stratified"))
         if not (self.rr_start >= 1 and 0.0 < self.rr_qmin <= 1.0

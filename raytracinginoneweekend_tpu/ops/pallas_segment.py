@@ -801,13 +801,15 @@ def trace_segment(rays, sphere_params, t_min, rows: int = 128,
     return resolve_segment(rays, sphere_params, hit_i, t_b, s_b)
 
 
-def resolve_params(s_b, sphere_params):
+def resolve_params(s_b, sphere_params, oh_dtype=jnp.bfloat16):
     """Winning sphere index plane -> 10 per-ray param planes.
 
     Exact gather of the winning sphere's params WITHOUT per-ray scatter/
     gather ops (measured ~80ns/element on v5e): a one-hot matmul on the
-    MXU. The bf16 one-hot is exact (values 0/1) and the contraction has
-    exactly one nonzero term per row, so the result is bit-exact f32.
+    MXU. The one-hot is exact (values 0/1) in bf16 AND f32, and the
+    contraction has exactly one nonzero term per row, so the result is
+    bit-exact f32 either way; oh_dtype only changes the compute path
+    (TraceOptions.resolve "f32" drops the pred->bf16 convert).
     (An in-kernel transposed per-row variant was measured SLOWER: 64
     small (16,S)@(S,128) matmuls per block serialize against the VPU --
     see ops/pallas_mega.py and ARCHITECTURE.md.)
@@ -827,8 +829,8 @@ def resolve_params(s_b, sphere_params):
         table = table.at[:, i].set(sphere_params[i])
 
     sphere_ids = jnp.arange(s, dtype=jnp.int32)
-    oh = (s_b.reshape(-1, 1) == sphere_ids[None, :]).astype(jnp.bfloat16)
-    # bf16 one-hot (0/1 exact) against the f32 table: one nonzero term per
+    oh = (s_b.reshape(-1, 1) == sphere_ids[None, :]).astype(oh_dtype)
+    # 0/1-exact one-hot against the f32 table: one nonzero term per
     # row, so the f32 result is the table value bit-exactly.
     params = jnp.dot(oh, table, preferred_element_type=jnp.float32)
 

@@ -554,6 +554,9 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                 rows=rows, active=active, kernel=options.hit_kernel)
         if options.resolve == "split":
             params = resolve_params_split(s_b, sphere_params)
+        elif options.resolve == "f32":
+            params = resolve_params(s_b, sphere_params,
+                                    oh_dtype=jnp.float32)
         else:
             params = resolve_params(s_b, sphere_params)
         tile_kw = {}

@@ -275,6 +275,33 @@ def test_tile_ownership_images_bit_identical():
         assert int(st["segments"]) > 0
 
 
+def test_resolve_variants_bit_identical():
+    """All winning-sphere resolve variants are EXACT gathers (one nonzero
+    0/1 term per one-hot row against an f32 table), so 'split' (factorized
+    lo-matmul + hi-select) and 'f32' (one-hot kept in f32, no bf16
+    convert) must reproduce the default's image bit-exactly. Both ship as
+    documented perf ablations (ARCHITECTURE.md 'Resolve phase closure');
+    this pins their correctness."""
+    import dataclasses
+
+    from raytracinginoneweekend_tpu.models.scene import simple_scene_cuda
+
+    for scene, w, h in ((simple_scene_cuda(), 32, 20), (huge_scene(0),
+                                                        28, 16)):
+        cam = reference_cpu_camera(w, h)
+        key = jax.random.key(3)
+        kw = dict(width=w, height=h, spp=4, max_depth=6,
+                  camera_mode="thinlens", pool_size=2048)
+        base = np.asarray(render_wavefront(scene, cam, key, options=DEFAULT,
+                                           **kw))
+        assert np.isfinite(base).all() and base.max() > 0.05
+        for resolve in ("split", "f32"):
+            o = dataclasses.replace(DEFAULT, resolve=resolve)
+            got = np.asarray(render_wavefront(scene, cam, key, options=o,
+                                              **kw))
+            np.testing.assert_array_equal(base, got, err_msg=resolve)
+
+
 def test_reserve_tail_stealing_matches_default():
     """reserve_frac withholds the task-space tail and grants it to
     exhausted-idle lanes at epoch boundaries (round 4): images must

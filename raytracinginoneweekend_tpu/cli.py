@@ -425,12 +425,15 @@ def main(argv=None) -> int:
                    help="path-vertex depths the secondary boundary term "
                         "covers (1 = first hit only; n sums vertex "
                         "depths 0..n-1)")
-    p.add_argument("--ad-engine", default="planar",
-                   choices=["wavefront", "planar", "tiled"],
-                   help="reverse-mode engine: 'wavefront' = regenerative "
-                        "pool (ops/wavefront_ad.py, wavefront-class "
-                        "occupancy at high depth), 'planar' = fixed-depth "
-                        "(R,128) scan, 'tiled' = the (N,3) scan")
+    p.add_argument("--ad-engine", default="auto",
+                   choices=["auto", "wavefront", "planar", "tiled"],
+                   help="reverse-mode engine: 'auto' = by depth (planar "
+                        "below the measured depth-32 crossover, wavefront "
+                        "above -- docs/AD_DEPTH_SWEEP_r04.json), "
+                        "'wavefront' = regenerative pool "
+                        "(ops/wavefront_ad.py, wavefront-class occupancy "
+                        "at high depth), 'planar' = fixed-depth (R,128) "
+                        "scan, 'tiled' = the (N,3) scan")
     p.add_argument("--rr-grad", action="store_true",
                    help="add the dielectric Russian-roulette branch-flip "
                         "gradient term (needed for accurate ior "

@@ -53,7 +53,7 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 boundary_samples: int = 0, secondary_samples: int = 0,
                 secondary_spheres: int = 2,
                 secondary_vertex_depths: int = 1, rr_grad: bool = False,
-                engine: str = "planar",
+                engine: str = "auto",
                 engine_opts: dict | None = None):
     """Mean-squared error between rendered and target pixel radiance.
 
@@ -85,10 +85,13 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     decision's probability dependence). Two probe traces per batch pixel
     per depth.
 
-    engine: "planar" (default -- (R, 128) planes + Pallas closest-hit with
-    the analytic custom VJP, ops/integrate_planar.py) or "tiled" (the
-    (N, 3) scan engine). Same RNG contract, radiance agrees to f32
-    reassociation.
+    engine: "auto" (default -- resolve_ad_engine picks by max_depth:
+    the fixed-depth planar scan below the measured depth-32 crossover,
+    the regenerative wavefront pool above it), "planar" ((R, 128)
+    planes + Pallas closest-hit with the analytic custom VJP,
+    ops/integrate_planar.py), "wavefront" (ops/wavefront_ad.py), or
+    "tiled" (the (N, 3) scan engine). Same RNG contract, radiance
+    agrees to f32 reassociation.
     """
     full_scene = scene_with_params(scene, params)
     rendered = _render_batch(full_scene, cam, pixel_ids, base_key,
@@ -108,10 +111,31 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
         secondary_vertex_depths=secondary_vertex_depths, rr_grad=rr_grad)
 
 
+AD_ENGINE_AUTO_DEPTH = 32
+"""max_depth above which 'auto' picks the regenerative wavefront engine.
+
+Measured crossover on v5e (huge scene, 1200x800 camera, 16384 px x 8 spp,
+default engine opts both sides; docs/AD_DEPTH_SWEEP_r04.json +
+docs/FIT_r04.json): the fixed-depth planar scan wins 2.5x at depth 4,
+2.4x at 8, 1.8x at 16, and reaches breakeven at 32 (0.96x); at the
+depth-50 flagship the regenerative pool wins 1.26x on its guaranteed
+worst-case budget (1.70x with a probed iteration budget). The pool's
+~13 ms fixed structure cost (ledger + epoch cond + wave one-hot regen)
+amortizes only once fixed-depth lane waste exceeds it."""
+
+
+def resolve_ad_engine(max_depth: int) -> str:
+    """'auto' policy: planar scan at low depth, regenerative pool past
+    the measured crossover (AD_ENGINE_AUTO_DEPTH)."""
+    return "wavefront" if max_depth > AD_ENGINE_AUTO_DEPTH else "planar"
+
+
 def _render_batch(full_scene, cam, pixel_ids, base_key, *, width, height,
                   spp, max_depth, camera_mode, options, mesh, engine,
                   engine_opts=None):
     """Differentiable (P, 3) pixel batch via the chosen AD engine."""
+    if engine == "auto":
+        engine = resolve_ad_engine(max_depth)
     if engine == "planar":
         from ..ops.integrate_planar import render_pixels_planar_impl
         impl = render_pixels_planar_impl
@@ -208,7 +232,7 @@ def render_pixels_vjp(params: dict, scene: Scene, cam: Camera, cotangent,
                       mesh=None, boundary_samples: int = 0,
                       secondary_samples: int = 0, secondary_spheres: int = 2,
                       secondary_vertex_depths: int = 1,
-                      rr_grad: bool = False, engine: str = "planar",
+                      rr_grad: bool = False, engine: str = "auto",
                       engine_opts: dict | None = None):
     """Direct pixel-Jacobian VJP: d<cotangent, I(params)>/d(params).
 
@@ -254,7 +278,7 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
                     options, mesh=None, boundary_samples: int = 0,
                     secondary_samples: int = 0, secondary_spheres: int = 2,
                     secondary_vertex_depths: int = 1, rr_grad: bool = False,
-                    engine: str = "planar",
+                    engine: str = "auto",
                     engine_opts: dict | None = None):
     """Build a jitted (params, opt_state, ...) -> (params, opt_state, loss).
 
@@ -290,7 +314,7 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         init_opt_state=None, start_step: int = 0,
         boundary_samples: int = 0, secondary_samples: int = 0,
         secondary_spheres: int = 2, secondary_vertex_depths: int = 1,
-        rr_grad: bool = False, engine: str = "planar",
+        rr_grad: bool = False, engine: str = "auto",
         engine_opts: dict | None = None):
     """Optimize scene params toward a target image.
 

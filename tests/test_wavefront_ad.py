@@ -203,3 +203,36 @@ def test_huge_scene_parity():
     b = np.asarray(render_pixels_wavefront_ad(scene, cam, ids, key,
                                               pool_size=128, **kw))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
+
+
+def test_ad_engine_auto_policy():
+    """--ad-engine auto resolves by the measured depth crossover
+    (docs/AD_DEPTH_SWEEP_r04.json): planar at depth <= 32, the
+    regenerative wavefront pool above. Both resolutions must run and
+    agree with their explicitly-selected engine bit-exactly (auto is
+    pure dispatch, no numeric change)."""
+    from raytracinginoneweekend_tpu.optim.inverse import (
+        AD_ENGINE_AUTO_DEPTH, resolve_ad_engine)
+
+    assert resolve_ad_engine(8) == "planar"
+    assert resolve_ad_engine(AD_ENGINE_AUTO_DEPTH) == "planar"
+    assert resolve_ad_engine(AD_ENGINE_AUTO_DEPTH + 1) == "wavefront"
+    assert resolve_ad_engine(50) == "wavefront"
+
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(5)
+    ids = _batch(64)
+    target = jnp.zeros((64, 3), jnp.float32) + 0.2
+    params = params_from_scene(scene, ("albedo",))
+    for depth, explicit in ((4, "planar"), (AD_ENGINE_AUTO_DEPTH + 2,
+                                            "wavefront")):
+        kw = dict(width=W, height=H, spp=2, max_depth=depth,
+                  camera_mode="cuda", options=REFERENCE_CUDA)
+        la, ga = jax.value_and_grad(render_loss)(
+            params, scene, cam, target, ids, key, engine="auto", **kw)
+        le, ge = jax.value_and_grad(render_loss)(
+            params, scene, cam, target, ids, key, engine=explicit, **kw)
+        assert float(la) == float(le), depth
+        np.testing.assert_array_equal(np.asarray(ga["albedo"]),
+                                      np.asarray(ge["albedo"]))

@@ -113,7 +113,11 @@ class TraceOptions:
     # words are remapped so u is exactly stratified over the spp strata
     # and v rides a van-der-Corput sequence under a full-range rotation
     # -- unbiased, lower pixel-antialiasing variance; ops/rng.py
-    # stratify_uv). Lens/bounce draws stay iid.
+    # stratify_uv). In thinlens mode the LENS pair is stratified too
+    # (round 4, rng.stratify_lens_uv: rotated stratified theta + vdc r,
+    # per-pixel rotations off the unconsumed (pid,0) TAG_LENS j=2
+    # counter) -- the defocus-dominated variance lever. Bounce draws
+    # and the "cpu" quirk lens stay iid.
     sampling: str = "iid"
     # Wavefront task OWNERSHIP layout:
     #   "strided" = lane l owns global tasks l, l+P, ... (row-major

@@ -79,13 +79,18 @@ def make_camera(position, lookat, up, aspect, vfov_degrees, aperture,
     )
 
 
-def camera_ray(cam: Camera, u, v, key, mode: str = "thinlens"):
+def camera_ray(cam: Camera, u, v, key, mode: str = "thinlens",
+               lens_uv=None):
     """Generate one primary ray. u, v are scalars; vmap for batches.
 
     Returns (origin (3,), direction (3,)). ``key`` is the ray's RAY KEY;
     lens draws use its TAG_LENS counter blocks (ops/rng.py contract v3;
     "cuda" mode draws nothing -- matching the reference's RNG
     consumption exactly matters for the oracle contract).
+
+    lens_uv: optional pre-remapped (u0, u1) pair for the thinlens disk
+    sample (the stratified-lens path, rng.stratify_lens_uv); None draws
+    the iid pair from the ray key as usual.
     """
     film = cam.lower_left + cam.horizontal * u + cam.vertical * (1.0 - v)
     if mode == "cuda":
@@ -99,7 +104,10 @@ def camera_ray(cam: Camera, u, v, key, mode: str = "thinlens"):
         return cam.origin + offset, film - offset
     if mode == "thinlens":
         # True thin-lens: disk sample in the lens basis; correct direction.
-        rd = rng.lens_disk(key) * cam.lens_radius
+        if lens_uv is not None:
+            rd = jnp.stack(rng.disk_from_uv(*lens_uv)) * cam.lens_radius
+        else:
+            rd = rng.lens_disk(key) * cam.lens_radius
         offset = cam.basis_u * rd[0] + cam.basis_v * rd[1]
         return cam.origin + offset, film - cam.origin - offset
     if mode == "pinhole":

@@ -286,6 +286,12 @@ def _kernel_shade_regen(
             ndx, ndy, ndz = fx - offx, fy - offy, fz_
         elif camera_mode == "thinlens":
             lu0, lu1 = tf.draw_uniform2(nk0, nk1, TAG_LENS, 0)
+            if sampling == "stratified":
+                # Per-PIXEL lens rotations: the unconsumed (pid, sid=0)
+                # (TAG_LENS, j=2) counter -- rng.stratify_lens_uv.
+                lr_u, lr_v = tf.draw_uniform2(zk0, zk1, TAG_LENS, 2)
+                lu0, lu1 = _rng.stratify_lens_uv(lu0, lr_u, lr_v, sid,
+                                                 spp)
             theta = jnp.float32(TWO_PI) * lu0
             rd = jnp.sqrt(lu1)
             r0 = jnp.cos(theta) * rd * lens_r

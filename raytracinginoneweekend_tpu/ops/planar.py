@@ -158,7 +158,8 @@ def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
     pid, sid: (R, 128) i32 planes. Returns (ox, oy, oz, dx, dy, dz, k0,
     k1) with k0/k1 the per-ray KEY-WORD planes (the ops/rng.py ray_key
     contract -- draws are bit-identical to the scalar path).
-    sampling="stratified" remaps the jitter per rng.stratify_uv.
+    sampling="stratified" remaps the jitter per rng.stratify_uv and, in
+    thinlens mode, the lens pair per rng.stratify_lens_uv.
 
     Modes mirror models/camera.camera_ray exactly: "cuda" (no defocus +
     quirk Q11 direction), "pinhole", "cpu" (quirks Q2+Q11), "thinlens".
@@ -207,6 +208,11 @@ def camera_rays(cam: Camera, pid, sid, base_key, width: int, height: int,
         dx, dy, dz = fx - offx, fy - offy, fz_
     elif camera_mode == "thinlens":
         lu0, lu1 = tf.draw_uniform2(k0, k1, rng.TAG_LENS, 0)
+        if sampling == "stratified":
+            # Per-PIXEL lens rotations from the unconsumed (pid, sid=0)
+            # (TAG_LENS, j=2) counter -- see rng.stratify_lens_uv.
+            lr_u, lr_v = tf.draw_uniform2(k0z, k1z, rng.TAG_LENS, 2)
+            lu0, lu1 = rng.stratify_lens_uv(lu0, lr_u, lr_v, sid, spp)
         r0, r1 = rng.disk_from_uv(lu0, lu1)
         r0, r1 = r0 * lens_r, r1 * lens_r
         offx = bu[0] * r0 + bv[0] * r1

@@ -25,6 +25,13 @@ in-kernel RNG and ``oracle/`` all follow it):
                (j=2 word0 -> the Russian-roulette termination uniform,
                drawn ONLY when TraceOptions.rr_terminate -- the default
                contract never consumes it)
+  per-PIXEL sites (key = fold_in(fold_in(base, pixel_id), 0), consumed
+  ONLY under sampling="stratified"; no per-sample draw touches them):
+    jitter rotation : tag TAG_JITTER, j=0 word1 (stratify_uv rot_v --
+               deliberately sample 0's own jv: vdc(0)=0 keeps it exact)
+    lens rotations  : tag TAG_LENS, j=2 -> (rot_u, rot_v) for
+               stratify_lens_uv (j=2 is consumed by NO sample draw;
+               see stratify_lens_uv on why reuse would bias sample 0)
 
 COST is a first-class property of this contract (regen/shade RNG is the
 wavefront engine's per-iteration elementwise tax; profiled ~7% of the
@@ -154,6 +161,38 @@ def stratify_uv(ju, rot_v, sid, spp: int):
         jnp.float32) * (1.0 / 16777216.0)
     v = rv + rot_v
     return u, v - jnp.floor(v)
+
+
+def stratify_lens_uv(lu0, rot_u, rot_v, sid, spp: int):
+    """Remap the iid thin-lens disk pair to a rotated stratified pair
+    (the lens half of TraceOptions.sampling="stratified"; thinlens
+    mode only -- the "cpu" quirk lens stays iid).
+
+    theta-dim u: sample sid's stratum with its own iid jitter lu0, then
+    a per-pixel TOROIDAL rotation rot_u. The rotation is what
+    decorrelates the lens theta from the equally-sid-stratified pixel
+    jitter u -- without it every sample would probe the same stratum
+    index in both dimensions at every pixel (padded-stratification
+    artifacts). A toroidal shift preserves the equidistribution of the
+    stratified set, and with rot_u uniform each sample's marginal stays
+    exactly U[0,1) (Cranley-Patterson).
+    r-dim v: base-2 van der Corput of sid under rot_v, exactly as
+    stratify_uv's v.
+
+    BOTH rotations must be per-PIXEL (shared by every sample of the
+    pixel) and must come from counter words no sample consumes itself:
+    callers draw them at (pixel, sid=0) / (TAG_LENS, j=2) -- reusing
+    sample 0's own lens words would fold the same uniform into u twice
+    (frac(c*U) is non-uniform for non-integer c) and bias sample 0.
+    """
+    if spp <= 0:
+        raise ValueError("sampling='stratified' requires spp > 0 "
+                         f"(got spp={spp})")
+    u = (jnp.asarray(sid).astype(jnp.float32) + lu0) / spp + rot_u
+    rv = (bitrev32(jnp.asarray(sid)) >> 8).astype(jnp.int32).astype(
+        jnp.float32) * (1.0 / 16777216.0)
+    v = rv + rot_v
+    return u - jnp.floor(u), v - jnp.floor(v)
 
 
 def unit_from_uv(u0, u1):

@@ -44,24 +44,36 @@ def make_primary_rays(cam: Camera, pixel_ids, sample_ids, base_key,
     """Generate jittered camera rays for (pixel, sample) pairs.
 
     pixel_ids, sample_ids: equal-shape (R,) i32 arrays.
-    sampling="stratified" remaps the jitter per rng.stratify_uv (needs
-    spp, the total samples per pixel).
+    sampling="stratified" remaps the jitter per rng.stratify_uv and, in
+    thinlens mode, the lens pair per rng.stratify_lens_uv (needs spp,
+    the total samples per pixel).
     Returns (origins (R,3), directions (R,3), ray_keys (R,) key array).
     """
 
     def one(pid, sid):
         rkey = rng.ray_key(base_key, pid, sid)
         ju, jv = rng.jitter_uv(rkey)
+        lens_uv = None
         if sampling == "stratified":
             # Per-PIXEL rotation: the pixel's sid=0 jitter word (shared
             # across samples -- see rng.stratify_uv).
-            rot_v = rng.jitter_uv(rng.ray_key(base_key, pid, 0))[1]
+            zkey = rng.ray_key(base_key, pid, 0)
+            rot_v = rng.jitter_uv(zkey)[1]
             ju, jv = rng.stratify_uv(ju, rot_v, sid, spp)
+            if camera_mode == "thinlens":
+                # Stratified lens pair (rng.stratify_lens_uv): rotations
+                # from the unconsumed (pid, 0) (TAG_LENS, j=2) counter.
+                from .ops import threefry as tf
+                k0, k1 = tf.key_words(rkey)
+                lu0, _ = tf.draw_uniform2(k0, k1, rng.TAG_LENS, 0)
+                zk0, zk1 = tf.key_words(zkey)
+                lr_u, lr_v = tf.draw_uniform2(zk0, zk1, rng.TAG_LENS, 2)
+                lens_uv = rng.stratify_lens_uv(lu0, lr_u, lr_v, sid, spp)
         y = pid // width
         x = pid - y * width
         u = (x.astype(jnp.float32) + ju) / width
         v = (y.astype(jnp.float32) + jv) / height
-        o, d = camera_ray(cam, u, v, rkey, camera_mode)
+        o, d = camera_ray(cam, u, v, rkey, camera_mode, lens_uv=lens_uv)
         return o, d, rkey
 
     return jax.vmap(one)(pixel_ids, sample_ids)

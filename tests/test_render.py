@@ -174,16 +174,18 @@ def test_stratified_sampling_unbiased_and_engine_invariant():
     ids = jnp.arange(w * h, dtype=jnp.int32)
     c = np.asarray(render_pixels(scene, cam, ids, key, wave_spp=spp,
                                  options=strat, **kw))
-    # The tiled engine shares the stratified jitter bit-exactly (checked
-    # directly for the remap) but uses a DIFFERENT closest-hit
-    # implementation (jnp t-space vs the Pallas q-space kernel): this
-    # particular stratified ray set includes a handful of knife-edge
-    # candidates whose winner flips between the two, each worth one
-    # sample's radiance (~0.26/spp). Bound the flip fraction instead of
-    # demanding allclose.
+    # The tiled engine shares the stratified jitter+lens remap
+    # bit-exactly (checked directly for the remap) but uses a DIFFERENT
+    # closest-hit implementation (jnp t-space vs the Pallas q-space
+    # kernel): this particular stratified ray set includes a handful of
+    # knife-edge candidates whose winner flips between the two, each
+    # worth one sample's radiance difference (measured up to ~0.51/spp
+    # with the lens dimension stratified; a flipped path is bounded by
+    # the sky's max radiance ~1.7). Bound the flip fraction and the
+    # one-sample magnitude instead of demanding allclose.
     close = np.isclose(a, c, rtol=2e-4, atol=2e-5)
     assert close.mean() > 0.99, close.mean()
-    assert np.abs(a - c).max() < 0.3 / spp * 1.5
+    assert np.abs(a - c).max() < 0.8 / spp
     assert abs(a.mean() - c.mean()) < 1e-3
 
     n = 6
@@ -202,3 +204,51 @@ def test_stratified_sampling_unbiased_and_engine_invariant():
     # Variance strictly helped (measured 0.83; bound loose vs noise).
     assert var["stratified"] < 0.93 * var["iid"], (
         var["stratified"] / var["iid"])
+
+
+def test_stratify_lens_uv_properties():
+    """rng.stratify_lens_uv (the lens half of sampling='stratified'):
+    (a) de-rotated u values land exactly one per stratum and de-rotated
+    v equals the van der Corput set (equidistribution survives the
+    toroidal rotation); (b) sample 0's u stays uniform across pixels --
+    the property that forced the rotation words onto the unconsumed
+    (pid, 0) (TAG_LENS, j=2) counter (reusing sample 0's own lens word
+    would fold the same uniform into u twice; frac(c*U) is non-uniform
+    for non-integer c)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracinginoneweekend_tpu.ops import rng
+    from raytracinginoneweekend_tpu.ops import threefry as tf
+
+    spp = 16
+    sid = jnp.arange(spp, dtype=jnp.int32)
+    key = jax.random.key(11)
+
+    # (a) one pixel: exact equidistribution after de-rotation.
+    k0, k1 = tf.key_words(rng.ray_key(key, 7, 0))
+    rot_u, rot_v = tf.draw_uniform2(k0, k1, rng.TAG_LENS, 2)
+    lu0 = jnp.linspace(0.1, 0.9, spp)  # stand-in iid jitters
+    u, v = rng.stratify_lens_uv(lu0, rot_u, rot_v, sid, spp)
+    assert ((u >= 0) & (u < 1)).all() and ((v >= 0) & (v < 1)).all()
+    du = np.sort(np.floor(((np.asarray(u) - float(rot_u)) % 1.0) * spp))
+    np.testing.assert_array_equal(du, np.arange(spp))
+    dv = np.sort((np.asarray(v) - float(rot_v)) % 1.0)
+    vdc = np.sort([int(f"{s:04b}"[::-1], 2) / spp for s in range(spp)])
+    np.testing.assert_allclose(dv, vdc, atol=1e-6)
+
+    # (b) sample 0 across many pixels: uniform (mean 1/2, flat deciles).
+    pids = jnp.arange(4096, dtype=jnp.int32)
+
+    def s0_u(pid):
+        rk = rng.ray_key(key, pid, 0)
+        a0, a1 = tf.key_words(rk)
+        lu, _ = tf.draw_uniform2(a0, a1, rng.TAG_LENS, 0)
+        ru, rv = tf.draw_uniform2(a0, a1, rng.TAG_LENS, 2)
+        return rng.stratify_lens_uv(lu, ru, rv, jnp.int32(0), spp)[0]
+
+    us = np.asarray(jax.vmap(s0_u)(pids))
+    assert abs(us.mean() - 0.5) < 0.02
+    hist = np.histogram(us, bins=10, range=(0, 1))[0] / us.size
+    assert np.abs(hist - 0.1).max() < 0.03, hist

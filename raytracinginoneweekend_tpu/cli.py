@@ -31,6 +31,7 @@ def _build_scene(name: str, seed: int):
         "simple-cuda": lambda: scenes.simple_scene_cuda(),
         "simple-cpu": lambda: scenes.simple_scene_cpu(),
         "huge": lambda: scenes.huge_scene(seed),
+        "wall": lambda: scenes.wall_scene(seed),
     }[name]()
     return scenes.validate_scene(built)
 
@@ -71,7 +72,7 @@ def _options(compat: str, fusion: str | None = None,
 
 def _add_render_flags(p: argparse.ArgumentParser):
     p.add_argument("--scene", default="simple-cuda",
-                   choices=["simple-cuda", "simple-cpu", "huge"])
+                   choices=["simple-cuda", "simple-cpu", "huge", "wall"])
     p.add_argument("--camera", default=None, choices=["cuda", "cpu"],
                    help="default: cuda for simple-cuda, cpu otherwise")
     p.add_argument("--mode", default="thinlens",

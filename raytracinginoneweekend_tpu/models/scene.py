@@ -178,6 +178,49 @@ def huge_scene(seed: int = 0) -> Scene:
     return _build(materials, spheres)
 
 
+def wall_scene(seed: int = 0, n: int = 22, radius: float = 0.5,
+               spacing: float = 1.0) -> Scene:
+    """A DEPTH-BOUNDED workload: an n x n sphere wall in the x-y plane.
+
+    The huge scene's beams have unbounded depth spread (open ground
+    plane seen nearly edge-on), which is the measured structural reason
+    the exact work-reduction family (hit_kernel="sorted" +
+    ownership="tile") recovers ~nothing there (ARCHITECTURE.md, the
+    sorted-exit ablation). This scene is the workload that family was
+    built for -- a close-up of a dense wall: every primary hit lands in
+    a narrow distance band, a tile-owned kernel block sees only its own
+    wall patch, and the distance-sorted suffix bound can prove the rest
+    of the scene unreachable. No reference counterpart (the reference
+    ships two scenes, main.cxx:120-177); this is a benchmark scene for
+    the TPU engine's coherence machinery (scripts/bench_wall.py).
+
+    n*n spheres of the given radius on a spacing grid centered on the
+    x axis (x in +-(n-1)/2*spacing, y from radius up), z = 0; ~80%
+    lambert / 20% metal with seeded random albedo. Use wall_camera()
+    for the close-up view.
+    """
+    rng = np.random.default_rng(seed)
+    materials = []
+    spheres = []
+    half = (n - 1) / 2.0
+    for i in range(n):
+        for j in range(n):
+            if rng.random() < 0.8:
+                materials.append(
+                    (LAMBERT, (0.2 + 0.8 * float(rng.random()),
+                               0.2 + 0.8 * float(rng.random()),
+                               0.2 + 0.8 * float(rng.random())), 0.0, 1.0))
+            else:
+                materials.append(
+                    (METAL, (0.6 + 0.4 * float(rng.random()),
+                             0.6 + 0.4 * float(rng.random()),
+                             0.6 + 0.4 * float(rng.random())),
+                     0.3 * float(rng.random()), 1.0))
+            center = ((i - half) * spacing, radius + j * spacing, 0.0)
+            spheres.append((center, radius, len(materials) - 1))
+    return _build(materials, spheres)
+
+
 def validate_scene(scene: Scene) -> Scene:
     """Host-side structural validation; returns the scene or raises.
 

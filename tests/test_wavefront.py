@@ -342,3 +342,33 @@ def test_reserve_tail_stealing_matches_default():
     b = np.asarray(render_wavefront(scene, cam, key, options=o,
                                     reserve_frac=0.2, **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def test_wall_scene_engines_agree():
+    """models/scene.wall_scene (the depth-bounded demonstration workload
+    for hit_kernel='sorted' + ownership='tile', scripts/bench_wall.py):
+    the sorted/tile combos must reproduce the sublane/strided image
+    bit-exactly on it, same gate as the huge/simple parity tests."""
+    import dataclasses
+
+    from raytracinginoneweekend_tpu.models.camera import make_camera
+    from raytracinginoneweekend_tpu.models.scene import (validate_scene,
+                                                         wall_scene)
+
+    scene = validate_scene(wall_scene(0))
+    assert int(scene.num_spheres) == 484
+    w, h = 36, 24
+    cam = make_camera((0.0, 11.0, 4.0), (0.0, 11.0, 0.0), (0, 1, 0),
+                      w / h, 60.0, 0.0, 4.0)
+    key = jax.random.key(1)
+    kw = dict(width=w, height=h, spp=4, max_depth=4,
+              camera_mode="pinhole", pool_size=2048)
+    base = np.asarray(render_wavefront(scene, cam, key, options=DEFAULT,
+                                       **kw))
+    assert np.isfinite(base).all() and base.max() > 0.05
+    for hk, own in (("sublane", "tile"), ("sorted", "strided"),
+                    ("sorted", "tile")):
+        o = dataclasses.replace(DEFAULT, hit_kernel=hk, ownership=own)
+        got = np.asarray(render_wavefront(scene, cam, key, options=o,
+                                          **kw))
+        np.testing.assert_array_equal(base, got, err_msg=f"{hk}/{own}")

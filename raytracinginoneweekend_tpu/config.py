@@ -113,11 +113,16 @@ class TraceOptions:
     # words are remapped so u is exactly stratified over the spp strata
     # and v rides a van-der-Corput sequence under a full-range rotation
     # -- unbiased, lower pixel-antialiasing variance; ops/rng.py
-    # stratify_uv). In thinlens mode the LENS pair is stratified too
-    # (round 4, rng.stratify_lens_uv: rotated stratified theta + vdc r,
-    # per-pixel rotations off the unconsumed (pid,0) TAG_LENS j=2
-    # counter) -- the defocus-dominated variance lever. Bounce draws
-    # and the "cpu" quirk lens stay iid.
+    # stratify_uv). Round 4 extends the same rotated-stratified/vdc
+    # scheme to the thin-lens pair (rng.stratify_lens_uv, thinlens
+    # mode; rotations at the unconsumed (pid,0) TAG_LENS j=2 counter)
+    # and to the FIRST-BOUNCE scatter pair (rng.strat0_scatter /
+    # planar.strat0_scatter_planes; rotations at (pid,0) TAG_BOUNCE+0
+    # j=3). Measured variance vs iid at 16 spp: 0.39x pinhole, 0.63x
+    # cover, 0.44x wide-aperture, at a 5.4% TPU headline cost
+    # (docs/STRAT_FULL_r04.json). Deeper bounces and the "cpu" quirk
+    # lens stay iid; mega="bounce" cannot honor the bounce-0 half and
+    # refuses the combination.
     sampling: str = "iid"
     # Wavefront task OWNERSHIP layout:
     #   "strided" = lane l owns global tasks l, l+P, ... (row-major
@@ -183,6 +188,18 @@ class TraceOptions:
             raise ValueError(
                 f"bad sorted knobs: sorted_rows={self.sorted_rows} "
                 f"sorted_ladder={self.sorted_ladder}")
+        if self.sampling == "stratified" and self.mega == "bounce":
+            # The whole-bounce ablation kernel's state carries no
+            # task/sid planes, so it cannot honor the first-bounce half
+            # of the stratified estimator (planar.strat0_scatter_planes)
+            # -- refusing beats silently rendering a different image
+            # than every other engine. (Same carve-out class as the
+            # kernel's other exclusions; ARCHITECTURE.md.)
+            raise ValueError(
+                "sampling='stratified' is not supported with "
+                "mega='bounce' (the whole-bounce ablation kernel has no "
+                "task/sid state for the first-bounce stratification); "
+                "use mega='fused' or 'off'")
 
 
 # The semantics of the reference's ACTIVE renderer (the CUDA path).

@@ -85,8 +85,15 @@ def closest_hit_opt(origin, direction, scene: Scene, options: TraceOptions,
 
 
 def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
-                 allow_pallas: bool = False, return_hit: bool = False):
+                 allow_pallas: bool = False, return_hit: bool = False,
+                 strat0=None):
     """One wavefront bounce. ``bounce`` may be a traced scalar.
+
+    strat0: optional (N, 3) replacement scatter vectors substituted at
+    bounce == 0 (rng.strat0_scatter -- the first-bounce half of
+    sampling="stratified"). Loop-invariant; None for probe traces
+    (ops/silhouette.py, ops/branchprob.py keep their own draw
+    discipline).
 
     return_hit=True also returns this bounce's (idx, hit) so callers
     walking a vertex prefix (ops/branchprob.py) can classify the visited
@@ -139,6 +146,9 @@ def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
     rand_vec, ru = jax.vmap(
         lambda k: rng.bounce_draws(k, bounce, options.scatter_sample)
     )(ray_keys)
+    if strat0 is not None:
+        rand_vec = jnp.where(jnp.asarray(bounce, jnp.int32) == 0,
+                             strat0, rand_vec)
 
     new_dir, alb, valid = scatter(direction, normal, mtype, albedo, fuzz,
                                   ior, rand_vec, ru, options)
@@ -171,14 +181,15 @@ def _init_state(origins, directions, ray_keys):
 
 
 def trace(scene: Scene, origins, directions, ray_keys, max_depth: int,
-          options: TraceOptions):
+          options: TraceOptions, strat0=None):
     """Differentiable fixed-depth trace -> radiance (N, 3).
 
     `lax.scan` over bounces with per-step rematerialization
     (jax.checkpoint): backward pass memory stays O(N) instead of
     O(N * max_depth) -- the standard TPU trade of HBM for recomputed FLOPs.
     """
-    step = functools.partial(_bounce_step, scene, options)
+    step = functools.partial(_bounce_step, scene, options,
+                             strat0=strat0)
 
     @jax.checkpoint
     def body(state, bounce):
@@ -190,7 +201,7 @@ def trace(scene: Scene, origins, directions, ray_keys, max_depth: int,
 
 
 def trace_fast(scene: Scene, origins, directions, ray_keys, max_depth: int,
-               options: TraceOptions):
+               options: TraceOptions, strat0=None):
     """Forward-only trace with any-alive early exit (`lax.while_loop`).
 
     Bitwise-identical radiance to ``trace`` (same per-step math and RNG),
@@ -198,7 +209,7 @@ def trace_fast(scene: Scene, origins, directions, ray_keys, max_depth: int,
     of the reference threads' early returns.
     """
     step = functools.partial(_bounce_step, scene, options,
-                             allow_pallas=True)
+                             allow_pallas=True, strat0=strat0)
 
     def cond(carry):
         bounce, state = carry

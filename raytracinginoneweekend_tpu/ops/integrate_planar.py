@@ -281,8 +281,14 @@ def scatter_planar_ad(dirs, normals, mats, draws, options: TraceOptions):
 
 
 def _shade_step_planar(scene: Scene, options: TraceOptions,
-                       state, khit, bounce):
-    """Everything in a bounce downstream of the closest-hit kernel."""
+                       state, khit, bounce, strat0=None):
+    """Everything in a bounce downstream of the closest-hit kernel.
+
+    strat0: optional (svx, svy, svz) replacement planes
+    (planar.strat0_scatter_planes) substituted at bounce == 0 -- the
+    first-bounce half of sampling="stratified". Loop-invariant (the
+    rays are fixed), so callers compute them once outside the scan.
+    """
     (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb, alive,
      rk0, rk1) = state
     r_total = ox.shape[0]
@@ -310,6 +316,11 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
     # ``bounce`` may be a traced scalar.
     rvx, rvy, rvz, ru = planar.bounce_draws(
         rk0, rk1, bounce, options.scatter_sample == "unit")
+    if strat0 is not None:
+        m0 = jnp.asarray(bounce, jnp.int32) == 0
+        rvx = jnp.where(m0, strat0[0], rvx)
+        rvy = jnp.where(m0, strat0[1], rvy)
+        rvz = jnp.where(m0, strat0[2], rvz)
 
     ndx, ndy, ndz, valid, uy = scatter_planar_ad(
         (dx, dy, dz), (nx, ny, nz), (mt, fz, io), (rvx, rvy, rvz, ru),
@@ -343,7 +354,7 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
 
 
 def trace_planar(scene: Scene, rays, rkey_words, max_depth: int,
-                 options: TraceOptions, rows: int = 64):
+                 options: TraceOptions, rows: int = 64, strat0=None):
     """Differentiable fixed-depth planar trace -> (resr, resg, resb) planes.
 
     rays: 6-tuple of (R, 128) planes; rkey_words: (k0, k1) per-ray
@@ -365,7 +376,8 @@ def trace_planar(scene: Scene, rays, rkey_words, max_depth: int,
     # custom VJP's residuals are the raw pre-name jaxpr vars). Profiled:
     # the kernel re-run was ~1/3 of the post-matmul-VJP train step.
     shade = jax.checkpoint(
-        functools.partial(_shade_step_planar, scene, options))
+        functools.partial(_shade_step_planar, scene, options,
+                          strat0=strat0))
 
     def body(st, bounce):
         t, sb, hit_i = closest_hit_planar(
@@ -423,9 +435,18 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
     ox, oy, oz, dx, dy, dz, rk0, rk1 = planar.camera_rays(
         cam, pid, sid, base_key, width, height, camera_mode,
         sampling=options.sampling, spp=spp)
+    strat0 = None
+    if options.sampling == "stratified":
+        # First-bounce stratified scatter: the rays are fixed, so the
+        # replacement planes are loop-invariant -- computed once here.
+        from .threefry import key_words as _kw
+        b0, b1 = _kw(base_key)
+        strat0 = planar.strat0_scatter_planes(
+            rk0, rk1, pid, sid, b0, b1, spp,
+            options.scatter_sample == "unit")
     resr, resg, resb = trace_planar(
         scene, (ox, oy, oz, dx, dy, dz), (rk0, rk1), max_depth, options,
-        rows=rows)
+        rows=rows, strat0=strat0)
 
     def reduce(plane):
         flat = plane.reshape(-1)[:n]

@@ -130,6 +130,26 @@ def _kernel_shade_regen(
         slots = [tuple(st[N_BASE + 4 * j + i][:] for i in range(4))
                  for j in range(n_slots)]
 
+        def vp_to_pid(vp):
+            """Virtual pixel -> row-major pid (tile de-swizzle when
+            own_bl; ops/cull.py tile_pixel inlined). Shared by the
+            shade tier (current task) and regen (new task)."""
+            if not own_bl:
+                return vp
+            vp_c = jnp.maximum(vp, 0)
+            t_id = vp_c // (tile * tile)
+            o = vp_c - t_id * (tile * tile)
+            ty = t_id // tiles_x
+            txx = t_id - ty * tiles_x
+            oy_t = o // tile
+            ox_t = o - oy_t * tile
+            yp_ = ty * tile + oy_t
+            xp_ = txx * tile + ox_t
+            pvalid_ = (xp_ < width) & (yp_ < height)
+            yp_ = jnp.where(pvalid_, yp_, 0)
+            xp_ = jnp.where(pvalid_, xp_, 0)
+            return yp_ * width + xp_
+
         # ---- shade the segment just traced (= wavefront.segment) -----
         hit = hit_ref[:] > 0
         t_safe = jnp.where(hit, t_ref[:], 1.0)
@@ -143,6 +163,23 @@ def _kernel_shade_regen(
         nz = (pz - chz_ref[:]) * inv_r
 
         draws = kernel_bounce_draws(k0, k1, dep, unit_sample=unit_sample)
+        if sampling == "stratified":
+            # First-bounce stratified scatter: the CURRENT ray's pid
+            # from its task plane (same arithmetic as regen below);
+            # substitute the rotated-stratified vector on depth==0
+            # lanes (planar.strat0_scatter_planes -- elementwise
+            # u32/f32 ops only, kernel-safe; bit-identical to the XLA
+            # body's remap in ops/wavefront.py).
+            from .planar import strat0_scatter_planes
+            pid_cur = vp_to_pid(jnp.maximum(task, 0) // tpp)
+            sb0 = jnp.zeros((rows, LANES), jnp.uint32) + bk_ref[0]
+            sb1 = jnp.zeros((rows, LANES), jnp.uint32) + bk_ref[1]
+            svx, svy, svz = strat0_scatter_planes(
+                k0, k1, pid_cur, sid, sb0, sb1, spp, unit_sample)
+            m0 = dep == 0
+            draws = (jnp.where(m0, svx, draws[0]),
+                     jnp.where(m0, svy, draws[1]),
+                     jnp.where(m0, svz, draws[2]), draws[3])
         sdx, sdy, sdz, valid, sky_r, sky_g, sky_b = kernel_shade(
             (dx, dy, dz), (nx, ny, nz), mt_ref[:], fz_ref[:], io_ref[:],
             draws, phys_refract=phys_refract, sky_bias=sky_bias)

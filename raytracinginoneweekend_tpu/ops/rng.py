@@ -32,6 +32,9 @@ in-kernel RNG and ``oracle/`` all follow it):
     lens rotations  : tag TAG_LENS, j=2 -> (rot_u, rot_v) for
                stratify_lens_uv (j=2 is consumed by NO sample draw;
                see stratify_lens_uv on why reuse would bias sample 0)
+    bounce-0 rotations : tag TAG_BOUNCE+0, j=3 -> (rot_u, rot_v) for
+               the first-bounce scatter stratification
+               (strat0_scatter / planar.strat0_scatter_planes)
 
 COST is a first-class property of this contract (regen/shade RNG is the
 wavefront engine's per-iteration elementwise tax; profiled ~7% of the
@@ -193,6 +196,30 @@ def stratify_lens_uv(lu0, rot_u, rot_v, sid, spp: int):
         jnp.float32) * (1.0 / 16777216.0)
     v = rv + rot_v
     return u - jnp.floor(u), v - jnp.floor(v)
+
+
+def strat0_scatter(rkey, pid, sid, base_key, spp: int, sample: str):
+    """Stratified FIRST-BOUNCE scatter vector, key-array form.
+
+    The tiled engine's counterpart of planar.strat0_scatter_planes
+    (bit-identical values: same fold chain, same stratify_lens_uv, same
+    polar map): the bounce-0 (u0, u1) pair remapped through the rotated
+    stratified/vdc scheme with per-pixel rotations at the unconsumed
+    ((pid, 0), TAG_BOUNCE + 0, j=3) counter; ball radius u2 stays iid.
+    vmap over (rkey, pid, sid) for batches. Part of
+    TraceOptions.sampling="stratified".
+    """
+    k0, k1 = tf.key_words(rkey)
+    z0, z1 = tf.key_words(ray_key(base_key, pid, 0))
+    ru, rv = tf.draw_uniform2(z0, z1, jnp.uint32(TAG_BOUNCE), 3)
+    u0, _ = tf.draw_uniform2(k0, k1, jnp.uint32(TAG_BOUNCE), 0)
+    su, sv = stratify_lens_uv(u0, ru, rv, sid, spp)
+    x, y, z = unit_from_uv(su, sv)
+    if sample != "unit":
+        u2, _ = tf.draw_uniform2(k0, k1, jnp.uint32(TAG_BOUNCE), 1)
+        r = u2 ** (1.0 / 3.0)
+        x, y, z = x * r, y * r, z * r
+    return jnp.stack((x, y, z))
 
 
 def unit_from_uv(u0, u1):

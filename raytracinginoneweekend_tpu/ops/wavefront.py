@@ -67,7 +67,8 @@ LANES = 128
 # material/sky shading live in ops/planar.py (shared with the planar-AD
 # and dual-pool engines).
 from .planar import (bounce_planar as _bounce,  # noqa: E402
-                     camera_rays as _planar_camera_rays)
+                     camera_rays as _planar_camera_rays,
+                     strat0_scatter_planes)
 
 # ---------------------------------------------------------------------------
 # Engine
@@ -484,9 +485,21 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         hit = seg["hit"] > 0
         alr, alg, alb_ = seg["ar"], seg["ag"], seg["ab"]
 
+        strat0 = None
+        if options.sampling == "stratified":
+            # First-bounce stratified scatter (planar.
+            # strat0_scatter_planes): pid recomputed from the task plane
+            # (same arithmetic as regen); inactive/garbage lanes are
+            # masked by depth==0 & the active gates downstream.
+            from . import threefry as _tf
+            sb0, sb1 = _tf.key_words(base_key)
+            pid_cur, _pv = task_pixel(jnp.maximum(task, 0))
+            strat0 = strat0_scatter_planes(rk0, rk1, pid_cur, sid,
+                                           sb0, sb1, spp, unit_sample)
+
         ndx, ndy, ndz, valid, sky_r, sky_g, sky_b = _bounce(
             seg, (dx, dy, dz), rk0, rk1, depth, unit_sample=unit_sample,
-            phys_refract=phys_refract, sky_bias=sky_bias)
+            phys_refract=phys_refract, sky_bias=sky_bias, strat0=strat0)
 
         miss_now = active & ~hit
         scatter_now = active & hit & valid

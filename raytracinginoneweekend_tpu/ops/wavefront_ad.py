@@ -134,13 +134,24 @@ def _regen(state, pid_waves, sid_waves, cam: Camera, base_key, *,
     wcur = jnp.where(acquire, nxtw, wcur)
     nxtw = jnp.where(acquire, nxtw + 1, nxtw)
     active = active | acquire
+    # (pid, sid) side values: valid exactly on the acquired lanes,
+    # which are exactly the lanes that shade at depth == 0 THIS
+    # iteration (regen -> hit -> shade run in one body) -- the
+    # first-bounce stratification consumes them without any state
+    # growth or per-iteration W-way reselect.
     return (nxtw, wcur, active, ox, oy, oz, dx, dy, dz, ax, ay, az,
-            depth, k0, k1)
+            depth, k0, k1), (pid, sid)
 
 
 def _shade_deposit(scene: Scene, options: TraceOptions, max_depth: int,
-                   state, khit, ledger):
-    """One bounce downstream of the kernel + ledger deposit on miss."""
+                   state, khit, ledger, strat_psid=None, base_words=None,
+                   spp: int = 0):
+    """One bounce downstream of the kernel + ledger deposit on miss.
+
+    strat_psid: (pid, sid) planes from this iteration's _regen (valid on
+    the depth==0 lanes); with sampling="stratified" they drive the
+    first-bounce scatter substitution (planar.strat0_scatter_planes).
+    """
     (nxtw, wcur, active, ox, oy, oz, dx, dy, dz, ax, ay, az, depth,
      k0, k1) = state
     r_total = ox.shape[0]
@@ -163,6 +174,15 @@ def _shade_deposit(scene: Scene, options: TraceOptions, max_depth: int,
     # depths), same (pixel, sample, bounce) contract as every engine.
     rvx, rvy, rvz, ru = planar.bounce_draws(
         k0, k1, depth, options.scatter_sample == "unit")
+    if options.sampling == "stratified" and strat_psid is not None:
+        spid, ssid = strat_psid
+        svx, svy, svz = planar.strat0_scatter_planes(
+            k0, k1, spid, ssid, base_words[0], base_words[1],
+            spp, options.scatter_sample == "unit")
+        m0 = depth == 0
+        rvx = jnp.where(m0, svx, rvx)
+        rvy = jnp.where(m0, svy, rvy)
+        rvz = jnp.where(m0, svz, rvz)
 
     ndx, ndy, ndz, valid, uy = scatter_planar_ad(
         (dx, dy, dz), (nx, ny, nz), (mt, fz, io), (rvx, rvy, rvz, ru),
@@ -256,14 +276,17 @@ def trace_wavefront_ad(scene: Scene, cam: Camera, pid_waves, sid_waves,
         _regen, pid_waves=pid_waves, sid_waves=sid_waves, cam=cam,
         base_key=base_key, width=width, height=height, n=n, lanes=lanes,
         camera_mode=camera_mode, options=options, spp=spp)
-    shade = functools.partial(_shade_deposit, scene, options, max_depth)
+    from .threefry import key_words as _kw
+    _b0, _b1 = _kw(base_key)
+    shade = functools.partial(_shade_deposit, scene, options, max_depth,
+                              base_words=(_b0, _b1), spp=spp)
 
     def inner(carry, _):
         state, ledger = carry
-        state = regen(state)
+        state, psid = regen(state)
         khit = closest_hit_planar(state[3:9], (scene.centers, scene.radii),
                                   options.t_min, rows)
-        state, ledger = shade(state, khit, ledger)
+        state, ledger = shade(state, khit, ledger, strat_psid=psid)
         return (state, ledger), None
 
     zero = jnp.zeros((r_rows, LANES), jnp.float32)

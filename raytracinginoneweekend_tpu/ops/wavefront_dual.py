@@ -59,7 +59,7 @@ from ..models.scene import Scene
 from . import cull
 from .pallas_segment import (sphere_params_from_scene, trace_segment,
                              trace_segment_list)
-from .planar import bounce_planar, camera_rays
+from .planar import bounce_planar, camera_rays, strat0_scatter_planes
 
 LANES = 128
 ROWS = 64                    # kernel rows per block (both pools)
@@ -261,8 +261,20 @@ def wavefront_dual_fb(scene: Scene, cam: Camera, base_key, *, width: int,
                                  counts, lists, options.t_min, rows=ROWS,
                                  active=issue)
         hit = seg["hit"] > 0
+        strat0 = None
+        if options.sampling == "stratified":
+            # Every primary-pool shade IS bounce 0 (the depth plane
+            # below is literal zeros), so the first-bounce stratified
+            # substitution applies to the whole pool; secondaries
+            # (depth >= 1 by construction) stay iid -- same contract as
+            # the single-pool engines.
+            from .threefry import key_words as _kw
+            db0, db1 = _kw(base_key)
+            strat0 = strat0_scatter_planes(rk0, rk1, pid, sid, db0, db1,
+                                           spp, unit_sample)
         ndx, ndy, ndz, valid, sky_r, sky_g, sky_b = shade(
-            seg, (dx, dy, dz), rk0, rk1, jnp.zeros_like(sid))
+            seg, (dx, dy, dz), rk0, rk1, jnp.zeros_like(sid),
+            strat0=strat0)
 
         miss_now = issue & ~hit
         accr = jnp.where(miss_now, accr + sky_r, accr)

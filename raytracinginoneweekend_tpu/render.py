@@ -104,7 +104,16 @@ def render_pixels_impl(scene: Scene, cam: Camera, pixel_ids, base_key, *,
         o, d, rkeys = make_primary_rays(cam, pids, sids, base_key, width,
                                         height, camera_mode,
                                         sampling=options.sampling, spp=spp)
-        colors = tracer(scene, o, d, rkeys, max_depth, options)
+        strat0 = None
+        if options.sampling == "stratified":
+            # First-bounce stratified scatter (rng.strat0_scatter):
+            # loop-invariant per wave, computed once here.
+            strat0 = jax.vmap(
+                lambda k, pi, si: rng.strat0_scatter(
+                    k, pi, si, base_key, spp, options.scatter_sample)
+            )(rkeys, pids, sids)
+        colors = tracer(scene, o, d, rkeys, max_depth, options,
+                        strat0=strat0)
         # Mask samples beyond spp (when spp % wave_spp != 0).
         live = (sids < spp).astype(colors.dtype)[:, None]
         contrib = (colors * live).reshape(p, wave_spp, 3).sum(axis=1)

@@ -92,8 +92,9 @@ def main():
     print(json.dumps({
         "metric": "stratified_sampling_variance",
         "note": f"per-pixel variance across {N_KEYS} keys at {SPP} spp, "
-                "depth 8; round 4 adds the LENS-pair stratification "
-                "(rng.stratify_lens_uv) in thinlens mode",
+                "depth 8; round 4 stratifies the LENS pair "
+                "(rng.stratify_lens_uv, thinlens mode) AND the "
+                "first-bounce scatter pair (rng.strat0_scatter)",
         "rows": rows}))
 
 

@@ -252,3 +252,62 @@ def test_stratify_lens_uv_properties():
     assert abs(us.mean() - 0.5) < 0.02
     hist = np.histogram(us, bins=10, range=(0, 1))[0] / us.size
     assert np.abs(hist - 0.1).max() < 0.03, hist
+
+
+def test_strat0_scatter_consistency_and_guard():
+    """First-bounce stratification (round 4): (a) the key-array form
+    (rng.strat0_scatter) and the planar form
+    (planar.strat0_scatter_planes) produce bit-identical vectors --
+    the cross-engine contract; (b) for one pixel the spp de-rotated
+    bounce-0 thetas cover every stratum exactly once (the substitution
+    is ACTIVE, not silently skipped); (c) mega='bounce' refuses
+    sampling='stratified' (its kernel state cannot honor the
+    first-bounce half)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest as _pytest
+
+    from raytracinginoneweekend_tpu.config import DEFAULT, TraceOptions
+    from raytracinginoneweekend_tpu.ops import planar, rng
+    from raytracinginoneweekend_tpu.ops import threefry as tf
+
+    spp, n = 16, 256
+    base = jax.random.key(9)
+    pid = jnp.arange(n, dtype=jnp.int32) % 37
+    sid = jnp.arange(n, dtype=jnp.int32) % spp
+
+    vec_t = jax.vmap(lambda k, p_, s_: rng.strat0_scatter(
+        k, p_, s_, base, spp, "unit"))(
+            jax.vmap(lambda p_, s_: rng.ray_key(base, p_, s_))(pid, sid),
+            pid, sid)
+
+    pidp = pid.reshape(2, 128)
+    sidp = sid.reshape(2, 128)
+    k0, k1 = planar.ray_key_words(base, pidp, sidp)
+    b0, b1 = tf.key_words(base)
+    x, y, z = planar.strat0_scatter_planes(k0, k1, pidp, sidp, b0, b1,
+                                           spp, True)
+    vec_p = jnp.stack([x.reshape(-1), y.reshape(-1), z.reshape(-1)], -1)
+    np.testing.assert_array_equal(np.asarray(vec_t), np.asarray(vec_p))
+
+    # (b) stratum coverage for one pixel: recover theta strata.
+    one_pid = jnp.full((spp,), 5, jnp.int32)
+    sids = jnp.arange(spp, dtype=jnp.int32)
+    keys = jax.vmap(lambda s_: rng.ray_key(base, 5, 0 * s_ + s_))(sids)
+    vecs = np.asarray(jax.vmap(lambda k, s_: rng.strat0_scatter(
+        k, 5, s_, base, spp, "unit"))(keys, sids))
+    z0, z1 = tf.key_words(rng.ray_key(base, 5, 0))
+    rot_u, _ = tf.draw_uniform2(z0, z1, jnp.uint32(rng.TAG_BOUNCE), 3)
+    zc = vecs[:, 2]  # z = 2*u - 1 under the polar map
+    u = (zc + 1.0) / 2.0
+    strata = np.sort(np.floor(((u - float(rot_u)) % 1.0) * spp))
+    np.testing.assert_array_equal(strata, np.arange(spp))
+    del one_pid
+
+    with _pytest.raises(ValueError, match="mega='bounce'"):
+        dataclasses.replace(TraceOptions(), sampling="stratified",
+                            mega="bounce")
+    assert DEFAULT.sampling == "iid"  # parity default untouched

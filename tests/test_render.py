@@ -171,6 +171,16 @@ def test_stratified_sampling_unbiased_and_engine_invariant():
         scene, cam, key, options=dataclasses.replace(strat, mega="off"),
         pool_size=2048, **kw))
     np.testing.assert_array_equal(a, b)  # in-kernel == XLA remap
+    # Tile ownership: the in-kernel vp_to_pid de-swizzle must feed the
+    # SAME pid into the first-bounce stratification as the XLA body's
+    # task_pixel -- bit-equal fused vs XLA again under ownership="tile".
+    t_opts = dataclasses.replace(strat, ownership="tile")
+    at = np.asarray(render_wavefront(scene, cam, key, options=t_opts,
+                                     pool_size=2048, **kw))
+    bt = np.asarray(render_wavefront(
+        scene, cam, key, options=dataclasses.replace(t_opts, mega="off"),
+        pool_size=2048, **kw))
+    np.testing.assert_array_equal(at, bt)
     ids = jnp.arange(w * h, dtype=jnp.int32)
     c = np.asarray(render_pixels(scene, cam, ids, key, wave_spp=spp,
                                  options=strat, **kw))

@@ -304,7 +304,6 @@ def test_strat0_scatter_consistency_and_guard():
     np.testing.assert_array_equal(np.asarray(vec_t), np.asarray(vec_p))
 
     # (b) stratum coverage for one pixel: recover theta strata.
-    one_pid = jnp.full((spp,), 5, jnp.int32)
     sids = jnp.arange(spp, dtype=jnp.int32)
     keys = jax.vmap(lambda s_: rng.ray_key(base, 5, 0 * s_ + s_))(sids)
     vecs = np.asarray(jax.vmap(lambda k, s_: rng.strat0_scatter(
@@ -315,7 +314,6 @@ def test_strat0_scatter_consistency_and_guard():
     u = (zc + 1.0) / 2.0
     strata = np.sort(np.floor(((u - float(rot_u)) % 1.0) * spp))
     np.testing.assert_array_equal(strata, np.arange(spp))
-    del one_pid
 
     with _pytest.raises(ValueError, match="mega='bounce'"):
         dataclasses.replace(TraceOptions(), sampling="stratified",

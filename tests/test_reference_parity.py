@@ -361,3 +361,40 @@ def test_stratified_sampling_matches_reference_cpp(ref_simple_1024):
     lb = ref[0].mean(-1).ravel() - ref[0].mean()
     corr = float((la @ lb) / np.sqrt((la @ la) * (lb @ lb)))
     assert corr > 0.995, corr
+
+
+@pytest.mark.slow
+def test_toolbox_combination_matches_reference_cpp(ref_simple_1024):
+    """The FULL estimator toolbox (sampling='stratified' AND
+    rr_terminate, bench.py's third arm) vs the reference C++ harness:
+    both changes are individually parity-gated above; this pins the
+    COMBINATION (rotated-stratified pixel/lens/bounce-0 dims + RR
+    survival boosts share the same draw contract without interacting)
+    to the same converged-mean statistical bound."""
+    import dataclasses
+
+    import jax
+
+    from raytracinginoneweekend_tpu.config import REFERENCE_CPU
+    from raytracinginoneweekend_tpu.models.camera import make_camera
+    from raytracinginoneweekend_tpu.models.scene import simple_scene_cpu
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+
+    ref = ref_simple_1024
+    pos, lookat = (-4.0, 3.2, 5.0), (0.0, 1.0, 0.0)
+    focus = float(np.linalg.norm(np.subtract(pos, lookat)))
+    cam = make_camera(pos, lookat, (0, 1, 0), W / H, 42.0, 0.0, focus)
+    opts = dataclasses.replace(REFERENCE_CPU, sampling="stratified",
+                               rr_terminate=True)
+    ours = np.asarray(render_wavefront(
+        simple_scene_cpu(), cam, jax.random.key(0), options=opts,
+        width=W, height=H, spp=256, max_depth=DEPTH,
+        camera_mode="cpu")).reshape(H, W, 3)
+
+    self_noise = np.abs(ref[0] - ref[1]).mean()
+    diff = np.abs(ours - ref[0]).mean()
+    assert diff < max(4.0 * self_noise, 0.01), (diff, self_noise)
+    la = ours.mean(-1).ravel() - ours.mean()
+    lb = ref[0].mean(-1).ravel() - ref[0].mean()
+    corr = float((la @ lb) / np.sqrt((la @ la) * (lb @ lb)))
+    assert corr > 0.995, corr

@@ -85,31 +85,62 @@ def _hit_world(scene_np, o, d, t_min):
 
 
 def _precompute_draws(base_key, pixel_ids, spp, depth, camera_mode, options):
-    """All randomness for (P, S) rays, drawn with the ops/rng.py contract."""
+    """All randomness for (P, S) rays, drawn with the ops/rng.py contract.
+
+    sampling="stratified" applies the SAME three remaps as the engines
+    (jitter stratify_uv, thin-lens stratify_lens_uv, bounce-0
+    strat0_scatter -- shared rng functions, so the sequences stay
+    bit-identical); rr_terminate additionally precomputes the
+    termination uniform (tag TAG_BOUNCE+b, j=2 word0)."""
+    from ..ops import threefry as tf
+
     pids = jnp.asarray(pixel_ids, jnp.int32)
     sids = jnp.arange(spp, dtype=jnp.int32)
+    stratified = options.sampling == "stratified"
 
     def per_ray(pid, sid):
         rkey = rng.ray_key(base_key, pid, sid)
         jit_uv = rng.jitter_uv(rkey)
+        if stratified:
+            zkey = rng.ray_key(base_key, pid, 0)
+            rot_v = rng.jitter_uv(zkey)[1]
+            ju, jv = rng.stratify_uv(jit_uv[0], rot_v, sid, spp)
+            jit_uv = jnp.stack([ju, jv])
         if camera_mode == "thinlens":
-            lens = rng.lens_disk(rkey)
+            if stratified:
+                k0, k1 = tf.key_words(rkey)
+                z0, z1 = tf.key_words(rng.ray_key(base_key, pid, 0))
+                lr_u, lr_v = tf.draw_uniform2(z0, z1, rng.TAG_LENS, 2)
+                lu0, _ = tf.draw_uniform2(k0, k1, rng.TAG_LENS, 0)
+                su, sv = rng.stratify_lens_uv(lu0, lr_u, lr_v, sid, spp)
+                dx_, dy_ = rng.disk_from_uv(su, sv)
+                lens = jnp.stack([dx_, dy_, jnp.float32(0.0)])
+            else:
+                lens = rng.lens_disk(rkey)
         elif camera_mode == "cpu":
             lens = rng.lens_sphere(rkey)
         else:
             lens = jnp.zeros((3,))
 
         def per_bounce(b):
-            return rng.bounce_draws(rkey, b, options.scatter_sample)
+            vec, ru = rng.bounce_draws(rkey, b, options.scatter_sample)
+            k0, k1 = tf.key_words(rkey)
+            tag = jnp.uint32(rng.TAG_BOUNCE) + jnp.asarray(b, jnp.uint32)
+            u_rr, _ = tf.draw_uniform2(k0, k1, tag, 2)
+            return vec, ru, u_rr
 
-        vecs, rrs = jax.vmap(per_bounce)(jnp.arange(depth))
-        return jit_uv, lens, vecs, rrs
+        vecs, rrs, rrts = jax.vmap(per_bounce)(jnp.arange(depth))
+        if stratified:
+            sv0 = rng.strat0_scatter(rkey, pid, sid, base_key, spp,
+                                     options.scatter_sample)
+            vecs = vecs.at[0].set(sv0)
+        return jit_uv, lens, vecs, rrs, rrts
 
     f = jax.jit(jax.vmap(jax.vmap(per_ray, in_axes=(None, 0)),
                          in_axes=(0, None)))
-    jit_uv, lens, vecs, rrs = f(pids, sids)
+    jit_uv, lens, vecs, rrs, rrts = f(pids, sids)
     return (np.asarray(jit_uv), np.asarray(lens), np.asarray(vecs),
-            np.asarray(rrs))
+            np.asarray(rrs), np.asarray(rrts))
 
 
 def _camera_vectors(position, lookat, up, aspect, vfov, aperture, focus):
@@ -160,7 +191,7 @@ def render_oracle(scene: Scene, cam_params: dict, width: int, height: int,
     if full_image:
         pixel_ids = np.arange(width * height)
     pixel_ids = np.asarray(pixel_ids)
-    jit_uv, lens, vecs, rrs = _precompute_draws(
+    jit_uv, lens, vecs, rrs, rrts = _precompute_draws(
         base_key, pixel_ids, spp, max_depth, camera_mode, options)
 
     sky_white = np.array([1.0, 1.0, 1.0], np.float32)
@@ -205,6 +236,17 @@ def render_oracle(scene: Scene, cam_params: dict, width: int, height: int,
                 else:
                     new_d = refr
             atten = atten * albedo[mi]
+            if options.rr_terminate and b + 1 >= options.rr_start:
+                # Russian-roulette path termination, reference-free
+                # estimator change (ops/wavefront.py): survive with
+                # q = clip(rr_scale * max-channel(attenuation), qmin, 1),
+                # boost survivors 1/q; the uniform is the (tag
+                # TAG_BOUNCE+b, j=2) word0 of the ray key.
+                q = float(np.clip(options.rr_scale * atten.max(),
+                                  options.rr_qmin, 1.0))
+                if float(rrts[p, s, b]) >= q:
+                    return np.zeros(3, np.float32)  # terminated
+                atten = atten / np.float32(q)
             o, d = pos, new_d
         return np.zeros(3, np.float32)  # depth exhausted -> black
 

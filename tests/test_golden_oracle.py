@@ -121,3 +121,47 @@ def test_depth_exhausted_is_black():
     # Miss rays: the sky gradient, never black.
     assert (out[~hit] > 0.0).all()
     assert np.all(np.isfinite(out))
+
+
+def test_stratified_estimator_matches_oracle():
+    """sampling='stratified' near-bitwise vs the oracle (round 4): the
+    oracle now applies the SAME three remaps (jitter stratify_uv,
+    thin-lens stratify_lens_uv, bounce-0 strat0_scatter -- shared rng
+    functions), so the golden gate covers the low-discrepancy estimator,
+    not just the iid default."""
+    import dataclasses
+
+    _compare(simple_scene_cpu(), CPU_CAM, 12, 8, 4, 6, "thinlens",
+             dataclasses.replace(TraceOptions(), sampling="stratified"))
+
+
+def test_toolbox_estimator_matches_oracle_wavefront():
+    """The full toolbox (stratified + rr_terminate) near-bitwise vs the
+    oracle, via the wavefront engine (rr is wavefront-only): the oracle
+    implements the identical survival rule -- q = clip(rr_scale *
+    max-channel(attenuation), qmin, 1) on the (TAG_BOUNCE+b, j=2) word0
+    uniform, survivors boosted 1/q."""
+    import dataclasses
+
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+
+    w, h, spp, depth = 12, 8, 4, 6
+    options = dataclasses.replace(TraceOptions(), sampling="stratified",
+                                  rr_terminate=True, rr_start=2,
+                                  rr_scale=1.5, rr_qmin=0.1)
+    key = jax.random.key(42)
+    cam = make_camera(CPU_CAM["position"], CPU_CAM["lookat"],
+                      CPU_CAM["up"], w / h, CPU_CAM["vfov"],
+                      CPU_CAM["aperture"], CPU_CAM["focus"])
+    got = np.asarray(render_wavefront(
+        simple_scene_cpu(), cam, key, width=w, height=h, spp=spp,
+        max_depth=depth, camera_mode="thinlens", options=options,
+        pool_size=512)).reshape(h, w, 3)
+    want = render_oracle(simple_scene_cpu(), CPU_CAM, w, h, spp, depth,
+                         key, camera_mode="thinlens", options=options)
+    close = np.isclose(got, want, atol=3e-5, rtol=1e-4)
+    bad = ~close.all(axis=-1)
+    assert int(bad.sum()) <= max(1, bad.size // 100), (
+        int(bad.sum()), np.argwhere(bad))
+    np.testing.assert_allclose(np.where(bad[..., None], want, got), want,
+                               atol=3e-5, rtol=1e-4)

@@ -118,6 +118,13 @@ def _add_render_flags(p: argparse.ArgumentParser):
                         "'stratified' = opt-in low-discrepancy jitter, "
                         "unbiased; measured 17%% lower variance on the "
                         "cover config, 2.1x on pinhole-AA configs)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="two-stage adaptive sampling (adaptive.py): "
+                        "--spp becomes the base; the noisiest 6.25%% of "
+                        "pixels get +4x and the next 25%% +1x extra "
+                        "samples (avg 1.5x budget). Opt-in estimator "
+                        "change; requires --sampling iid; runs on the "
+                        "planar engine")
     p.add_argument("--rr-terminate", action="store_true",
                    help="Russian-roulette path termination (unbiased "
                         "estimator change: fewer traced segments, "
@@ -164,6 +171,15 @@ def _render_image(args):
     kw = dict(width=args.width, height=args.height, spp=args.spp,
               max_depth=args.depth, camera_mode=args.mode,
               options=options, pool_size=args.pool_size)
+    if getattr(args, "adaptive", False):
+        from .adaptive import render_adaptive
+
+        img, astats = render_adaptive(
+            scene, cam, key, width=args.width, height=args.height,
+            spp_base=args.spp, max_depth=args.depth,
+            camera_mode=args.mode, options=options, return_stats=True)
+        print(json.dumps({"adaptive": astats}), file=sys.stderr)
+        return img.reshape(args.height, args.width, 3), cfg
     if engine == "wavefront":
         if getattr(args, "stats", False):
             img, stats = render_wavefront(scene, cam, key,

@@ -405,15 +405,25 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
                               base_key, *, width: int, height: int,
                               spp: int, max_depth: int, camera_mode: str,
                               options: TraceOptions,
-                              differentiable: bool = True):
+                              differentiable: bool = True,
+                              sample_offset: int = 0):
     """Render a flat chunk of pixels -> (P, 3) linear radiance means.
 
     Signature-compatible with render.render_pixels_impl (wave_spp is
     implicit: the whole P*spp wavefront is one planar wave). Rays are
     laid out ray-major (pixel*spp + sample), padded to the (rows*128)
     layout multiple, and masked out of the pixel reduction.
+
+    sample_offset: render sample ids [offset, offset+spp) instead of
+    [0, spp) -- the RNG contract keys on (pixel, sample), so offset
+    ranges draw fresh, reproducible samples (adaptive.py's second
+    stage). Requires sampling="iid": the stratified remaps derive their
+    strata from sid/spp and have no meaning on an offset window.
     """
     del differentiable  # the planar engine is always the AD-safe scan
+    if sample_offset and options.sampling != "iid":
+        raise ValueError("sample_offset requires sampling='iid' "
+                         f"(got {options.sampling!r})")
     p = pixel_ids.shape[0]
     n = p * spp
     rows = _pick_rows(n)
@@ -422,7 +432,8 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
     r_total = n_pad // LANES
 
     pid_flat = jnp.repeat(pixel_ids.astype(jnp.int32), spp)
-    sid_flat = jnp.tile(jnp.arange(spp, dtype=jnp.int32), p)
+    sid_flat = jnp.tile(
+        jnp.arange(sample_offset, sample_offset + spp, dtype=jnp.int32), p)
     pad = n_pad - n
     if pad:
         pid_flat = jnp.concatenate(
@@ -458,4 +469,4 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
 render_pixels_planar = jax.jit(
     render_pixels_planar_impl,
     static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
-                     "options", "differentiable"))
+                     "options", "differentiable", "sample_offset"))

@@ -234,7 +234,8 @@ def _via_server(args, cmd: str) -> int:
            "rr_terminate": getattr(args, "rr_terminate", False),
            "hit_kernel": getattr(args, "hit_kernel", None),
            "ownership": getattr(args, "ownership", None),
-           "sampling": getattr(args, "sampling", None)}
+           "sampling": getattr(args, "sampling", None),
+           "adaptive": getattr(args, "adaptive", False)}
     if cmd == "render":
         req["out"] = args.out
         req["clamp"] = not args.no_clamp

@@ -42,7 +42,7 @@ _DEFAULTS = dict(scene="simple-cuda", seed=0, camera=None, mode="thinlens",
                  compat="default", width=400, height=225, spp=8, depth=16,
                  engine="auto", pool_size=1 << 15, clamp=True, iters=2,
                  fusion=None, rr_terminate=False, hit_kernel=None,
-                 ownership=None, sampling=None)
+                 ownership=None, sampling=None, adaptive=False)
 
 # Fit-request knobs (mirror the CLI fit flags; cli._fit_impl consumes the
 # same Namespace either way).
@@ -69,7 +69,7 @@ def _render_once(req):
         engine=cfg["engine"], pool_size=cfg["pool_size"], profile=None,
         fusion=cfg["fusion"], rr_terminate=cfg["rr_terminate"],
         hit_kernel=cfg["hit_kernel"], ownership=cfg["ownership"],
-        sampling=cfg["sampling"])
+        sampling=cfg["sampling"], adaptive=cfg["adaptive"])
     img, _ = cli._render_image(args)
     return img, cfg
 

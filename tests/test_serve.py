@@ -104,6 +104,28 @@ def test_fit(server):
     assert resp["loss_end"] <= resp["loss_start"]
 
 
+def test_adaptive_forwards_through_server(server):
+    """--via --adaptive must run the two-stage adaptive path server-side
+    (not silently render uniform): same seed/config, adaptive on vs off
+    must differ (extra tier samples land on the noisiest pixels)."""
+    import numpy as np
+
+    from raytracinginoneweekend_tpu.io.image import read_ppm
+
+    out_u = server + "_uni.ppm"
+    out_a = server + "_ada.ppm"
+    base = {"cmd": "render", "scene": "simple-cuda", "width": 48,
+            "height": 27, "spp": 4, "depth": 4}
+    r1 = serve.request(server, dict(base, out=out_u))
+    r2 = serve.request(server, dict(base, out=out_a, adaptive=True))
+    assert r1["ok"] and r2["ok"], (r1, r2)
+    u = np.asarray(read_ppm(out_u)).astype(np.int32)
+    a = np.asarray(read_ppm(out_a)).astype(np.int32)
+    assert (u != a).any()  # adaptive actually engaged
+    # Both are estimates of the same image: means agree within MC noise.
+    assert abs(u.mean() - a.mean()) < 3.0
+
+
 def test_options_forward_through_server(server):
     """TraceOptions knobs sent over the wire must reach the engine: a
     stratified + rr-terminate render must produce a DIFFERENT image

@@ -336,9 +336,18 @@ def _fit_impl(args, log=print) -> dict:
     camera_name = args.camera or ("cuda" if args.scene == "simple-cuda"
                                   else "cpu")
     cam = _build_camera(camera_name, args.width, args.height)
+    # The estimator-toolbox knobs apply to fit too: rr_terminate cuts
+    # traced segments in the regenerative AD engine (stop-gradiented
+    # survival weights, ops/wavefront_ad.py) and sampling="stratified"
+    # cuts gradient variance (docs/STRAT_GRAD_r04.json: albedo 0.63x,
+    # centers 0.54x at matching means).
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.depth, camera_mode=args.mode,
-                       options=_options(args.compat))
+                       options=_options(
+                           args.compat,
+                           rr_terminate=getattr(args, "rr_terminate",
+                                                False),
+                           sampling=getattr(args, "sampling", None)))
     log("rendering target...")
     target = render(scene, cam, cfg, jax.random.key(args.seed))
 

@@ -35,11 +35,21 @@ class TraceOptions:
                    accumulation order); ownership/hit_kernel="sorted"
                    are ignored (it has its own cone-cull list path)
       deposit:     "ledger"/"scatter" valid for every combination above
-      tiled/planar AD engines (render_pixels / integrate_planar): use
+      planar AD engines (integrate_planar.render_pixels_planar and the
+                   regenerative ops/wavefront_ad.py): honor rr_terminate
+                   with the SAME (TAG_BOUNCE + b, counter 2) draw as the
+                   forward engines; survival q and the 1/q boost are
+                   stop-gradiented, so gradients are RR applied to the
+                   gradient integrand (unbiased; FD-validated in
+                   tests/test_wavefront_ad.py). In the regenerative
+                   engine the killed lane regenerates, so the segment
+                   saving is real forward AND backward; the fixed-depth
+                   scan implements it for estimator parity only (fixed
+                   trip count -- no time saved).
+      tiled AD engine (render.render_pixels / ops/integrate.trace): uses
                    options.intersect + gather only; the wavefront-only
                    switches (mega, hit_kernel, ownership, rr_*) are
-                   ignored there -- rr_terminate is a forward-estimator
-                   change and the AD engines keep the reference-faithful
+                   ignored there -- it keeps the reference-faithful
                    estimator.
     """
 
@@ -135,8 +145,9 @@ class TraceOptions:
     #     fire), traded against block-level drain imbalance (cheap:
     #     drained blocks skip both Pallas kernels).
     ownership: str = "strided"
-    # Russian-roulette PATH TERMINATION in the forward wavefront engines
-    # (opt-in ESTIMATOR change; the reference never terminates early).
+    # Russian-roulette PATH TERMINATION in the wavefront engines and the
+    # planar AD engines (opt-in ESTIMATOR change; the reference never
+    # terminates early).
     # After a ray has completed >= rr_start bounces it survives each
     # further bounce with q = clamp(max-channel(attenuation), rr_qmin, 1)
     # and survivors are boosted by 1/q -- unbiased in expectation, same

@@ -349,8 +349,31 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
     ax = jnp.where(scatter_now, ax * alr, ax)
     ay = jnp.where(scatter_now, ay * alg, ay)
     az = jnp.where(scatter_now, az * alb_, az)
+    keep = scatter_now
+    if options.rr_terminate:
+        # Russian-roulette path termination under AD (same draw contract
+        # as the forward wavefront engine: (TAG_BOUNCE + b, counter 2),
+        # wavefront.py). The survival probability q and the 1/q boost are
+        # STOP-GRADIENTED: with q held constant the weighted estimator's
+        # gradient is exactly RR applied to the gradient integrand
+        # (E[1{surv} grad f / q] = grad E[f] for any measurable q), while
+        # a differentiable q would add spurious d(1/q)/dtheta terms.
+        from . import rng as _rng
+        from . import threefry as _tf
+        b_i = jnp.asarray(bounce, jnp.int32)
+        tag = jnp.uint32(_rng.TAG_BOUNCE) + b_i.astype(jnp.uint32)
+        u_rr, _ = _tf.draw_uniform2(rk0, rk1, tag, 2)
+        q = jax.lax.stop_gradient(
+            jnp.clip(options.rr_scale
+                     * jnp.maximum(ax, jnp.maximum(ay, az)),
+                     options.rr_qmin, 1.0))
+        consider = keep & (b_i + 1 >= options.rr_start)
+        surv = consider & (u_rr < q)
+        boost = jnp.where(surv, 1.0 / q, 1.0)
+        ax, ay, az = ax * boost, ay * boost, az * boost
+        keep = keep & (~consider | surv)
     return (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb,
-            scatter_now, rk0, rk1)
+            keep, rk0, rk1)
 
 
 def trace_planar(scene: Scene, rays, rkey_words, max_depth: int,

@@ -56,13 +56,13 @@ FLAG_BATCH = 16384
 
 def arm(scene, cam, target, pixel_ids, label, *, width, height, spp,
         depth, camera_mode, steps_per_call=STEPS_PER_CALL, iters=3,
-        **terms):
+        options=DEFAULT, **terms):
     opt = optax.adam(1e-2)
     params = params_from_scene(scene)
     opt_state = opt.init(params)
     step = make_train_step(opt, width=width, height=height, spp=spp,
                            max_depth=depth, camera_mode=camera_mode,
-                           options=DEFAULT, **terms)
+                           options=options, **terms)
 
     def many(params, opt_state):
         def body(c, k):
@@ -115,23 +115,49 @@ def flagship():
     # step key the arms will actually run (same compiled validator, keys
     # are traced -- cheap calls).
     n_waves = -(-FLAG_BATCH * FLAG_SPP // FLAG_POOL)
-    probe_kw = dict(width=FLAG_W, height=FLAG_H, spp=FLAG_SPP,
-                    max_depth=FLAG_DEPTH, camera_mode="thinlens",
-                    options=DEFAULT, pool_size=FLAG_POOL)
-    budget = wavefront_ad_budget(scene, cam, pixel_ids, jax.random.key(1),
-                                 **probe_kw) + 2 * EPOCH_LEN
     step_keys = [jax.random.fold_in(jax.random.key(1), k)
                  for k in range(STEPS_PER_CALL)]
-    while budget < n_waves * FLAG_DEPTH and not all(
-            bool(wavefront_ad_done(scene, cam, pixel_ids, sk,
-                                   iters=budget, **probe_kw))
-            for sk in step_keys):
-        budget += 2 * EPOCH_LEN
-    budget = min(budget, n_waves * FLAG_DEPTH)
+
+    def budget_for(options):
+        probe_kw = dict(width=FLAG_W, height=FLAG_H, spp=FLAG_SPP,
+                        max_depth=FLAG_DEPTH, camera_mode="thinlens",
+                        options=options, pool_size=FLAG_POOL)
+        budget = wavefront_ad_budget(scene, cam, pixel_ids,
+                                     jax.random.key(1),
+                                     **probe_kw) + 2 * EPOCH_LEN
+        while budget < n_waves * FLAG_DEPTH and not all(
+                bool(wavefront_ad_done(scene, cam, pixel_ids, sk,
+                                       iters=budget, **probe_kw))
+                for sk in step_keys):
+            budget += 2 * EPOCH_LEN
+        return min(budget, n_waves * FLAG_DEPTH)
+
+    budget = budget_for(DEFAULT)
     wf_opts = dict(pool_size=FLAG_POOL, iters=budget, remat="auto")
 
     wavefront = arm(scene, cam, target, pixel_ids, "wavefront_regen",
                     engine="wavefront", engine_opts=wf_opts, **kw)
+
+    # Estimator-toolbox arms (round 4): rr_terminate in the AD path
+    # kills dead-weight continuations so the pool drains in FEWER
+    # iterations (budget re-probed under the rr options); + stratified
+    # sampling for the gradient-variance win (docs/STRAT_GRAD_r04.json).
+    import dataclasses
+
+    rr_opts = dataclasses.replace(DEFAULT, rr_terminate=True)
+    budget_rr = budget_for(rr_opts)
+    wavefront_rr = arm(
+        scene, cam, target, pixel_ids, "wavefront_regen_rr",
+        engine="wavefront", options=rr_opts,
+        engine_opts=dict(pool_size=FLAG_POOL, iters=budget_rr,
+                         remat="auto"), **kw)
+    tb_opts = dataclasses.replace(rr_opts, sampling="stratified")
+    budget_tb = budget_for(tb_opts)
+    wavefront_toolbox = arm(
+        scene, cam, target, pixel_ids, "wavefront_regen_rr_stratified",
+        engine="wavefront", options=tb_opts,
+        engine_opts=dict(pool_size=FLAG_POOL, iters=budget_tb,
+                         remat="auto"), **kw)
     wavefront_safe = arm(scene, cam, target, pixel_ids,
                          "wavefront_regen_worstcase_budget",
                          engine="wavefront",
@@ -161,9 +187,13 @@ def flagship():
         "rays_per_step": rays,
         "pool_lanes": FLAG_POOL,
         "iters_budget": budget,
+        "iters_budget_rr": budget_rr,
+        "iters_budget_toolbox": budget_tb,
         "iters_worst_case": n_waves * FLAG_DEPTH,
         "dispatch_overhead_ms_per_step": 50.0 / STEPS_PER_CALL,
         "wavefront": wavefront,
+        "wavefront_rr": wavefront_rr,
+        "wavefront_rr_stratified": wavefront_toolbox,
         "wavefront_worstcase_budget": wavefront_safe,
         "planar": planar,
         "forward_only_ms": fwd_ms,

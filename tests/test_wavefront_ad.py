@@ -191,6 +191,78 @@ def test_grad_albedo_matches_finite_differences():
     np.testing.assert_allclose(float(g[0, 0]), float(fd), rtol=2e-2)
 
 
+def test_rr_terminate_parity_across_ad_and_forward_engines():
+    """rr_terminate in the AD engines (fixed-depth planar scan + the
+    regenerative pool) consumes the SAME (TAG_BOUNCE + b, counter 2)
+    draw and q/boost arithmetic as the forward wavefront engine, so all
+    three agree to accumulation order -- and the termination actually
+    fires (fewer traced segments than rr-off)."""
+    import dataclasses
+
+    from raytracinginoneweekend_tpu.ops.wavefront import render_wavefront
+
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(3)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    opts = dataclasses.replace(DEFAULT, rr_terminate=True, rr_start=2,
+                               rr_scale=1.0)
+    kw = dict(width=W, height=H, spp=SPP, max_depth=8,
+              camera_mode="thinlens", options=opts)
+    fwd = np.asarray(render_wavefront(scene, cam, key, pool_size=512,
+                                      **kw))
+    a = np.asarray(render_pixels_planar(scene, cam, ids, key, **kw))
+    b = np.asarray(render_pixels_wavefront_ad(scene, cam, ids, key,
+                                              pool_size=512, **kw))
+    np.testing.assert_allclose(a, fwd, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=2e-5)
+    _, s_rr = render_wavefront(scene, cam, key, return_stats=True,
+                               pool_size=512, **kw)
+    _, s_off = render_wavefront(scene, cam, key, return_stats=True,
+                                pool_size=512,
+                                **{**kw, "options": DEFAULT})
+    assert int(s_rr["segments"]) < int(s_off["segments"])
+
+
+def test_rr_terminate_gradients():
+    """Gradients under rr_terminate: both AD engines agree to f32
+    reassociation (the stop-gradiented survival weights are identical),
+    stay finite, and the regenerative engine's albedo gradient matches
+    finite differences of the rr-on estimator itself."""
+    import dataclasses
+
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(11)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    target = jnp.zeros((W * H, 3), jnp.float32)
+    opts = dataclasses.replace(DEFAULT, rr_terminate=True, rr_start=2,
+                               rr_scale=1.0)
+    kw = dict(width=W, height=H, spp=2, max_depth=4,
+              camera_mode="pinhole", options=opts)
+    params = params_from_scene(scene, ("albedo", "centers"))
+    ga = jax.grad(render_loss)(params, scene, cam, target, ids, key,
+                               engine="planar", **kw)
+    gb = jax.grad(render_loss)(params, scene, cam, target, ids, key,
+                               engine="wavefront", **kw)
+    for name in params:
+        a, b = np.asarray(ga[name]), np.asarray(gb[name])
+        assert np.isfinite(b).all(), name
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=name)
+
+    def loss_of_albedo(albedo):
+        return render_loss({"albedo": albedo}, scene, cam, target, ids,
+                           key, engine="wavefront", **kw)
+
+    g = jax.grad(loss_of_albedo)(scene.albedo)
+    eps = 1e-3
+    fd = (loss_of_albedo(scene.albedo.at[0, 0].add(eps))
+          - loss_of_albedo(scene.albedo.at[0, 0].add(-eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 0]), float(fd), rtol=2e-2)
+
+
 @pytest.mark.slow
 def test_huge_scene_parity():
     scene = huge_scene(0)

@@ -111,17 +111,33 @@ test_mirror_chain_prefix_attachment_reduces_bias): the channel is
 -0.07 +- 0.02 on the mirror-center gradient and HALVES that config's
 total bias (below).
 
+DIELECTRIC-RIM DEEP PROBE (round 4): the per-lane diagnostic on the
+mirror-chain reproducer proved the attached dg/dtheta itself is CORRECT
+(AD == chain-FD to 1e-3 on every crossing lane) -- the bias was missing
+NEGATIVE crossing mass. Its largest family: lanes grazing the glass
+sphere's own rim, whose true radiance step (sky -> lensed occluder,
+raw-dI mass -176 on the reproducer) sits ~0.04 rad INSIDE the rim,
+past a grazing band (Fresnel ~ 1) where a 2e-3-deep probe still reads
+sky (measured profile: f = 2.43 at 0.002 in, 0.0 by 0.04 in). The
+``probe_delta_diel`` deep inner probe (dielectric candidates only)
+captures that family at -217/-173 (fixed/adaptive kernel) and cuts the
+reproducer's net attached bias 0.059 -> 0.031 (FD truth 0.002).
+
 RESIDUAL OUT-OF-SCOPE TERMS, each with its measured bound on the
 reproducer configs:
-  * MIRROR-PREFIX CHAIN SWEEP BIAS: on a mirror ground steering the
-    camera through glass onto a black occluder, expected-value FD puts
-    the mirror-center gradient at 0.002 +- 0.001 while the vd0
-    direction-sweep term claims +0.13 +- 0.04 (post-chain occluder-edge
-    crossings); with the attached prefix the vd1 RR channel cancels
-    roughly half, leaving ~ +0.06 net bias. The same term WITHOUT the
-    occluder under-claims (-0.005 vs FD -0.018). The chain's dg/dtheta
-    through lensed exits is not yet trustworthy on mirror-prefix
-    configs -- the family is pinned by the reproducer test.
+  * MIRROR-PREFIX CHAIN SWEEP BIAS (remaining ~ +0.03 +- 0.05 net
+    attached, was +0.13 detached-r3 / +0.06 attached): the two
+    remaining channels, measured per-family on the reproducer
+    (ARCHITECTURE.md "Chain-sweep bias decomposition"): (a) through-
+    lens lanes whose exit-cone dg/dtheta is lens-MAGNIFIED (|dg| 5-27
+    at g in [-0.56, -0.11]) -- sparse in g, so kernel mass rarely
+    lands on them (adaptive spacing-scaled bandwidths recover only
+    -86 of their -233 raw mass, measured); and (b) lanes whose true
+    flip happens through RR-threshold crossings and reflection arms,
+    not the deterministic chain's own edge (their exit-cone dg has
+    the OPPOSITE sign of the true dI). The same term WITHOUT the
+    occluder under-claims (-0.005 vs FD -0.018). Pinned by the
+    reproducer test.
   * reflect-of-reflect arms (second-order internal RR): unmeasured on
     shipped scenes (no failing config found; the first-order arms are
     within 2.5% of FD on the config built to expose them).
@@ -177,6 +193,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                                  tir_bandwidth: float = 0.02,
                                  sweep_bandwidth: float = 0.03,
                                  probe_delta: float = 2e-3,
+                                 probe_delta_diel: float = 0.05,
                                  chain_rr_arms: int = 2,
                                  _detach_prefix: bool = False,
                                  _rr_term: bool = True,
@@ -194,6 +211,12 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         direction-sweep edge term.
       probe_delta: angular half-offset (radians) of the sweep probe
         pair, clamped to half the candidate's cone half-angle.
+      probe_delta_diel: inner-probe depth when the nearest-edge
+        candidate is a DIELECTRIC sphere -- glass rims carry a grazing
+        band (Fresnel ~ 1) the tight probe cannot see past; the deep
+        probe reads the post-band radiance so the rim's true step is
+        captured (sweep_term comment; measured on the mirror-chain
+        reproducer).
       chain_rr_arms: how many of the refract chain's internal-RR
         REFLECTION arms get their own (side-chain) edge term -- the
         round-3 scope extension; 0 restores the refract-chain-only
@@ -432,8 +455,24 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         t_hat = t_raw / jnp.maximum(t_norm, 1e-6)[:, None]
         beta_d = det(beta_a)
         delta = jnp.minimum(probe_delta, 0.49 * beta_d)
-        w_in = (jnp.cos(beta_d - delta)[:, None] * a_hat
-                + jnp.sin(beta_d - delta)[:, None] * t_hat)
+        # DIELECTRIC candidates get a DEEP inner probe (round 4): just
+        # inside a glass rim sits a grazing band (Fresnel ~ 1, huge
+        # deflection) whose radiance still matches the outside -- a
+        # probe_delta-deep probe reads "no jump" across an edge whose
+        # true step (the lensed image of whatever lies behind the glass)
+        # sits a few hundredths of a radian further in. Measured on the
+        # mirror->glass->occluder reproducer (ARCHITECTURE.md): f just
+        # inside the rim = 2.43 (sky) at 0.002, 0.0 (occluder) by 0.04;
+        # the deep probe captures the rim family's true -176 raw-dI mass
+        # at -217/-173 where the shallow probe claimed ~0. Non-delta
+        # candidates keep the tight probe (no band to clear).
+        mt_c = scene_det.mtype[scene_det.material_index[j_star]]
+        from ..models.scene import DIELECTRIC as _DIEL
+        delta_in = jnp.where(mt_c == _DIEL,
+                             jnp.minimum(probe_delta_diel, 0.49 * beta_d),
+                             delta)
+        w_in = (jnp.cos(beta_d - delta_in)[:, None] * a_hat
+                + jnp.sin(beta_d - delta_in)[:, None] * t_hat)
         w_out = (jnp.cos(beta_d + delta)[:, None] * a_hat
                  + jnp.sin(beta_d + delta)[:, None] * t_hat)
         skeys = jax.vmap(jax.random.fold_in, (None, 0))(

@@ -358,16 +358,19 @@ def test_mirror_chain_prefix_attachment_reduces_bias():
 
     Config: a huge flat-ish MIRROR ground steers the camera onto a glass
     sphere with a black occluder above it. Expected-value FD says the
-    mirror-center gradient is ~0.002 +- 0.001; the vd0 direction-sweep
-    term (the chain's post-exit occluder-edge crossings) claims
-    +0.13 +- 0.04 -- a measured bias of the round-3 estimator on
-    mirror-prefix chains. Attaching the vertex-walk prefix (round 4, as
-    silhouette.secondary_boundary_surrogate already does) adds the vd1
-    RR incidence channel (-0.07 +- 0.02) which PARTIALLY CANCELS it:
-    total bias drops ~2x (mean |AD - FD| 0.13 -> 0.06). This test pins
-    (a) the truth being small, (b) the attachment reducing the bias, and
-    (c) the residual bias still existing -- if a future estimator closes
-    it, update the docstring scope list and tighten this test.
+    mirror-center gradient is ~0.002 +- 0.001; the round-3 detached vd0
+    direction-sweep term claimed +0.13 +- 0.04. Two round-4 estimator
+    improvements each cut it (per-lane diagnostic in ARCHITECTURE.md
+    "Chain-sweep bias decomposition"): attaching the vertex-walk prefix
+    adds the vd1 RR incidence channel (bias 0.13 -> 0.059), and the
+    DIELECTRIC-RIM DEEP PROBE (probe_delta_diel) captures the glass-rim
+    crossing family whose radiance step hides past the grazing band
+    (0.059 -> 0.031). This test pins (a) the truth being small, (b) the
+    attachment reducing the bias, (c) the deep probe adding its negative
+    rim mass on every seed, and (d) the residual bias still existing
+    (magnified exit-cone crossings + RR-threshold flips, measured
+    bounds in ops/branchprob.py) -- if a future estimator closes it,
+    update the docstring scope list and tighten this test.
     """
     from raytracinginoneweekend_tpu.ops.branchprob import (
         branch_probability_surrogate)
@@ -409,8 +412,8 @@ def test_mirror_chain_prefix_attachment_reduces_bias():
                     for k in range(4)])
     assert abs(fds.mean()) < 0.012, fds
 
-    # (b)/(c) AD totals with the delta-lobe terms, attached vs detached.
-    def ad(skey, detach):
+    # (b)/(c)/(d) AD totals with the delta-lobe terms.
+    def ad(skey, detach, **kw):
         def f(params):
             s = scene._replace(**params)
             img = render_pixels_impl(s, cam, ids, base_key, width=w,
@@ -424,7 +427,7 @@ def test_mirror_chain_prefix_attachment_reduces_bias():
                 sur = branch_probability_surrogate(
                     s, cam, "pinhole", cot, ids, w, h,
                     jax.random.fold_in(skey, 0x8800 + b), 4, DEFAULT,
-                    vertex_depth=b, _detach_prefix=detach)
+                    vertex_depth=b, _detach_prefix=detach, **kw)
                 val = val + sur - jax.lax.stop_gradient(sur)
             return val
 
@@ -437,4 +440,10 @@ def test_mirror_chain_prefix_attachment_reduces_bias():
     bias_att = abs(att.mean() - truth)
     bias_det = abs(det.mean() - truth)
     assert bias_att < 0.75 * bias_det, (att, det, truth)  # (b) reduction
-    assert bias_det > 0.05, (det, truth)  # (c) the documented residual
+    # (c) the dielectric-rim deep probe adds its (negative) rim-crossing
+    # mass on EVERY seed vs the shallow-probe ablation (paired: the
+    # draw keys are identical, only the inner probe depth differs).
+    att_sh = np.array([ad(jax.random.key(100 + k), False,
+                          probe_delta_diel=2e-3) for k in range(3)])
+    assert (att < att_sh + 5e-3).all(), (att, att_sh)
+    assert bias_det > 0.05, (det, truth)  # (d) the documented residual

@@ -223,7 +223,8 @@ def _via_server(args, cmd: str) -> int:
     """Forward a render/bench request to a running render server."""
     from . import serve
 
-    req = {"cmd": cmd, "scene": args.scene, "seed": args.seed,
+    req = {"cmd": cmd, "proto": serve.PROTO_VERSION,
+           "scene": args.scene, "seed": args.seed,
            "camera": args.camera, "mode": args.mode, "compat": args.compat,
            "width": args.width, "height": args.height, "spp": args.spp,
            "depth": args.depth, "engine": args.engine,

@@ -59,6 +59,17 @@ def server():
 def test_ping(server):
     resp = serve.request(server, {"cmd": "ping"})
     assert resp["ok"] and "device" in resp
+    assert resp["proto"] == serve.PROTO_VERSION
+
+
+def test_protocol_version_mismatch_rejected(server):
+    """A future/incompatible client must get a clear error, not a
+    silently misinterpreted render (VERDICT r3: no version handshake)."""
+    resp = serve.request(server, {"cmd": "render", "proto": 999})
+    assert not resp["ok"] and "protocol version" in resp["error"]
+    assert resp["proto"] == serve.PROTO_VERSION
+    # Versionless requests (same-repo clients) still work.
+    assert serve.request(server, {"cmd": "ping"})["ok"]
 
 
 def test_render_twice_and_file(server):

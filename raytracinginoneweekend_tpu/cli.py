@@ -128,8 +128,9 @@ def _add_render_flags(p: argparse.ArgumentParser):
     p.add_argument("--rr-terminate", action="store_true",
                    help="Russian-roulette path termination (unbiased "
                         "estimator change: fewer traced segments, "
-                        "slightly higher MC variance; wavefront "
-                        "engines only)")
+                        "slightly higher MC variance; honored by the "
+                        "wavefront engines, the planar AD engines and "
+                        "fit -- the tiled engine ignores it)")
     p.add_argument("--stats", action="store_true",
                    help="print the wavefront engine's occupancy counters "
                         "(iterations, traced segments, lane occupancy) as "
@@ -223,6 +224,29 @@ def _via_server(args, cmd: str) -> int:
     """Forward a render/bench request to a running render server."""
     from . import serve
 
+    # Handshake BOTH ways: the request carries proto (a newer server
+    # rejects us), and we check the server's ping proto first (an OLDER
+    # server would otherwise drop unknown request keys -- e.g. adaptive
+    # -- and silently render something else).
+    info = serve.request(args.via, {"cmd": "ping"})
+    if info.get("proto") != serve.PROTO_VERSION:
+        print(json.dumps({
+            "ok": False,
+            "error": f"server at {args.via} runs protocol "
+                     f"{info.get('proto')!r}, client needs "
+                     f"{serve.PROTO_VERSION} -- restart the server "
+                     f"from this checkout"}))
+        return 1
+    if getattr(args, "stats", False) or getattr(args, "profile", None):
+        # Same silent-divergence class as unforwarded TraceOptions:
+        # the server would render fine but never produce the counters/
+        # trace the user asked for. Refuse instead.
+        print(json.dumps({
+            "ok": False,
+            "error": "--stats/--profile are not supported with --via; "
+                     "run locally for engine counters or profiler "
+                     "traces"}))
+        return 1
     req = {"cmd": cmd, "proto": serve.PROTO_VERSION,
            "scene": args.scene, "seed": args.seed,
            "camera": args.camera, "mode": args.mode, "compat": args.compat,

@@ -467,8 +467,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         # at -217/-173 where the shallow probe claimed ~0. Non-delta
         # candidates keep the tight probe (no band to clear).
         mt_c = scene_det.mtype[scene_det.material_index[j_star]]
-        from ..models.scene import DIELECTRIC as _DIEL
-        delta_in = jnp.where(mt_c == _DIEL,
+        delta_in = jnp.where(mt_c == DIELECTRIC,
                              jnp.minimum(probe_delta_diel, 0.49 * beta_d),
                              delta)
         w_in = (jnp.cos(beta_d - delta_in)[:, None] * a_hat

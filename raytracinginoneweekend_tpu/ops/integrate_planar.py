@@ -351,27 +351,15 @@ def _shade_step_planar(scene: Scene, options: TraceOptions,
     az = jnp.where(scatter_now, az * alb_, az)
     keep = scatter_now
     if options.rr_terminate:
-        # Russian-roulette path termination under AD (same draw contract
-        # as the forward wavefront engine: (TAG_BOUNCE + b, counter 2),
-        # wavefront.py). The survival probability q and the 1/q boost are
-        # STOP-GRADIENTED: with q held constant the weighted estimator's
-        # gradient is exactly RR applied to the gradient integrand
-        # (E[1{surv} grad f / q] = grad E[f] for any measurable q), while
-        # a differentiable q would add spurious d(1/q)/dtheta terms.
+        # RR path termination under AD: the shared contract with
+        # stop-gradiented survival weights (rng.rr_terminate_update;
+        # here a killed lane saves no time -- fixed trip count -- the
+        # point is estimator parity with the wavefront engines).
         from . import rng as _rng
-        from . import threefry as _tf
-        b_i = jnp.asarray(bounce, jnp.int32)
-        tag = jnp.uint32(_rng.TAG_BOUNCE) + b_i.astype(jnp.uint32)
-        u_rr, _ = _tf.draw_uniform2(rk0, rk1, tag, 2)
-        q = jax.lax.stop_gradient(
-            jnp.clip(options.rr_scale
-                     * jnp.maximum(ax, jnp.maximum(ay, az)),
-                     options.rr_qmin, 1.0))
-        consider = keep & (b_i + 1 >= options.rr_start)
-        surv = consider & (u_rr < q)
-        boost = jnp.where(surv, 1.0 / q, 1.0)
-        ax, ay, az = ax * boost, ay * boost, az * boost
-        keep = keep & (~consider | surv)
+        ax, ay, az, keep = _rng.rr_terminate_update(
+            rk0, rk1, jnp.asarray(bounce, jnp.int32), ax, ay, az, keep,
+            rr_start=options.rr_start, rr_qmin=options.rr_qmin,
+            rr_scale=options.rr_scale)
     return (ox, oy, oz, dx, dy, dz, ax, ay, az, resr, resg, resb,
             keep, rk0, rk1)
 

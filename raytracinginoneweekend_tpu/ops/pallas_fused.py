@@ -203,9 +203,13 @@ def _kernel_shade_regen(
         ay = jnp.where(keep, ay * alg_ref[:], ay)
         az = jnp.where(keep, az * alb_ref[:], az)
         if rr_terminate:
-            # Russian-roulette termination: identical draws/semantics to
-            # the XLA path (ops/wavefront.py) -- TAG_BOUNCE + depth,
-            # counter 2; survivors boost 1/q, casualties die like absorb.
+            # Russian-roulette termination: IN-KERNEL copy of the shared
+            # contract (rng.rr_terminate_update -- keep in sync; the
+            # jnp-level engines all call the helper, this kernel keeps a
+            # literal copy to avoid routing stop_gradient through Mosaic)
+            # -- TAG_BOUNCE + depth, counter 2; survivors boost 1/q,
+            # casualties die like absorb. Bit-identity with the XLA path
+            # is pinned by test_rr_termination_unbiased_and_saves_segments.
             tag = jnp.uint32(TAG_BOUNCE) + dep.astype(jnp.uint32)
             u_rr, _ = tf.draw_uniform2(k0, k1, tag, 2)
             q = jnp.clip(rr_scale * jnp.maximum(ax, jnp.maximum(ay, az)),

@@ -96,6 +96,42 @@ def lens_sphere(rkey):
     return jnp.stack((x, y, z)) * r
 
 
+def rr_terminate_update(k0, k1, depth, ax, ay, az, keep, *, rr_start: int,
+                        rr_qmin: float, rr_scale: float,
+                        stop_grad: bool = True):
+    """Shared Russian-roulette path-termination update -> (ax, ay, az, keep).
+
+    THE one definition of the rr_terminate contract (TraceOptions.rr_*):
+    draw word 0 of (TAG_BOUNCE + depth, j=2) under the ray key;
+    continuations with >= rr_start completed bounces survive with
+    q = clip(rr_scale * max-channel(attenuation), rr_qmin, 1); survivors
+    boost attenuation by 1/q, casualties die like absorb. Used by the
+    forward wavefront XLA step, the fixed-depth planar AD scan and the
+    regenerative AD pool (the fused Pallas kernel keeps a literal
+    in-kernel copy, pallas_fused.py -- tested bit-identical); the scalar
+    oracle re-expresses the same draw.
+
+    k0/k1: per-ray key-word planes; depth: completed-bounce count
+    (plane or traced scalar); keep: the continuation mask BEFORE rr.
+    stop_grad (AD callers): hold q constant so the weighted estimator's
+    gradient is RR applied to the gradient integrand -- E[1{surv}
+    grad f / q] = grad E[f] for any measurable q -- while a
+    differentiable q would add spurious d(1/q)/dtheta terms. Primal
+    values are identical either way.
+    """
+    tag = jnp.uint32(TAG_BOUNCE) + jnp.asarray(depth).astype(jnp.uint32)
+    u_rr, _ = tf.draw_uniform2(k0, k1, tag, 2)
+    q = jnp.clip(rr_scale * jnp.maximum(ax, jnp.maximum(ay, az)),
+                 rr_qmin, 1.0)
+    if stop_grad:
+        q = jax.lax.stop_gradient(q)
+    consider = keep & (jnp.asarray(depth) + 1 >= rr_start)
+    surv = consider & (u_rr < q)
+    boost = jnp.where(surv, 1.0 / q, 1.0)
+    return (ax * boost, ay * boost, az * boost,
+            keep & (~consider | surv))
+
+
 def bounce_draws(rkey, bounce, sample: str):
     """All per-bounce randomness: (scatter vec (3,), rr uniform).
 

@@ -521,23 +521,14 @@ def wavefront_fb(scene: Scene, cam: Camera, base_key, *, width: int,
         ay = jnp.where(keep, ay * alg, ay)
         az = jnp.where(keep, az * alb_, az)
         if options.rr_terminate:
-            # Russian-roulette termination (TraceOptions.rr_terminate):
-            # continuations with >= rr_start completed bounces survive
-            # with q = clamp(max-channel(attenuation), rr_qmin, 1);
-            # survivors boost 1/q. Terminated lanes die like absorb
-            # (their task registers keep the radiance gathered so far).
+            # Russian-roulette termination: the shared contract
+            # (rng.rr_terminate_update); terminated lanes die like
+            # absorb (task registers keep the radiance gathered so far).
             from . import rng as _rng
-            from . import threefry as _tf
-            tag = jnp.uint32(_rng.TAG_BOUNCE) + depth.astype(jnp.uint32)
-            u_rr, _ = _tf.draw_uniform2(rk0, rk1, tag, 2)
-            q = jnp.clip(options.rr_scale
-                         * jnp.maximum(ax, jnp.maximum(ay, az)),
-                         options.rr_qmin, 1.0)
-            consider = keep & (depth + 1 >= options.rr_start)
-            surv = consider & (u_rr < q)
-            boost = jnp.where(surv, 1.0 / q, 1.0)
-            ax, ay, az = ax * boost, ay * boost, az * boost
-            keep = keep & (~consider | surv)
+            ax, ay, az, keep = _rng.rr_terminate_update(
+                rk0, rk1, depth, ax, ay, az, keep,
+                rr_start=options.rr_start, rr_qmin=options.rr_qmin,
+                rr_scale=options.rr_scale)
         depth = jnp.where(keep, depth + 1, depth)
         return (nxt, task, sid, keep, ox, oy, oz, dx, dy, dz,
                 ax, ay, az, depth, accr, accg, accb, rk0, rk1,

@@ -220,24 +220,15 @@ def _shade_deposit(scene: Scene, options: TraceOptions, max_depth: int,
     ay = jnp.where(keep, ay * alg, ay)
     az = jnp.where(keep, az * alb_, az)
     if options.rr_terminate:
-        # RR path termination (same (TAG_BOUNCE + b, counter 2) draw as
-        # the forward engine, wavefront.py; q/boost stop-gradiented --
-        # see integrate_planar._shade_step_planar). Unlike the planar
-        # scan, a killed lane here actually regenerates next iteration,
-        # so the segment saving is real in forward AND backward.
+        # RR path termination: the shared stop-gradiented contract
+        # (rng.rr_terminate_update). Unlike the planar scan, a killed
+        # lane here actually regenerates next iteration, so the segment
+        # saving is real in forward AND backward.
         from . import rng as _rng
-        from . import threefry as _tf
-        tag = jnp.uint32(_rng.TAG_BOUNCE) + depth.astype(jnp.uint32)
-        u_rr, _ = _tf.draw_uniform2(k0, k1, tag, 2)
-        q = jax.lax.stop_gradient(
-            jnp.clip(options.rr_scale
-                     * jnp.maximum(ax, jnp.maximum(ay, az)),
-                     options.rr_qmin, 1.0))
-        consider = keep & (depth + 1 >= options.rr_start)
-        surv = consider & (u_rr < q)
-        boost = jnp.where(surv, 1.0 / q, 1.0)
-        ax, ay, az = ax * boost, ay * boost, az * boost
-        keep = keep & (~consider | surv)
+        ax, ay, az, keep = _rng.rr_terminate_update(
+            k0, k1, depth, ax, ay, az, keep,
+            rr_start=options.rr_start, rr_qmin=options.rr_qmin,
+            rr_scale=options.rr_scale)
     depth = jnp.where(keep, depth + 1, depth)
     state = (nxtw, wcur, keep, ox, oy, oz, dx, dy, dz, ax, ay, az,
              depth, k0, k1)

@@ -56,7 +56,7 @@ FLAG_BATCH = 16384
 
 def arm(scene, cam, target, pixel_ids, label, *, width, height, spp,
         depth, camera_mode, steps_per_call=STEPS_PER_CALL, iters=3,
-        options=DEFAULT, **terms):
+        options=DEFAULT, return_params=False, **terms):
     opt = optax.adam(1e-2)
     params = params_from_scene(scene)
     opt_state = opt.init(params)
@@ -76,14 +76,15 @@ def arm(scene, cam, target, pixel_ids, label, *, width, height, spp,
         return params, opt_state, losses
 
     many_j = jax.jit(many)
-    sec, (_, _, losses) = time_fn(lambda: many_j(params, opt_state),
-                                  warmup=1, iters=iters)
+    sec, (p_end, _, losses) = time_fn(lambda: many_j(params, opt_state),
+                                      warmup=1, iters=iters)
     assert bool(jnp.isfinite(losses).all())
     rays = pixel_ids.shape[0] * spp
     ms = sec / steps_per_call * 1e3
-    return {"label": label, "ms_per_step": ms,
-            "steps_per_s": steps_per_call / sec,
-            "grad_rays_per_s": rays / (ms / 1e3)}
+    rec = {"label": label, "ms_per_step": ms,
+           "steps_per_s": steps_per_call / sec,
+           "grad_rays_per_s": rays / (ms / 1e3)}
+    return (rec, p_end) if return_params else rec
 
 
 FLAG_POOL = 8192  # measured best on v5e (W=16 waves amortizes stragglers)
@@ -135,8 +136,32 @@ def flagship():
     budget = budget_for(DEFAULT)
     wf_opts = dict(pool_size=FLAG_POOL, iters=budget, remat="auto")
 
-    wavefront = arm(scene, cam, target, pixel_ids, "wavefront_regen",
-                    engine="wavefront", engine_opts=wf_opts, **kw)
+    def check_end_budget(options, budget_n, p_end):
+        """The 20 timed steps DRIFT the params (adam toward the target),
+        and drain length tracks the params -- for rr arms continuously
+        (survival q = f(attenuation = f(albedo))). A budget validated
+        only at the initial scene could silently truncate late-step
+        rays (dropped as black, finite losses). Re-validate at the
+        POST-TRAINING params on every step key; raise loudly if short."""
+        from raytracinginoneweekend_tpu.optim.inverse import (
+            scene_with_params)
+
+        s_end = scene_with_params(scene, jax.tree.map(
+            jax.lax.stop_gradient, p_end))
+        probe_kw = dict(width=FLAG_W, height=FLAG_H, spp=FLAG_SPP,
+                        max_depth=FLAG_DEPTH, camera_mode="thinlens",
+                        options=options, pool_size=FLAG_POOL)
+        assert all(
+            bool(wavefront_ad_done(s_end, cam, pixel_ids, sk,
+                                   iters=budget_n, **probe_kw))
+            for sk in step_keys), (
+            f"budget {budget_n} too small at the trained params -- "
+            f"the timed trajectory truncated rays")
+
+    wavefront, p_end = arm(
+        scene, cam, target, pixel_ids, "wavefront_regen",
+        engine="wavefront", engine_opts=wf_opts, return_params=True, **kw)
+    check_end_budget(DEFAULT, budget, p_end)
 
     # Estimator-toolbox arms (round 4): rr_terminate in the AD path
     # kills dead-weight continuations so the pool drains in FEWER
@@ -146,18 +171,20 @@ def flagship():
 
     rr_opts = dataclasses.replace(DEFAULT, rr_terminate=True)
     budget_rr = budget_for(rr_opts)
-    wavefront_rr = arm(
+    wavefront_rr, p_end_rr = arm(
         scene, cam, target, pixel_ids, "wavefront_regen_rr",
-        engine="wavefront", options=rr_opts,
+        engine="wavefront", options=rr_opts, return_params=True,
         engine_opts=dict(pool_size=FLAG_POOL, iters=budget_rr,
                          remat="auto"), **kw)
+    check_end_budget(rr_opts, budget_rr, p_end_rr)
     tb_opts = dataclasses.replace(rr_opts, sampling="stratified")
     budget_tb = budget_for(tb_opts)
-    wavefront_toolbox = arm(
+    wavefront_toolbox, p_end_tb = arm(
         scene, cam, target, pixel_ids, "wavefront_regen_rr_stratified",
-        engine="wavefront", options=tb_opts,
+        engine="wavefront", options=tb_opts, return_params=True,
         engine_opts=dict(pool_size=FLAG_POOL, iters=budget_tb,
                          remat="auto"), **kw)
+    check_end_budget(tb_opts, budget_tb, p_end_tb)
     wavefront_safe = arm(scene, cam, target, pixel_ids,
                          "wavefront_regen_worstcase_budget",
                          engine="wavefront",

@@ -27,16 +27,23 @@ and is measured below MC noise on the shipped configs
 sampling within noise; docs/ADAPTIVE_r04.json records the equal-budget
 MSE win). The parity defaults never enable this.
 
-Runs on the planar engine (pixel-subset API + sample_offset); requires
-sampling="iid" (stratified strata are defined on [0, spp) and have no
-meaning on an offset window).
+Runs on the planar engine (pixel-subset API + sample_offset). The TWO
+VARIANCE REDUCERS COMPOSE (round 4): with sampling="stratified", stage
+1's half-windows [0, h) and [h, spp_base) are rendered against the FULL
+strata set (spp_strata=spp_base), so their union is exactly the
+complete stratified sample pattern -- the half-difference noise score
+and the base mean both get stratification's variance cut. Stage-2 tier
+windows sit beyond the strata set and fall back to iid draws (each
+tier is an independent unbiased mean; mixing estimators across stages
+changes nothing about unbiasedness).
 
-Measured (docs/ADAPTIVE_r04.json, equal average budget vs uniform,
-MSE against a 512-spp reference): **0.74x MSE where the noise is
-spatially concentrated** (wide-aperture defocus), but level-to-
-slightly-negative (1.03-1.06x) on the huge cover, whose noise is
-uniform across the frame -- there is nothing to concentrate on. Pick
-per workload; the parity defaults keep it off.
+Measured (docs/ADAPTIVE_r04.json, equal average budget, MSE against a
+512-spp reference, ratios vs uniform-iid): **0.73x where the noise is
+spatially concentrated** (wide-aperture defocus; 0.46x with
+stratification composed -- the best arm), but level-to-slightly-
+negative (1.03-1.06x) on the huge cover, whose noise is uniform across
+the frame -- there is nothing to concentrate on. Pick per workload;
+the parity defaults keep it off.
 """
 
 from __future__ import annotations
@@ -62,9 +69,6 @@ def render_adaptive(scene: Scene, cam: Camera, base_key, *, width: int,
                     return_stats: bool = False):
     """Adaptive render -> (P, 3) radiance means (P = all pixels unless
     pixel_ids is given). spp_base must be even (half-buffer split)."""
-    if options.sampling != "iid":
-        raise ValueError("adaptive sampling requires sampling='iid' "
-                         f"(got {options.sampling!r})")
     if spp_base < 2 or spp_base % 2:
         raise ValueError(f"spp_base must be even >= 2 (got {spp_base})")
     if pixel_ids is None:
@@ -72,13 +76,22 @@ def render_adaptive(scene: Scene, cam: Camera, base_key, *, width: int,
     p = int(pixel_ids.shape[0])
     h = spp_base // 2
     kw = dict(width=width, height=height, max_depth=max_depth,
-              camera_mode=camera_mode, options=options)
+              camera_mode=camera_mode)
+    # Stage-2 tiers draw beyond the strata set -> iid (module docstring).
+    import dataclasses
 
-    # Stage 1: two independent half-buffers over every pixel.
+    tier_options = (dataclasses.replace(options, sampling="iid")
+                    if options.sampling != "iid" else options)
+
+    # Stage 1: two independent half-buffers over every pixel. Under
+    # sampling="stratified" the halves are the two complementary
+    # sub-windows of the FULL spp_base stratified pattern.
     m_a = render_pixels_planar(scene, cam, pixel_ids, base_key, spp=h,
-                               sample_offset=0, **kw)
+                               sample_offset=0, spp_strata=spp_base,
+                               options=options, **kw)
     m_b = render_pixels_planar(scene, cam, pixel_ids, base_key, spp=h,
-                               sample_offset=h, **kw)
+                               sample_offset=h, spp_strata=spp_base,
+                               options=options, **kw)
     score = jnp.abs(m_a - m_b).sum(axis=-1)
     order = jnp.argsort(-score)  # noisiest first
 
@@ -93,7 +106,8 @@ def render_adaptive(scene: Scene, cam: Camera, base_key, *, width: int,
         e_t = max(1, int(round(mult * spp_base)))
         ids_t = pixel_ids[order[start:start + n_t]]
         m_t = render_pixels_planar(scene, cam, ids_t, base_key, spp=e_t,
-                                   sample_offset=offset, **kw)
+                                   sample_offset=offset,
+                                   options=tier_options, **kw)
         acc = acc.at[order[start:start + n_t]].add(m_t * e_t)
         total = total.at[order[start:start + n_t]].add(float(e_t))
         tier_sizes.append((n_t, e_t))

@@ -123,8 +123,9 @@ def _add_render_flags(p: argparse.ArgumentParser):
                         "--spp becomes the base; the noisiest 6.25%% of "
                         "pixels get +4x and the next 25%% +1x extra "
                         "samples (avg 1.5x budget). Opt-in estimator "
-                        "change; requires --sampling iid; runs on the "
-                        "planar engine")
+                        "change; composes with --sampling stratified "
+                        "(stage 1 keeps the full stratified pattern, "
+                        "tiers draw iid); runs on the planar engine")
     p.add_argument("--rr-terminate", action="store_true",
                    help="Russian-roulette path termination (unbiased "
                         "estimator change: fewer traced segments, "

@@ -417,7 +417,8 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
                               spp: int, max_depth: int, camera_mode: str,
                               options: TraceOptions,
                               differentiable: bool = True,
-                              sample_offset: int = 0):
+                              sample_offset: int = 0,
+                              spp_strata: int = 0):
     """Render a flat chunk of pixels -> (P, 3) linear radiance means.
 
     Signature-compatible with render.render_pixels_impl (wave_spp is
@@ -428,13 +429,25 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
     sample_offset: render sample ids [offset, offset+spp) instead of
     [0, spp) -- the RNG contract keys on (pixel, sample), so offset
     ranges draw fresh, reproducible samples (adaptive.py's second
-    stage). Requires sampling="iid": the stratified remaps derive their
-    strata from sid/spp and have no meaning on an offset window.
+    stage).
+
+    spp_strata (stratified only; 0 = spp): the STRATA DENOMINATOR when
+    this call renders a sub-window of a larger stratified sample set --
+    the remaps (rng.stratify_uv/stratify_lens_uv/strat0) derive each
+    sample's stratum from its absolute sid against this total, so
+    rendering windows [0, h) and [h, 2h) with spp_strata=2h yields
+    exactly the union's stratified draws (adaptive.py stage 1). The
+    window must lie inside the strata set; with sampling="iid" it is
+    ignored. Offset windows BEYOND the strata set require
+    sampling="iid" (a stratum outside [0, spp_strata) is undefined).
     """
     del differentiable  # the planar engine is always the AD-safe scan
-    if sample_offset and options.sampling != "iid":
-        raise ValueError("sample_offset requires sampling='iid' "
-                         f"(got {options.sampling!r})")
+    strata = spp_strata or spp
+    if options.sampling != "iid" and sample_offset + spp > strata:
+        raise ValueError(
+            "stratified sample window [%d, %d) exceeds the strata set "
+            "[0, %d); pass spp_strata or sampling='iid'"
+            % (sample_offset, sample_offset + spp, strata))
     p = pixel_ids.shape[0]
     n = p * spp
     rows = _pick_rows(n)
@@ -456,7 +469,7 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
 
     ox, oy, oz, dx, dy, dz, rk0, rk1 = planar.camera_rays(
         cam, pid, sid, base_key, width, height, camera_mode,
-        sampling=options.sampling, spp=spp)
+        sampling=options.sampling, spp=strata)
     strat0 = None
     if options.sampling == "stratified":
         # First-bounce stratified scatter: the rays are fixed, so the
@@ -464,7 +477,7 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
         from .threefry import key_words as _kw
         b0, b1 = _kw(base_key)
         strat0 = planar.strat0_scatter_planes(
-            rk0, rk1, pid, sid, b0, b1, spp,
+            rk0, rk1, pid, sid, b0, b1, strata,
             options.scatter_sample == "unit")
     resr, resg, resb = trace_planar(
         scene, (ox, oy, oz, dx, dy, dz), (rk0, rk1), max_depth, options,
@@ -480,4 +493,5 @@ def render_pixels_planar_impl(scene: Scene, cam: Camera, pixel_ids,
 render_pixels_planar = jax.jit(
     render_pixels_planar_impl,
     static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
-                     "options", "differentiable", "sample_offset"))
+                     "options", "differentiable", "sample_offset",
+                     "spp_strata"))

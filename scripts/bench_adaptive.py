@@ -34,29 +34,49 @@ N_KEYS = 6
 
 
 def run_config(label, scene, cam, w, h, depth):
+    """Equal-budget 2x2 grid: {uniform, adaptive} x {iid, stratified}
+    (round 4: the two variance reducers COMPOSE -- adaptive stage 1
+    renders the complementary half-windows of the full stratified
+    pattern via spp_strata; tiers fall back to iid)."""
+    import dataclasses
+
+    strat = dataclasses.replace(DEFAULT, sampling="stratified")
     ids = jnp.arange(w * h, dtype=jnp.int32)
-    kw = dict(width=w, height=h, max_depth=depth, camera_mode="thinlens",
-              options=DEFAULT)
+    kw = dict(width=w, height=h, max_depth=depth, camera_mode="thinlens")
     truth = np.asarray(render_pixels_planar(
-        scene, cam, ids, jax.random.key(999), spp=512, **kw))
-    mse_ad, mse_un, spp_match = [], [], None
+        scene, cam, ids, jax.random.key(999), spp=512, options=DEFAULT,
+        **kw))
+    mses = {k: [] for k in ("uniform_iid", "uniform_stratified",
+                            "adaptive_iid", "adaptive_stratified")}
+    spp_match = None
     for k in range(N_KEYS):
         key = jax.random.key(10 + k)
-        img_ad, stats = render_adaptive(
-            scene, cam, key, spp_base=8, return_stats=True,
-            width=w, height=h, max_depth=depth, camera_mode="thinlens",
-            options=DEFAULT)
+        img_ad, stats = render_adaptive(scene, cam, key, spp_base=8,
+                                        return_stats=True,
+                                        options=DEFAULT, **kw)
+        img_ast, _ = render_adaptive(scene, cam, key, spp_base=8,
+                                     return_stats=True, options=strat,
+                                     **kw)
         spp_match = int(np.ceil(stats["avg_spp"]))
         img_un = render_pixels_planar(scene, cam, ids, key,
-                                      spp=spp_match, **kw)
-        mse_ad.append(float(((np.asarray(img_ad) - truth) ** 2).mean()))
-        mse_un.append(float(((np.asarray(img_un) - truth) ** 2).mean()))
+                                      spp=spp_match, options=DEFAULT,
+                                      **kw)
+        img_ust = render_pixels_planar(scene, cam, ids, key,
+                                       spp=spp_match, options=strat,
+                                       **kw)
+        for name, img in (("uniform_iid", img_un),
+                          ("uniform_stratified", img_ust),
+                          ("adaptive_iid", img_ad),
+                          ("adaptive_stratified", img_ast)):
+            mses[name].append(
+                float(((np.asarray(img) - truth) ** 2).mean()))
+    base = float(np.mean(mses["uniform_iid"]))
     return {"config": label, "avg_spp_adaptive": stats["avg_spp"],
             "spp_uniform": spp_match,
-            "mse_adaptive": float(np.mean(mse_ad)),
-            "mse_uniform": float(np.mean(mse_un)),
-            "mse_ratio": round(float(np.mean(mse_ad) / np.mean(mse_un)),
-                               4)}
+            "mse": {k: float(np.mean(v)) for k, v in mses.items()},
+            "mse_ratio_vs_uniform_iid": {
+                k: round(float(np.mean(v)) / base, 4)
+                for k, v in mses.items()}}
 
 
 def main():
@@ -71,10 +91,11 @@ def main():
     ]
     print(json.dumps({
         "metric": "adaptive_sampling_equal_budget_mse",
-        "note": "two-stage adaptive (spp_base 8, tiers top 6.25% +4x / "
-                "next 25% +1x) vs uniform at the same (rounded-up) "
-                "average spp; MSE vs a 512-spp reference across "
-                f"{N_KEYS} keys; mse_ratio < 1 = adaptive wins",
+        "note": "equal-budget 2x2 {uniform, adaptive} x {iid, "
+                "stratified}: two-stage adaptive (spp_base 8, tiers top "
+                "6.25% +4x / next 25% +1x) vs uniform at the same "
+                "(rounded-up) average spp; MSE vs a 512-spp reference "
+                f"across {N_KEYS} keys, ratios vs uniform-iid",
         "rows": rows,
         "device": str(jax.devices()[0].platform)}))
 

@@ -115,6 +115,27 @@ def test_fit(server):
     assert resp["loss_end"] <= resp["loss_start"]
 
 
+def test_fit_estimator_knobs_forward_through_server(server):
+    """fit requests may carry the estimator toolbox (rr_terminate +
+    stratified, round 4): the server-side train loop must honor them
+    (wavefront AD engine at this depth) and still improve."""
+    resp = serve.request(server, {
+        "cmd": "fit", "scene": "simple-cuda", "width": 24, "height": 16,
+        "spp": 2, "depth": 3, "mode": "pinhole", "params": "albedo",
+        "steps": 6, "fit_spp": 2, "batch_pixels": 128,
+        "ad_engine": "wavefront", "rr_terminate": True,
+        "sampling": "stratified"})
+    assert resp["ok"], resp
+    assert resp["steps"] == 6 and "albedo" in resp["errors"]
+    # 6 steps at spp 2 are stochastic -- pin "runs and stays sane", not
+    # monotone descent (test_fit covers descent on the default
+    # estimator).
+    import math
+
+    assert math.isfinite(resp["loss_end"])
+    assert resp["loss_end"] < 2.0 * resp["loss_start"]
+
+
 def test_adaptive_forwards_through_server(server):
     """--via --adaptive must run the two-stage adaptive path server-side
     (not silently render uniform): same seed/config, adaptive on vs off

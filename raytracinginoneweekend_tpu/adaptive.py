@@ -8,8 +8,14 @@ two-stage scheme, shaped for TPU static shapes:
 
   Stage 1  render every pixel twice at spp_base/2 (sample-id halves
            [0, h) and [h, spp_base) -- the RNG contract keys on
-           (pixel, sample), so the halves are independent), giving the
-           base mean AND a per-pixel noise score |half_a - half_b|.
+           (pixel, sample), so under iid the halves are independent),
+           giving the base mean AND a per-pixel noise score
+           |half_a - half_b|. Under sampling="stratified" the halves
+           are complementary sub-windows of one stratified pattern --
+           correlated, so the score is a proxy for the residual
+           post-stratification noise rather than an unbiased variance
+           estimate; the allocation it drives measures better MSE than
+           either reducer alone (docs/ADAPTIVE_r04.json).
   Tiering  rank pixels by score; STATIC tier fractions of the pixel
            count get STATIC extra sample counts (argsort + slice --
            no dynamic shapes, every stage-2 render is a fixed-shape

@@ -481,8 +481,9 @@ def main(argv=None) -> int:
     p.add_argument("--ad-engine", default="auto",
                    choices=["auto", "wavefront", "planar", "tiled"],
                    help="reverse-mode engine: 'auto' = by depth (planar "
-                        "below the measured depth-32 crossover, wavefront "
-                        "above -- docs/AD_DEPTH_SWEEP_r04.json), "
+                        "below the measured crossover -- 32, or 28 with "
+                        "--rr-terminate -- wavefront above; "
+                        "docs/AD_DEPTH_SWEEP_r04.json + _RR), "
                         "'wavefront' = regenerative pool "
                         "(ops/wavefront_ad.py, wavefront-class occupancy "
                         "at high depth), 'planar' = fixed-depth (R,128) "

@@ -123,11 +123,21 @@ worst-case budget (1.70x with a probed iteration budget). The pool's
 ~13 ms fixed structure cost (ledger + epoch cond + wave one-hot regen)
 amortizes only once fixed-depth lane waste exceeds it."""
 
+AD_ENGINE_AUTO_DEPTH_RR = 28
+"""The same crossover with rr_terminate=True (round 4): RR kills
+dead-weight continuations, which shortens the POOL's drain but saves
+the fixed-trip scan nothing, so the pool wins earlier. Measured
+(docs/AD_DEPTH_SWEEP_RR_r04.json, same config, rr arms both sides):
+0.66x at depth 16, 0.89 at 24, 1.12 at 32, 1.26 at 40 -- breakeven
+~28."""
 
-def resolve_ad_engine(max_depth: int) -> str:
+
+def resolve_ad_engine(max_depth: int, rr_terminate: bool = False) -> str:
     """'auto' policy: planar scan at low depth, regenerative pool past
-    the measured crossover (AD_ENGINE_AUTO_DEPTH)."""
-    return "wavefront" if max_depth > AD_ENGINE_AUTO_DEPTH else "planar"
+    the measured crossover (AD_ENGINE_AUTO_DEPTH, or the lower
+    AD_ENGINE_AUTO_DEPTH_RR when the estimator terminates paths)."""
+    cut = AD_ENGINE_AUTO_DEPTH_RR if rr_terminate else AD_ENGINE_AUTO_DEPTH
+    return "wavefront" if max_depth > cut else "planar"
 
 
 def _render_batch(full_scene, cam, pixel_ids, base_key, *, width, height,
@@ -135,7 +145,7 @@ def _render_batch(full_scene, cam, pixel_ids, base_key, *, width, height,
                   engine_opts=None):
     """Differentiable (P, 3) pixel batch via the chosen AD engine."""
     if engine == "auto":
-        engine = resolve_ad_engine(max_depth)
+        engine = resolve_ad_engine(max_depth, options.rr_terminate)
     if engine == "planar":
         from ..ops.integrate_planar import render_pixels_planar_impl
         impl = render_pixels_planar_impl

@@ -286,10 +286,22 @@ def test_ad_engine_auto_policy():
     from raytracinginoneweekend_tpu.optim.inverse import (
         AD_ENGINE_AUTO_DEPTH, resolve_ad_engine)
 
+    from raytracinginoneweekend_tpu.optim.inverse import (
+        AD_ENGINE_AUTO_DEPTH_RR)
+
     assert resolve_ad_engine(8) == "planar"
     assert resolve_ad_engine(AD_ENGINE_AUTO_DEPTH) == "planar"
     assert resolve_ad_engine(AD_ENGINE_AUTO_DEPTH + 1) == "wavefront"
     assert resolve_ad_engine(50) == "wavefront"
+    # rr_terminate shortens the pool's drain -> lower crossover
+    # (docs/AD_DEPTH_SWEEP_RR_r04.json).
+    assert AD_ENGINE_AUTO_DEPTH_RR < AD_ENGINE_AUTO_DEPTH
+    assert resolve_ad_engine(AD_ENGINE_AUTO_DEPTH_RR,
+                             rr_terminate=True) == "planar"
+    assert resolve_ad_engine(AD_ENGINE_AUTO_DEPTH_RR + 1,
+                             rr_terminate=True) == "wavefront"
+    assert resolve_ad_engine(AD_ENGINE_AUTO_DEPTH,
+                             rr_terminate=False) == "planar"
 
     scene = simple_scene_cuda()
     cam = reference_cuda_camera(W, H)

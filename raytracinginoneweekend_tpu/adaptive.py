@@ -108,7 +108,12 @@ def render_adaptive(scene: Scene, cam: Camera, base_key, *, width: int,
     start = 0
     tier_sizes = []
     for frac, mult in tiers:
-        n_t = max(1, int(p * frac))
+        # Clamp to the pixels left in the ranking: tiny batches would
+        # otherwise slice past `order` (an empty render) while the
+        # returned stats still claimed the full tier budget.
+        n_t = min(max(1, int(p * frac)), p - start)
+        if n_t <= 0:
+            break
         e_t = max(1, int(round(mult * spp_base)))
         ids_t = pixel_ids[order[start:start + n_t]]
         m_t = render_pixels_planar(scene, cam, ids_t, base_key, spp=e_t,

@@ -280,7 +280,6 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     y_att, n_att = hit_surface(o, d, t_a, idx, hit, scene.centers,
                                scene.radii)
     y = jax.lax.stop_gradient(y_att)
-    n_det = jax.lax.stop_gradient(n_att)
     mi = scene_det.material_index[idx]
     is_diel = scene_det.mtype[mi] == DIELECTRIC
     is_mirror = ((scene_det.mtype[mi] == METAL)
@@ -292,7 +291,10 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     # expressions share this discriminant, so k < 0 <=> TIR in the
     # "physical" and the bug-compatible reference mode alike).
     ior_att = scene.ior[mi]  # ATTACHED gather
-    unit_dir = math3.normalize(d)  # prefix: detached
+    # d is the walk's arrival direction: ATTACHED by default (round 4,
+    # the prefix-motion channel of dp/dtheta); detached only under the
+    # _detach_prefix ablation.
+    unit_dir = math3.normalize(d)
     cos_theta = jnp.sum(unit_dir * n_att, axis=-1)
     entering = cos_theta <= 0.0
     outward = jnp.where(entering[:, None], n_att, -n_att)
@@ -343,7 +345,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     h = sweep_bandwidth
     n_chain = 5  # refract-chain unroll: hollow glass exits in <= 4 hits
 
-    def chain_step(y_c, w_c, done, prob):
+    def chain_step(y_c, w_c, done, prob, alb):
         """Follow the deterministic dielectric chain one interface.
 
         Straight-line cone geometry is WRONG from inside glass (the
@@ -355,9 +357,14 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         and keep walking; any other hit or a miss means (y_c, w_c)
         already is the air segment. ``prob`` accumulates the renderer's
         probability of this deterministic arm (1-p per refraction, 1
-        under TIR). The dropped internal-RR *reflection* arm's data is
-        returned so the caller can spawn it as a side chain
-        (chain_rr_arms): (yh, refl, p_reflect, spawnable).
+        under TIR) and ``alb`` its per-channel attenuation -- the
+        renderer multiplies attenuation by albedo[mi] at EVERY
+        dielectric interface visit (refract or internal reflect,
+        material.hxx:33-38), so a tinted glass attenuates each chain
+        hop; detached like every other weight. The dropped internal-RR
+        *reflection* arm's data is returned so the caller can spawn it
+        as a side chain (chain_rr_arms):
+        (yh, refl, p_reflect, alb_arm, spawnable).
         """
         t_c, idx_c, hit_c = closest_hit(y_c, w_c, scene.centers,
                                         scene.radii, options.t_min,
@@ -381,31 +388,36 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         p_refl = math3.schlick(rif, jnp.abs(cosn))
         p_cont = jnp.where(tir_c, 1.0, 1.0 - p_refl)
         prob_out = prob * jnp.where(is_d, det(p_cont), 1.0)
+        alb_c = det(scene_det.albedo[mic])
+        alb_vis = alb * alb_c  # one albedo factor per interface visit
+        alb_out = jnp.where(is_d[:, None], alb_vis, alb)
         y_out = jnp.where(is_d[:, None], yh, y_c)
         w_out = jnp.where(is_d[:, None], w_new, w_c)
         # Internal-RR reflection arm (renderer prob p_refl) at a non-TIR
-        # dielectric interface: the arm the refract-chain drops.
+        # dielectric interface: the arm the refract-chain drops. The
+        # reflection is an interface visit too -> carries alb_vis.
         spawn = is_d & ~tir_c
-        return (y_out, w_out, done | ~is_d, prob_out, is_d,
-                (yh, refl, prob * det(p_refl), spawn))
+        return (y_out, w_out, done | ~is_d, prob_out, alb_out, is_d,
+                (yh, refl, prob * det(p_refl), alb_vis, spawn))
 
-    def follow_chain(y0, w0, prob0, steps0, n_steps, collect_arms):
+    def follow_chain(y0, w0, prob0, alb0, steps0, n_steps, collect_arms):
         """Run the refract chain; optionally collect reflection arms."""
         y_f, w_f = y0, w0
         done = jnp.zeros((p_count,), bool)
         prob = prob0
+        alb = alb0
         steps = steps0
         arms = []
         for j in range(n_steps):
-            y_f, w_f, done, prob, stepped, arm = chain_step(y_f, w_f,
-                                                            done, prob)
+            y_f, w_f, done, prob, alb, stepped, arm = chain_step(
+                y_f, w_f, done, prob, alb)
             steps = steps + stepped.astype(jnp.int32)
             if j < collect_arms:
                 # The arm consumed this interface too: steps + 1.
                 arms.append((arm, steps))
-        return y_f, w_f, done, prob, steps, arms
+        return y_f, w_f, done, prob, alb, steps, arms
 
-    def sweep_term(y_f, w_f_att, done, prob, steps, gate, br):
+    def sweep_term(y_f, w_f_att, done, prob, alb, steps, gate, br):
         """The final-air-segment cone-edge crossing term (docstring)."""
         # The chain consumes renderer bounces: the final air segment must
         # still fit the continuation budget or the true I(theta) has no
@@ -485,8 +497,11 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
 
         # Triangular kernel on the angular distance; I(g) steps from f_in
         # (inside, g < 0) to f_out, so dI/dtheta = -(f_in - f_out) K dg.
+        # alb: the chain's per-channel interface attenuation (tinted
+        # glass; ones on the shipped scenes).
         kern = jnp.maximum(0.0, 1.0 - jnp.abs(g_det) / h) / h
-        w_sw = (jnp.sum(thru * (f_in - f_out), axis=-1) * prob * kern)
+        w_sw = (jnp.sum(thru * alb * (f_in - f_out), axis=-1)
+                * prob * kern)
         w_sw = jnp.where(gate & done & budget_ok & any_ok & ok_t,
                          w_sw, 0.0)
         return -jnp.sum(det(w_sw) * g_att)
@@ -495,13 +510,14 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         return surrogate
     gate0 = active_delta & ~prefix_delta
     zero_steps = jnp.zeros((p_count,), jnp.int32)
+    ones_alb = jnp.ones((p_count, 3), jnp.float32)
     for br, (w_br_att, prob_br) in enumerate(
             [(reflected_att, prob_reflect), (refracted_att, prob_refract)]):
-        y_f, w_f, done, prob, steps, arms = follow_chain(
-            y_att, w_br_att, det(prob_br), zero_steps, n_chain,
+        y_f, w_f, done, prob, alb_f, steps, arms = follow_chain(
+            y_att, w_br_att, det(prob_br), ones_alb, zero_steps, n_chain,
             chain_rr_arms)
-        surrogate = surrogate + sweep_term(y_f, w_f, done, prob, steps,
-                                           gate0, br)
+        surrogate = surrogate + sweep_term(y_f, w_f, done, prob, alb_f,
+                                           steps, gate0, br)
         # Internal-RR REFLECTION arms (round-3 scope extension): the
         # refract chain drops the reflect side of every internal RR; each
         # collected arm follows its OWN refract chain (no further side
@@ -511,12 +527,12 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         # chain's (different final air segment), and deeper vertex_depth
         # walks that actually DRAW the reflection are sweep-suppressed
         # via prefix_delta, so nothing double counts.
-        for a, ((yh_a, refl_a, prob_a, spawn_a), steps_a) in \
+        for a, ((yh_a, refl_a, prob_a, alb_a, spawn_a), steps_a) in \
                 enumerate(arms):
-            ya, wa, da, pa, sa, _ = follow_chain(
-                yh_a, refl_a, prob_a, steps_a, n_chain - 1 - a, 0)
+            ya, wa, da, pa, aa, sa, _ = follow_chain(
+                yh_a, refl_a, prob_a, alb_a, steps_a, n_chain - 1 - a, 0)
             surrogate = surrogate + sweep_term(
-                ya, wa, da, pa, sa, gate0 & spawn_a,
+                ya, wa, da, pa, aa, sa, gate0 & spawn_a,
                 2 + br * n_chain + a)
 
     return surrogate

@@ -70,10 +70,12 @@ from . import planar
 from .integrate_planar import (_material_table, _onehot_gather, _pick_rows,
                                closest_hit_planar, scatter_planar_ad,
                                shade_geometry_planar)
+# The reference sky constants live in ops/planar.py (main.cxx:49,
+# cuda_impl.cu:125); imported rather than re-pinned -- the fixed-depth
+# scan and this pool are documented bit-comparable.
+from .planar import SKY_BLUE, SKY_WHITE
 
 LANES = 128
-SKY_WHITE = (1.0, 1.0, 1.0)
-SKY_BLUE = (0.5, 0.7, 1.0)  # main.cxx:49; cuda_impl.cu:125
 
 EPOCH_LEN = 16  # inner bounces per rematerialized epoch
 
@@ -347,6 +349,32 @@ def trace_wavefront_ad(scene: Scene, cam: Camera, pid_waves, sid_waves,
     return ledger
 
 
+def _wave_layout(pixel_ids, spp: int, pool_size: int):
+    """(pid_waves, sid_waves, rows, n): the engine's wave-major ray
+    layout -- the ONE definition of the ray ordering/padding invariant
+    (ray-major pixel*spp + sample, pool rounded to the kernel block
+    multiple and capped at the ray count, only the LAST wave padded).
+    Shared by the renderer and the budget prober so they can never
+    validate different layouts."""
+    p = pixel_ids.shape[0]
+    n = p * spp
+    rows = _pick_rows(min(n, pool_size))
+    blk = rows * LANES
+    lanes = min(pool_size, n)
+    lanes = -(-lanes // blk) * blk
+    r_rows = lanes // LANES
+    w = -(-n // lanes)
+
+    pid_flat = jnp.repeat(pixel_ids.astype(jnp.int32), spp)
+    sid_flat = jnp.tile(jnp.arange(spp, dtype=jnp.int32), p)
+    pad = w * lanes - n
+    if pad:
+        pid_flat = jnp.concatenate([pid_flat, jnp.zeros((pad,), jnp.int32)])
+        sid_flat = jnp.concatenate([sid_flat, jnp.zeros((pad,), jnp.int32)])
+    return (pid_flat.reshape(w, r_rows, LANES),
+            sid_flat.reshape(w, r_rows, LANES), rows, n)
+
+
 def render_pixels_wavefront_ad_impl(scene: Scene, cam: Camera, pixel_ids,
                                     base_key, *, width: int, height: int,
                                     spp: int, max_depth: int,
@@ -366,23 +394,8 @@ def render_pixels_wavefront_ad_impl(scene: Scene, cam: Camera, pixel_ids,
     """
     del differentiable
     p = pixel_ids.shape[0]
-    n = p * spp
-    rows = _pick_rows(min(n, pool_size))
-    blk = rows * LANES
-    lanes = min(pool_size, n)
-    lanes = -(-lanes // blk) * blk
-    r_rows = lanes // LANES
-    w = -(-n // lanes)
-    n_pad = w * lanes
-
-    pid_flat = jnp.repeat(pixel_ids.astype(jnp.int32), spp)
-    sid_flat = jnp.tile(jnp.arange(spp, dtype=jnp.int32), p)
-    pad = n_pad - n
-    if pad:
-        pid_flat = jnp.concatenate([pid_flat, jnp.zeros((pad,), jnp.int32)])
-        sid_flat = jnp.concatenate([sid_flat, jnp.zeros((pad,), jnp.int32)])
-    pid_waves = pid_flat.reshape(w, r_rows, LANES)
-    sid_waves = sid_flat.reshape(w, r_rows, LANES)
+    pid_waves, sid_waves, rows, n = _wave_layout(pixel_ids, spp,
+                                                 pool_size)
 
     lr, lg, lb = trace_wavefront_ad(
         scene, cam, pid_waves, sid_waves, base_key, width=width,
@@ -411,23 +424,10 @@ render_pixels_wavefront_ad = jax.jit(
 def _probe(scene: Scene, cam: Camera, pixel_ids, base_key, *, width: int,
            height: int, spp: int, max_depth: int, camera_mode: str,
            options: TraceOptions, pool_size: int, iters: int | None):
-    p = pixel_ids.shape[0]
-    n = p * spp
-    rows = _pick_rows(min(n, pool_size))
-    blk = rows * LANES
-    lanes = min(pool_size, n)
-    lanes = -(-lanes // blk) * blk
-    r_rows = lanes // LANES
-    w = -(-n // lanes)
-    pid_flat = jnp.repeat(pixel_ids.astype(jnp.int32), spp)
-    sid_flat = jnp.tile(jnp.arange(spp, dtype=jnp.int32), p)
-    pad = w * lanes - n
-    if pad:
-        pid_flat = jnp.concatenate([pid_flat, jnp.zeros((pad,), jnp.int32)])
-        sid_flat = jnp.concatenate([sid_flat, jnp.zeros((pad,), jnp.int32)])
+    pid_waves, sid_waves, rows, n = _wave_layout(pixel_ids, spp,
+                                                 pool_size)
     _, aux = trace_wavefront_ad(
-        scene, cam, pid_flat.reshape(w, r_rows, LANES),
-        sid_flat.reshape(w, r_rows, LANES), base_key, width=width,
+        scene, cam, pid_waves, sid_waves, base_key, width=width,
         height=height, spp=spp, max_depth=max_depth,
         camera_mode=camera_mode, options=options, n=n, rows=rows,
         iters=iters, remat="step", return_done=True)

@@ -79,6 +79,24 @@ def test_stratified_halves_compose():
                                rtol=1e-6, atol=1e-7)
 
 
+def test_tiny_batch_tiers_clamped_and_stats_honest():
+    """A 1-pixel batch: tiers clamp to the pixels available (no empty
+    stage-2 renders) and the returned stats account exactly the rays
+    actually rendered."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    ids = jnp.arange(1, dtype=jnp.int32)
+    out, stats = render_adaptive(
+        scene, cam, jax.random.key(0), width=W, height=H, spp_base=4,
+        max_depth=3, camera_mode="thinlens", options=DEFAULT,
+        pixel_ids=ids, return_stats=True)
+    assert out.shape == (1, 3)
+    assert sum(n for n, _ in stats["tiers"]) <= 1  # clamped to p
+    extra = sum(n * e for n, e in stats["tiers"])
+    assert stats["rays_stage2"] == extra
+    assert stats["avg_spp"] == (1 * 4 + extra) / 1
+
+
 def test_adaptive_allocates_to_noise_and_stays_unbiased():
     """(a) stage-2 samples land on the measurably noisiest pixels (the
     defocus blur region under a wide aperture, not the flat sky);

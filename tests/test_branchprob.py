@@ -187,6 +187,54 @@ def test_mirror_sweep_matches_finite_differences():
 
 
 @pytest.mark.slow
+def test_chain_sweep_carries_interface_albedo():
+    """A TINTED dielectric attenuates every chain interface visit in the
+    real renderer (attenuation *= albedo[mi] per refraction), so the
+    direction-sweep edge weight must carry the chain's albedo product.
+    Config: pinhole camera straight through a tinted glass sphere onto a
+    black occluder's edge -- the sweep contribution passes the entry
+    vertex (albedo in `thru`) plus exactly ONE chain interface (the
+    exit), so scaling the glass albedo by a scales the sweep gradient by
+    a^2 exactly (the reflect branch's a^1 family carries only the ~4%
+    near-normal Schlick weight; probes never re-enter the glass). A
+    chain unaware of interface albedo would scale as a^1."""
+    from raytracinginoneweekend_tpu.ops.branchprob import (
+        branch_probability_surrogate)
+
+    w, h = 32, 24
+
+    def scene_of(a):
+        return Scene(
+            centers=jnp.array([[0.0, 0.0, -3.0], [0.0, 1.5, -8.0]],
+                              jnp.float32),
+            radii=jnp.array([1.0, 2.0], jnp.float32),
+            material_index=jnp.array([0, 1], jnp.int32),
+            mtype=jnp.array([DIELECTRIC, LAMBERT], jnp.int32),
+            albedo=jnp.array([[a, a, a], [0.0, 0.0, 0.0]], jnp.float32),
+            fuzz=jnp.zeros(2, jnp.float32),
+            ior=jnp.array([1.5, 1.0], jnp.float32))
+
+    cam = make_camera((0, 0, 0), (0, 0, -3), (0, 1, 0), w / h, 40.0,
+                      0.0, 1.0)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    cot = jnp.ones((w * h, 3), jnp.float32) / (w * h)
+
+    def sweep_grad(a):
+        def f(p):
+            s = scene_of(a)
+            s = s._replace(centers=s.centers.at[1, 1].add(p))
+            return branch_probability_surrogate(
+                s, cam, "pinhole", cot, ids, w, h, jax.random.key(5), 4,
+                DEFAULT, vertex_depth=0, _rr_term=False, chain_rr_arms=0)
+
+        return float(jax.grad(f)(0.0))
+
+    g1 = sweep_grad(1.0)
+    g5 = sweep_grad(0.5)
+    assert abs(g1) > 1e-3  # the edge term actually fires
+    np.testing.assert_allclose(g5 / g1, 0.25, atol=0.02)
+
+
 def test_fit_recovers_ior_through_delta_terms():
     """Inverse rendering capstone: fit() recovers the hollow glass's ior
     (perturbed 1.5 -> 1.25) from pixels ONLY when the delta-lobe terms

@@ -138,6 +138,15 @@ reproducer configs:
     the OPPOSITE sign of the true dI). The same term WITHOUT the
     occluder under-claims (-0.005 vs FD -0.018). Pinned by the
     reproducer test.
+  * GLASS-RIM / SWEEP OVERLAP: on a glass-on-black-field rim reproducer
+    (tests/test_silhouette.py::
+    test_glass_rim_deep_probe_matches_finite_differences) the
+    silhouette term with the dielectric deep probe alone reaches FD
+    parity (0.123 vs 0.124 +- 0.020), but this sweep's near-rim
+    wall-cone crossings measure a heavy-tailed mean of 0.39 +- 0.18 SE
+    on the same config -- a possible partial double count of the rim
+    band when BOTH rr_grad and boundary_samples are enabled on glass
+    rims; unresolved at reproducer noise levels.
   * reflect-of-reflect arms (second-order internal RR): unmeasured on
     shipped scenes (no failing config found; the first-order arms are
     within 2.5% of FD on the config built to expose them).

@@ -254,7 +254,8 @@ def lobe_direction_density(w, axis, f, sample_mode: str, eps: float = 1e-4):
 def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
                        cot_image, width: int, height: int, base_key,
                        max_depth: int, options: TraceOptions,
-                       n_angles: int = 256, probe_delta: float | None = None):
+                       n_angles: int = 256, probe_delta: float | None = None,
+                       probe_diel_frac: float = 0.15):
     """Surrogate scalar whose gradient w.r.t. scene.centers/scene.radii is
     the edge-sampled visibility boundary term of the pixel loss.
 
@@ -341,14 +342,36 @@ def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
     # Probe radiance just inside/outside the edge. Common random numbers
     # (one key per edge sample, shared by both probes) cancel the path
     # noise wherever the two sides see the same geometry.
-    uv_in = x_det - probe_delta * n_unit
+    # DIELECTRIC spheres get a DEEP inside probe (round 4, the same
+    # failure family as branchprob's dielectric-rim deep probe): just
+    # inside a glass silhouette sits a grazing band (Fresnel -> 1,
+    # extreme deflection) whose radiance reads like the outside, so a
+    # 0.3-px probe measures jump ~ 0 -- on a glass-on-black-field
+    # reproducer the rim's true step (black field -> bright deflection
+    # annulus) is invisible to the tight probe. Probing
+    # probe_diel_frac of the projected radius inside (capped at 49%)
+    # clears the band; the band translates rigidly with the rim, so the
+    # step model stays consistent. Note the lensed INTERIOR edges of a
+    # glass projection (the image of whatever sits behind it) are NOT
+    # this term's job -- they are chain crossings, handled by
+    # branchprob's direction-sweep (rr_grad).
+    scene_det = jax.lax.stop_gradient(scene)
+    from ..models.scene import DIELECTRIC
+    is_diel_s = (scene_det.mtype[scene_det.material_index]
+                 == DIELECTRIC)  # (S,)
+    r_proj = jnp.linalg.norm(x_det - x_c, axis=-1)  # (S, E) screen radius
+    delta_in = jnp.where(
+        is_diel_s[:, None],
+        jnp.minimum(jnp.maximum(probe_delta, probe_diel_frac * r_proj),
+                    0.49 * r_proj),
+        probe_delta)
+    uv_in = x_det - delta_in[..., None] * n_unit
     uv_out = x_det + probe_delta * n_unit
     o_in, d_in = _probe_directions(cam, uv_in, camera_mode, lens_off)
     o_out, d_out = _probe_directions(cam, uv_out, camera_mode, lens_off)
     flat_idx = jnp.arange(s_count * e, dtype=jnp.int32)
     pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
         jax.random.fold_in(base_key, TAG_EDGE_PROBE), flat_idx)
-    scene_det = jax.lax.stop_gradient(scene)
     o_all = jnp.concatenate([o_in.reshape(-1, 3), o_out.reshape(-1, 3)])
     d_all = jnp.concatenate([d_in.reshape(-1, 3), d_out.reshape(-1, 3)])
     k_all = jnp.concatenate([pkeys, pkeys])

@@ -157,6 +157,93 @@ def test_boundary_grad_matches_finite_differences():
 
 
 @pytest.mark.slow
+def test_glass_rim_deep_probe_matches_finite_differences():
+    """DIELECTRIC silhouettes need the deep inside probe (round 4): just
+    inside a glass rim sits a grazing band whose radiance confuses a
+    0.3-px probe. Reproducer: a glass sphere on a black field (huge
+    black wall behind; only rim-deflected rays escape to the bright
+    sky), camera zoomed onto the rim so the frame holds exactly
+    {black field | rim | bright deflection annulus} and the lensed
+    interior edges (branchprob sweep territory) stay OUT of frame.
+    Measured (CPU, spp 64): FD truth d/dr = 0.124 +- 0.020;
+    interior + boundary with the deep probe = 0.123 +- 0.020 SE --
+    FD parity -- while the tight-probe ablation claims ~0.50 (4x).
+    Known residual (TODO/branchprob docstring): the rr_grad sweep's
+    near-rim wall-cone crossings may partially overlap this term on
+    glass rims (its heavy-tailed mean here is 0.39 +- 0.18 SE);
+    unresolved at reproducer noise levels."""
+    from raytracinginoneweekend_tpu.models.scene import DIELECTRIC
+    from raytracinginoneweekend_tpu.render import render_pixels_impl
+
+    w, h = 48, 36
+    scene = Scene(
+        centers=jnp.array([[0.0, 0.0, -3.0], [0.0, 0.0, -60.0]],
+                          jnp.float32),
+        radii=jnp.array([1.0, 50.0], jnp.float32),
+        material_index=jnp.array([0, 1], jnp.int32),
+        mtype=jnp.array([DIELECTRIC, LAMBERT], jnp.int32),
+        albedo=jnp.array([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0]], jnp.float32),
+        fuzz=jnp.zeros(2, jnp.float32),
+        ior=jnp.array([1.5, 1.0], jnp.float32))
+    cam = make_camera((0, 0, 0), (1.0, 0.0, -2.83), (0, 1, 0), w / h,
+                      10.0, 0.0, 1.0)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    spp = 64
+    base = render_pixels_impl(scene, cam, ids, jax.random.key(3),
+                              width=w, height=h, spp=spp, wave_spp=spp,
+                              max_depth=6, camera_mode="pinhole",
+                              options=DEFAULT)
+    target = base - 0.5
+    kw = dict(width=w, height=h, spp=spp, max_depth=6,
+              camera_mode="pinhole", options=DEFAULT)
+
+    def loss_at(dr, rkey):
+        s = scene._replace(radii=scene.radii.at[0].add(dr))
+        img = render_pixels_impl(s, cam, ids, rkey, width=w, height=h,
+                                 spp=spp, wave_spp=spp, max_depth=6,
+                                 camera_mode="pinhole", options=DEFAULT)
+        return float(jnp.mean((img - target) ** 2))
+
+    eps = 0.01
+    fds = np.array([(loss_at(eps, jax.random.key(50 + k))
+                     - loss_at(-eps, jax.random.key(50 + k))) / (2 * eps)
+                    for k in range(4)])
+    truth = fds.mean()
+    assert truth > 0.06, fds  # the rim term is the signal here
+
+    def ad(skey):
+        g = jax.grad(render_loss)({"radii": scene.radii}, scene, cam,
+                                  target, ids, skey,
+                                  boundary_samples=1024,
+                                  engine="planar", **kw)
+        return float(g["radii"][0])
+
+    vals = np.array([ad(jax.random.key(100 + k)) for k in range(4)])
+    np.testing.assert_allclose(vals.mean(), truth, rtol=0.35,
+                               err_msg=str((vals, fds)))
+
+    # Tight-probe ablation (probe_diel_frac=0): the band blinds/confuses
+    # it -- measured ~4x off on this config.
+    from raytracinginoneweekend_tpu.ops.silhouette import (
+        boundary_surrogate)
+
+    cot = 2.0 * jax.lax.stop_gradient(base - target) / base.size
+
+    def bnd(frac, skey):
+        def f(radii):
+            return boundary_surrogate(
+                scene._replace(radii=radii), cam, "pinhole", cot, w, h,
+                skey, 6, DEFAULT, n_angles=1024, probe_diel_frac=frac)
+
+        return float(jax.grad(f)(scene.radii)[0])
+
+    tight = np.mean([bnd(0.0, jax.random.key(100 + k)) for k in range(3)])
+    deep = np.mean([bnd(0.15, jax.random.key(100 + k)) for k in range(3)])
+    assert abs(tight - truth) > 2.0 * abs(deep - truth), (tight, deep,
+                                                          truth)
+
+
+@pytest.mark.slow
 def test_boundary_grad_thinlens_aperture_integration():
     """Geometry FD parity under a DEFOCUSED thin-lens camera (nonzero
     aperture): the boundary term integrates over the lens, so gradients

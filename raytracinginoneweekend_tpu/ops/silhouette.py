@@ -592,9 +592,20 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
 
     # 4. Probe radiance just inside/outside the edge (common random
     # numbers; depth max_depth-1-vertex_depth = the continuation budget).
-    delta = jnp.minimum(probe_delta, 0.5 * jnp.arcsin(sin_b_sel)
-                        ).reshape(pk)[:, None, None]
-    w_in = math3.normalize(w_dir - delta * n_perp)
+    # DIELECTRIC candidates get the deep inside probe (the grazing-band
+    # treatment shared with boundary_surrogate and branchprob's chain
+    # probes): just inside a glass cone edge the band's radiance reads
+    # like the outside, so the tight probe misses the step.
+    beta_sel = jnp.arcsin(sin_b_sel).reshape(pk)[:, None, None]
+    delta = jnp.minimum(probe_delta, 0.5 * beta_sel)
+    from ..models.scene import DIELECTRIC as _DIEL
+    cand_diel = (scene_det.mtype[scene_det.material_index[j_flat]]
+                 == _DIEL).reshape(pk)[:, None, None]
+    delta_in = jnp.where(
+        cand_diel,
+        jnp.minimum(jnp.maximum(delta, 0.15 * beta_sel), 0.49 * beta_sel),
+        delta)
+    w_in = math3.normalize(w_dir - delta_in * n_perp)
     w_out = math3.normalize(w_dir + delta * n_perp)
     o_rep = jnp.broadcast_to(y_rep[:, None, :], (pk, e, 3)).reshape(-1, 3)
     pkeys = jax.vmap(jax.random.fold_in, (None, 0))(

@@ -394,7 +394,8 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
                                  max_depth: int, options: TraceOptions,
                                  n_angles: int = 8, n_spheres: int = 2,
                                  probe_delta: float = 2e-3,
-                                 vertex_depth: int = 0):
+                                 vertex_depth: int = 0,
+                                 probe_diel_frac: float = 0.15):
     """Surrogate scalar for the ONE-BOUNCE visibility boundary term.
 
     The continuation integral at a lambert or fuzzy-metal vertex y is
@@ -444,6 +445,19 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
       probe_delta: angular half-offset (radians) of the probe pair;
         clamped per candidate to half its cone half-angle so thin/far
         spheres keep an inside probe that actually hits.
+      probe_diel_frac: deep-inside-probe fraction for DIELECTRIC
+        candidates (the grazing-band treatment shared with
+        boundary_surrogate, where it is FD-validated on the glass-rim
+        reproducer). Honest status HERE: on a glass-shadow reproducer
+        (gray ground, glass overhead, black occluder above it) the
+        term's isolated contribution could not be FD-separated -- the
+        config's truth (-0.017 +- 0.005 d/d r_glass) is dominated by
+        the depth-1 delta-lobe channels of rays entering the glass
+        directly (branchprob territory), and both probe depths read a
+        small positive rim term (tight +0.009, deep +0.007). The deep
+        probe ships for consistency with the validated camera-level
+        treatment; the glass-shadow family stays on the measured
+        residual list (ops/branchprob.py docstring).
     Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
     """
     from . import math3
@@ -603,7 +617,8 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
                  == _DIEL).reshape(pk)[:, None, None]
     delta_in = jnp.where(
         cand_diel,
-        jnp.minimum(jnp.maximum(delta, 0.15 * beta_sel), 0.49 * beta_sel),
+        jnp.minimum(jnp.maximum(delta, probe_diel_frac * beta_sel),
+                    0.49 * beta_sel),
         delta)
     w_in = math3.normalize(w_dir - delta_in * n_perp)
     w_out = math3.normalize(w_dir + delta * n_perp)

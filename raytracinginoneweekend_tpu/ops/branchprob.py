@@ -349,6 +349,27 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     # mirrors have a single reflect branch of weight 1.
     p_step = det(jnp.where(k_att < 0.0, 1.0, schlick_att))
     active_delta = alive & hit & (is_diel | is_mirror)
+    # GRAZING-ENTRY OWNERSHIP GATE (late round 4): a camera-facing
+    # (vertex_depth == 0) dielectric vertex whose entry grazes its own
+    # rim -- impact parameter within rim_frac of the radius,
+    # |cos| < sqrt(1 - (1 - rim_frac)^2) -- sits in the zone whose
+    # radiance step the CAMERA boundary term's dielectric deep probe
+    # already proxies (silhouette.boundary_surrogate probe_diel_frac;
+    # the band and every near-rim chain crossing translate rigidly with
+    # the rim). Firing the sweep there both double-counts the rim mass
+    # and is exactly the lens-magnified heavy-tailed regime this
+    # estimator samples worst (the mirror-chain postmortem,
+    # ARCHITECTURE.md). Measured on the glass-on-black rim reproducer:
+    # ungated sweep claims 0.39 +- 0.18 SE on top of the rim term's
+    # FD-exact 0.123; gated it returns to ~0 and the total matches FD.
+    # Deeper vertices keep every lane (their rims are owned by the
+    # secondary term only at non-delta vertices; see the module
+    # docstring's ownership map).
+    rim_frac = 0.15  # = boundary_surrogate's probe_diel_frac default
+    if vertex_depth == 0:
+        grazing_cos = (1.0 - (1.0 - rim_frac) ** 2) ** 0.5
+        active_delta = active_delta & (
+            is_mirror | (cos_abs >= grazing_cos))
     prob_reflect = jnp.where(is_mirror, 1.0, p_step)
     prob_refract = jnp.where(is_diel, 1.0 - p_step, 0.0)
     h = sweep_bandwidth

@@ -138,15 +138,19 @@ reproducer configs:
     the OPPOSITE sign of the true dI). The same term WITHOUT the
     occluder under-claims (-0.005 vs FD -0.018). Pinned by the
     reproducer test.
-  * GLASS-RIM / SWEEP OVERLAP: on a glass-on-black-field rim reproducer
-    (tests/test_silhouette.py::
-    test_glass_rim_deep_probe_matches_finite_differences) the
-    silhouette term with the dielectric deep probe alone reaches FD
-    parity (0.123 vs 0.124 +- 0.020), but this sweep's near-rim
-    wall-cone crossings measure a heavy-tailed mean of 0.39 +- 0.18 SE
-    on the same config -- a possible partial double count of the rim
-    band when BOTH rr_grad and boundary_samples are enabled on glass
-    rims; unresolved at reproducer noise levels.
+  * GLASS-RIM / SWEEP OVERLAP -- RESOLVED (round 5): the round-4
+    suspicion of a partial rim-band double count when BOTH rr_grad and
+    boundary_samples are on (a noise-limited 0.39 +- 0.18 SE claim) was
+    decided by the CRN-paired ownership study
+    (scripts/rim_ownership.py -> docs/RIM_OWNERSHIP_r05.json, 48 keys):
+    on the rim reproducer interior AD is 0, the boundary term is
+    +0.125 +- 0.006, the RR term +0.49 +- 0.03 and the sweep
+    -0.42 +- 0.03 -- the delta-lobe pair largely CANCELS and the full
+    ungated total (0.196 +- 0.042) matches FD truth (0.112 +- 0.005)
+    within 2 SE, while ceding the rim band leaves the total 17 SE high.
+    Ownership map: the boundary term owns the rim's geometric motion;
+    the RR + sweep pair jointly own the Schlick/TIR branch mass and
+    must always run TOGETHER, ungated (raytracer.hxx:179-191).
   * reflect-of-reflect arms (second-order internal RR): unmeasured on
     shipped scenes (no failing config found; the first-order arms are
     within 2.5% of FD on the config built to expose them).
@@ -204,6 +208,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                                  probe_delta: float = 2e-3,
                                  probe_delta_diel: float = 0.05,
                                  chain_rr_arms: int = 2,
+                                 boundary_rim_frac: float | None = None,
                                  _detach_prefix: bool = False,
                                  _rr_term: bool = True,
                                  _sweep_term: bool = True):
@@ -231,6 +236,19 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         round-3 scope extension; 0 restores the refract-chain-only
         estimator. Arms beyond the first reflection per interface
         (reflect-of-reflect) remain out of scope.
+      boundary_rim_frac: ABLATION ONLY -- a float drops vertex_depth-0
+        dielectric sweep lanes whose entry grazes the rim (impact
+        parameter within that fraction of the radius). The late-r4
+        "grazing-entry ownership gate" hypothesis (the camera boundary
+        term's deep probe owns that band, so the sweep should cede it)
+        was REFUTED by the CRN-paired ownership study
+        (docs/RIM_OWNERSHIP_r05.json, 48 keys, scripts/rim_ownership.py):
+        on the rim reproducer the band's sweep mass (-0.42 +- 0.03) is a
+        canceling pair with the RR term (+0.49 +- 0.03) -- gating it
+        leaves the total 17 SE above FD truth while the ungated total
+        matches within 2 SE. Production callers (render_loss) always
+        pass None (no gate); the unconditional r4 gate additionally
+        collapsed rr_grad-only glass-ior gradients (VERDICT r4 #1).
       _detach_prefix: ablation switch for tests -- walk the prefix on
         the detached scene (the round-3 behavior), dropping the
         prefix-motion channel of dp/dtheta.
@@ -349,25 +367,25 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     # mirrors have a single reflect branch of weight 1.
     p_step = det(jnp.where(k_att < 0.0, 1.0, schlick_att))
     active_delta = alive & hit & (is_diel | is_mirror)
-    # GRAZING-ENTRY OWNERSHIP GATE (late round 4): a camera-facing
-    # (vertex_depth == 0) dielectric vertex whose entry grazes its own
-    # rim -- impact parameter within rim_frac of the radius,
-    # |cos| < sqrt(1 - (1 - rim_frac)^2) -- sits in the zone whose
-    # radiance step the CAMERA boundary term's dielectric deep probe
-    # already proxies (silhouette.boundary_surrogate probe_diel_frac;
-    # the band and every near-rim chain crossing translate rigidly with
-    # the rim). Firing the sweep there both double-counts the rim mass
-    # and is exactly the lens-magnified heavy-tailed regime this
-    # estimator samples worst (the mirror-chain postmortem,
-    # ARCHITECTURE.md). Measured on the glass-on-black rim reproducer:
-    # ungated sweep claims 0.39 +- 0.18 SE on top of the rim term's
-    # FD-exact 0.123; gated it returns to ~0 and the total matches FD.
-    # Deeper vertices keep every lane (their rims are owned by the
-    # secondary term only at non-delta vertices; see the module
-    # docstring's ownership map).
-    rim_frac = 0.15  # = boundary_surrogate's probe_diel_frac default
-    if vertex_depth == 0:
-        grazing_cos = (1.0 - (1.0 - rim_frac) ** 2) ** 0.5
+    # GRAZING-ENTRY GATE (late round 4; REFUTED and demoted to an
+    # ablation in round 5): the r4 hypothesis -- the camera boundary
+    # term's dielectric deep probe owns the vertex_depth-0 rim band
+    # (impact parameter within boundary_rim_frac of the radius,
+    # |cos| < sqrt(1 - (1 - frac)^2)), so the sweep should cede those
+    # lanes -- was decided AGAINST by the CRN-paired ownership study
+    # (scripts/rim_ownership.py -> docs/RIM_OWNERSHIP_r05.json, 48 keys
+    # with gated/ungated sharing every probe key): on the rim-zoom
+    # reproducer the band's sweep mass is -0.42 +- 0.03 against the RR
+    # term's +0.49 +- 0.03 -- a canceling PAIR, not a double count of
+    # the boundary term's 0.125. Gating one leg leaves the total 17 SE
+    # above FD truth (0.61 vs 0.11); ungated matches within 2 SE. The
+    # r4 2.2-sigma "0.39 +- 0.18" claim does not reproduce under CRN.
+    # Production callers never gate (inverse.py passes None); the knob
+    # remains for the reproducer test and future ownership studies. The
+    # unconditional r4 gate also collapsed rr_grad-only glass-ior
+    # gradients to 58% of FD (VERDICT r4 weak #1).
+    if vertex_depth == 0 and boundary_rim_frac is not None:
+        grazing_cos = (1.0 - (1.0 - boundary_rim_frac) ** 2) ** 0.5
         active_delta = active_delta & (
             is_mirror | (cos_abs >= grazing_cos))
     prob_reflect = jnp.where(is_mirror, 1.0, p_step)

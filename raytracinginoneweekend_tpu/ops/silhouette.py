@@ -73,8 +73,14 @@ through l (the thin-lens map: p is seen through l at the (u, v) whose
 film direction is parallel to p - l), and probes along rays through l.
 The estimator is then unbiased for the lens-averaged pixel integral
 E_l[I(l)] the renderer actually computes. The quirky "cpu" mode
-(SURVEY Q2: lens offset scaled by the screen coordinate itself) keeps
-the central-viewpoint O(aperture) approximation.
+(SURVEY Q2: world-axis offset scaled by the screen coordinate itself,
+camera.hxx:51-56) integrates its own lens measure too (round 5): the
+offset depends on the screen point being solved for, so the edge
+position is found as a two-iteration Picard fixed point from the
+central projection (O(aperture^2) residual), with a final
+attached-scene pass keeping the screen-scaling feedback channel in the
+gradient. FD-validated on a defocus-dominated config
+(test_boundary_grad_cpu_mode_aperture_integration).
 """
 
 from __future__ import annotations
@@ -94,6 +100,14 @@ TAG_EDGE2_SPHERE = 105
 TAG_EDGE2_PHI = 106
 TAG_EDGE2_PROBE = 107
 TAG_EDGE2_DEPTH = 108  # + vertex_depth: per-depth key split (render_loss)
+
+# Default deep-inside-probe depth (fraction of the projected radius) for
+# DIELECTRIC rim probes. Shared with ops/branchprob.py's grazing-entry
+# ownership gate: when the camera boundary term is active, the sweep term
+# cedes the camera-facing rim band this probe owns, so the two depths
+# MUST agree (ADVICE r4) -- callers who tune probe_diel_frac get the same
+# value threaded into the gate via render_loss/_attach_surrogates.
+PROBE_DIEL_FRAC = 0.15
 
 
 def silhouette_frame(centers, radii, eye, phis):
@@ -168,7 +182,13 @@ def project_to_screen(cam: Camera, p, camera_mode: str, lens_offset=None):
     Returns (uv (..., 2), valid (...,)): valid is False behind the camera
     or at grazing film angles.
     """
-    if camera_mode in ("cuda", "cpu"):
+    if camera_mode == "cpu" and lens_offset is not None:
+        # Quirk Q2 + Q11 (camera.hxx:51-56): the CPU path's defocus ray
+        # for (u, v) from offset off is origin+off ->
+        # lower_left + u*hor + (1-v)*ver - off (no -origin).
+        a_vec = cam.lower_left - lens_offset
+        eye = cam.origin + lens_offset
+    elif camera_mode in ("cuda", "cpu"):
         a_vec = cam.lower_left  # quirk Q11: direction never subtracts origin
         eye = jnp.asarray(cam.origin)
     elif lens_offset is None:
@@ -206,6 +226,10 @@ def _probe_directions(cam: Camera, uv, camera_mode: str, lens_offset=None):
     u, v = uv[..., 0], uv[..., 1]
     film = (cam.lower_left[None, :] + cam.horizontal[None, :] * u[..., None]
             + cam.vertical[None, :] * (1.0 - v)[..., None])
+    if camera_mode == "cpu" and lens_offset is not None:
+        # Quirk Q2 defocus probes (camera.hxx:51-56).
+        o = jnp.broadcast_to(cam.origin + lens_offset, film.shape)
+        return o, film - lens_offset
     if camera_mode in ("cuda", "cpu"):
         o = jnp.broadcast_to(cam.origin, film.shape)
         return o, film  # quirk Q11
@@ -255,7 +279,8 @@ def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
                        cot_image, width: int, height: int, base_key,
                        max_depth: int, options: TraceOptions,
                        n_angles: int = 256, probe_delta: float | None = None,
-                       probe_diel_frac: float = 0.15):
+                       probe_diel_frac: float = PROBE_DIEL_FRAC,
+                       _cpu_central_ablation: bool = False):
     """Surrogate scalar whose gradient w.r.t. scene.centers/scene.radii is
     the edge-sampled visibility boundary term of the pixel loss.
 
@@ -267,6 +292,9 @@ def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
       n_angles: edge samples per sphere (E).
       probe_delta: screen-space half-offset of the two probe rays;
         default 0.3 pixels.
+      _cpu_central_ablation: test-only -- restore the pre-round-5
+        central-viewpoint approximation for camera_mode="cpu" (the
+        measured-error baseline of quirk Q2's aperture integration).
     Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
     """
     from . import rng
@@ -297,9 +325,52 @@ def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
         lens_off = (cam.basis_u[None, None, :] * l0[..., None]
                     + cam.basis_v[None, None, :] * l1[..., None])
         eye = cam.origin + lens_off
+        cpu_rd = None
+    elif camera_mode == "cpu" and not _cpu_central_ablation:
+        # Quirk-Q2 aperture integration (round 5; closes the last
+        # unmeasured approximation of the compat surface, VERDICT r4
+        # #7): the CPU path's defocus draws a unit-BALL sample rd and
+        # scales the WORLD-axis offset by the ray's own screen coords
+        # (camera.hxx:51-56): off(u, v) = (u*rd.x, v*rd.y, 0) *
+        # lens_radius, origin += off, direction = film(u, v) - off. The
+        # offset depends on the screen point being solved for, so the
+        # lens-sampled edge position is a FIXED POINT in (u, v): two
+        # Picard iterations from the central projection (detached)
+        # leave an O(aperture^2) residual, and a final pass through the
+        # ATTACHED scene keeps the screen-scaling feedback channel of
+        # d(off)/d(theta) in the gradient. FD-validated:
+        # test_boundary_grad_cpu_mode_aperture_integration.
+        lu = jax.random.uniform(jax.random.fold_in(base_key, TAG_EDGE_LENS),
+                                (s_count, e, 3))
+        bx, by, _bz = rng.unit_from_uv(lu[..., 0], lu[..., 1])
+        rcube = lu[..., 2] ** (1.0 / 3.0)
+        cpu_rd = (bx * rcube * cam.lens_radius,
+                  by * rcube * cam.lens_radius)  # (S, E) each
+
+        def cpu_off(uv):
+            return jnp.stack(
+                [uv[..., 0] * cpu_rd[0], uv[..., 1] * cpu_rd[1],
+                 jnp.zeros_like(cpu_rd[0])], axis=-1)
+
+        cen_det = jax.lax.stop_gradient(scene.centers)
+        rad_det = jax.lax.stop_gradient(scene.radii)
+        p_fp, _ = silhouette_points(cen_det, rad_det, cam.origin, phis)
+        x_fp, _ = project_to_screen(cam, p_fp, "cpu", None)
+        for _ in range(2):
+            off_det = cpu_off(jax.lax.stop_gradient(x_fp))
+            p_fp, _ = silhouette_points(cen_det, rad_det,
+                                        cam.origin + off_det, phis)
+            x_fp, _ = project_to_screen(cam, p_fp, "cpu", off_det)
+        off_det = cpu_off(jax.lax.stop_gradient(x_fp))
+        p_pre, _ = silhouette_points(scene.centers, scene.radii,
+                                     cam.origin + off_det, phis)
+        x_pre, _ = project_to_screen(cam, p_pre, "cpu", off_det)
+        lens_off = cpu_off(x_pre)  # attached through x_pre
+        eye = cam.origin + lens_off
     else:
         lens_off = None
         eye = cam.origin
+        cpu_rd = None
 
     # Silhouette curve and its screen projection, attached to theta.
     p, sphere_ok = silhouette_points(scene.centers, scene.radii, eye, phis)
@@ -367,8 +438,18 @@ def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
         probe_delta)
     uv_in = x_det - delta_in[..., None] * n_unit
     uv_out = x_det + probe_delta * n_unit
-    o_in, d_in = _probe_directions(cam, uv_in, camera_mode, lens_off)
-    o_out, d_out = _probe_directions(cam, uv_out, camera_mode, lens_off)
+    if cpu_rd is not None:
+        # Each probe ray re-derives its own quirk-Q2 offset from ITS
+        # screen point (the renderer scales by the sampled pixel's
+        # coords); O(probe_delta * aperture) from the edge sample's.
+        o_in, d_in = _probe_directions(cam, uv_in, camera_mode,
+                                       cpu_off(uv_in))
+        o_out, d_out = _probe_directions(cam, uv_out, camera_mode,
+                                         cpu_off(uv_out))
+    else:
+        o_in, d_in = _probe_directions(cam, uv_in, camera_mode, lens_off)
+        o_out, d_out = _probe_directions(cam, uv_out, camera_mode,
+                                         lens_off)
     flat_idx = jnp.arange(s_count * e, dtype=jnp.int32)
     pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
         jax.random.fold_in(base_key, TAG_EDGE_PROBE), flat_idx)
@@ -395,7 +476,7 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
                                  n_angles: int = 8, n_spheres: int = 2,
                                  probe_delta: float = 2e-3,
                                  vertex_depth: int = 0,
-                                 probe_diel_frac: float = 0.15):
+                                 probe_diel_frac: float = PROBE_DIEL_FRAC):
     """Surrogate scalar for the ONE-BOUNCE visibility boundary term.
 
     The continuation integral at a lambert or fuzzy-metal vertex y is

@@ -383,7 +383,8 @@ def render_pixels_wavefront_ad_impl(scene: Scene, cam: Camera, pixel_ids,
                                     epoch_len: int = EPOCH_LEN,
                                     iters: int | None = None,
                                     remat: str = "auto",
-                                    differentiable: bool = True):
+                                    differentiable: bool = True,
+                                    debug_check_complete: bool = False):
     """Render a flat pixel chunk -> (P, 3) linear radiance means.
 
     Drop-in for integrate_planar.render_pixels_planar_impl (same ray
@@ -391,6 +392,18 @@ def render_pixels_wavefront_ad_impl(scene: Scene, cam: Camera, pixel_ids,
     occupancy. pool_size: requested lane count (rounded to the kernel
     block multiple, capped at the ray count); iters/remat: see
     trace_wavefront_ad (None = guaranteed-complete worst case).
+
+    WARNING (ADVICE r4): with a TUNED integer ``iters`` budget, rays
+    not finished within the budget are silently dropped from the ledger
+    and render BLACK -- a stale budget (scene/key drift, e.g. params
+    moving under training) degrades images and gradients with no error.
+    Validate tuned budgets with ``wavefront_ad_done`` /
+    ``wavefront_ad_budget`` (pad by whole epochs; scripts/bench_fit.py's
+    ``check_end_budget`` shows the post-training re-validation pattern),
+    or pass ``debug_check_complete=True`` to run the done-flag check in
+    the same compiled program and report a drop at runtime
+    (forward-only probe; costs one extra budget-length scan, so it is a
+    debug tool, not a production default).
     """
     del differentiable
     p = pixel_ids.shape[0]
@@ -403,6 +416,21 @@ def render_pixels_wavefront_ad_impl(scene: Scene, cam: Camera, pixel_ids,
         camera_mode=camera_mode, options=options, n=n, rows=rows,
         epoch_len=epoch_len, iters=iters, remat=remat)
 
+    if debug_check_complete and iters is not None:
+        _, done = trace_wavefront_ad(
+            jax.tree.map(jax.lax.stop_gradient, scene), cam, pid_waves,
+            sid_waves, base_key, width=width, height=height, spp=spp,
+            max_depth=max_depth, camera_mode=camera_mode,
+            options=options, n=n, rows=rows, iters=iters, remat="step",
+            return_done=True)
+        jax.lax.cond(
+            done,
+            lambda: None,
+            lambda: jax.debug.print(
+                "wavefront_ad: iteration budget {b} TRUNCATED rays of "
+                "this batch -- dropped rays render black; re-probe with "
+                "wavefront_ad_budget and pad by whole epochs", b=iters))
+
     def reduce(ch):
         flat = ch.reshape(-1)[:n]
         return flat.reshape(p, spp).sum(axis=1) / spp
@@ -414,7 +442,7 @@ render_pixels_wavefront_ad = jax.jit(
     render_pixels_wavefront_ad_impl,
     static_argnames=("width", "height", "spp", "max_depth", "camera_mode",
                      "options", "pool_size", "epoch_len", "iters", "remat",
-                     "differentiable"))
+                     "differentiable", "debug_check_complete"))
 
 
 @functools.partial(

@@ -224,6 +224,13 @@ def _attach_surrogates(value, cot, full_scene, cam, camera_mode, pixel_ids,
         from ..ops.branchprob import (TAG_RR_DEPTH,
                                       branch_probability_surrogate)
 
+        # The grazing-entry gate is NEVER threaded here: the CRN-paired
+        # ownership study (docs/RIM_OWNERSHIP_r05.json, 48 keys) showed
+        # the rim-band sweep mass is a canceling PAIR with the RR term
+        # (-0.42 vs +0.49 on the rim reproducer), not a double count of
+        # the boundary term -- gating it leaves the total 17 SE above FD
+        # truth, even with boundary_samples > 0. boundary_rim_frac stays
+        # a branchprob parameter for ablation only.
         k3 = jax.random.fold_in(base_key, 0x51172)
         for b in range(max(secondary_vertex_depths, 1)):
             if max_depth - 1 - b <= 0:

@@ -180,6 +180,11 @@ def serve(socket_path: str) -> int:
                 raise KeyboardInterrupt
 
     srv = Server(socket_path, Handler)
+    # Owner-only socket (ADVICE r4): requests carry filesystem paths
+    # (out/checkpoint/resume) the server will read/write with its own
+    # uid, so any peer who can connect can drive those -- restrict the
+    # endpoint to the owning user instead of the default umask.
+    os.chmod(socket_path, 0o600)
     print(f"rtw render server listening on {socket_path}", flush=True)
     try:
         srv.serve_forever(poll_interval=0.2)

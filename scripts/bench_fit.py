@@ -192,6 +192,50 @@ def flagship():
     planar = arm(scene, cam, target, pixel_ids, "planar_fixed_depth",
                  engine="planar", **kw)
 
+    # FULL gradient machinery at flagship scale (VERDICT r4 #2): the
+    # boundary + secondary + rr_grad surrogates -- the terms that make
+    # ior and silhouette gradients correct (re-expressing the visibility
+    # discontinuities of raytracer.hxx:120-199 / main.cxx:52-75) -- on
+    # the SAME huge/d50/131k-ray workload, added CUMULATIVELY so each
+    # term's marginal ms/step is its own two-point phase share
+    # (boundary = b - interior, secondary = bs - b, rr = full - bs).
+    # Same sample counts as the small tier's "full" arm.
+    sur_b = dict(boundary_samples=512)
+    sur_bs = dict(boundary_samples=512, secondary_samples=4,
+                  secondary_vertex_depths=2)
+    sur_full = dict(boundary_samples=512, secondary_samples=4,
+                    secondary_vertex_depths=2, rr_grad=True)
+    wf_b, p_b = arm(scene, cam, target, pixel_ids, "wavefront_boundary",
+                    engine="wavefront", engine_opts=wf_opts,
+                    return_params=True, **sur_b, **kw)
+    check_end_budget(DEFAULT, budget, p_b)
+    wf_bs, p_bs = arm(scene, cam, target, pixel_ids,
+                      "wavefront_boundary_secondary",
+                      engine="wavefront", engine_opts=wf_opts,
+                      return_params=True, **sur_bs, **kw)
+    check_end_budget(DEFAULT, budget, p_bs)
+    wf_full, p_full = arm(scene, cam, target, pixel_ids,
+                          "wavefront_full_surrogate",
+                          engine="wavefront", engine_opts=wf_opts,
+                          return_params=True, **sur_full, **kw)
+    check_end_budget(DEFAULT, budget, p_full)
+    base_ms = wavefront["ms_per_step"]
+    full_ms = wf_full["ms_per_step"]
+    phase_ms = {
+        "interior": base_ms,
+        "boundary": wf_b["ms_per_step"] - base_ms,
+        "secondary": wf_bs["ms_per_step"] - wf_b["ms_per_step"],
+        "rr_grad": full_ms - wf_bs["ms_per_step"],
+    }
+    full_surrogate = {
+        "samples": sur_full,
+        "arms": {"boundary": wf_b, "boundary_secondary": wf_bs,
+                 "full": wf_full},
+        "phase_ms": phase_ms,
+        "phase_share": {k: v / full_ms for k, v in phase_ms.items()},
+        "full_to_interior_ratio": full_ms / base_ms,
+    }
+
     # Forward-only floor on the same workload (same pool/budget), scanned
     # like the arms so the tunnel dispatch cost amortizes identically.
     def fwd_many():
@@ -223,9 +267,11 @@ def flagship():
         "wavefront_rr_stratified": wavefront_toolbox,
         "wavefront_worstcase_budget": wavefront_safe,
         "planar": planar,
+        "full_surrogate": full_surrogate,
         "forward_only_ms": fwd_ms,
         "forward_only_rays_per_s": rays / (fwd_ms / 1e3),
         "grad_to_forward_ratio": wavefront["ms_per_step"] / fwd_ms,
+        "full_surrogate_to_forward_ratio": full_ms / fwd_ms,
         "speedup_vs_fixed_depth": (wavefront["grad_rays_per_s"]
                                    / planar["grad_rays_per_s"]),
     }

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Decide the glass-rim / sweep ownership question with CRN pairing.
+
+VERDICT r4 #3: the grazing-entry ownership gate (ops/branchprob.py) was
+justified by a 2.2-sigma reproducer (ungated sweep claims 0.39 +- 0.18 SE
+of d(loss)/d(radius) on the glass-on-black rim zoom, on top of the
+boundary term's FD-exact 0.123). This script re-decides the question with
+variance-reduced statistics:
+
+  * COMMON RANDOM NUMBERS: the gated and ungated sweep estimates share
+    every probe key, so their difference -- the rim-band lanes' claim --
+    is measured exactly per key (the shared lanes cancel), not as a
+    difference of two noisy means.
+  * >= 32 keys per estimator (configurable), trimmed means reported next
+    to raw means for the heavy-tailed sweep.
+  * The full decomposition per key: interior AD, camera boundary term
+    (deep dielectric probe), RR branch-flip term, gated sweep, rim-band
+    claim, plus FD truth across its own key set.
+
+Hypotheses on the reproducer (camera zoomed so the frame holds exactly
+{black field | glass rim | bright deflection annulus}; reference ground
+/root/reference/src/raytracer.hxx:179-191 -- the Schlick-RR branch the
+sweep differentiates):
+
+  H_gate: the rim band is already owned by the boundary term's deep
+      probe; FD ~= interior + boundary + rr + GATED sweep, and the
+      ungated total overshoots by the claim.
+  H_keep: the band is NOT a double count; FD ~= ungated total.
+
+Writes docs/RIM_OWNERSHIP_r05.json with every arm's mean/SE/trimmed mean
+and the residuals vs FD under both hypotheses.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinginoneweekend_tpu.config import DEFAULT
+from raytracinginoneweekend_tpu.models.camera import make_camera
+from raytracinginoneweekend_tpu.models.scene import (DIELECTRIC, LAMBERT,
+                                                     Scene)
+from raytracinginoneweekend_tpu.ops.branchprob import (
+    branch_probability_surrogate)
+from raytracinginoneweekend_tpu.ops.silhouette import (PROBE_DIEL_FRAC,
+                                                       boundary_surrogate)
+from raytracinginoneweekend_tpu.optim import render_loss
+from raytracinginoneweekend_tpu.render import render_pixels_impl
+
+W, H = 48, 36
+SPP = 64
+DEPTH = 6
+N_KEYS = int(os.environ.get("RIM_KEYS", "48"))
+N_FD = int(os.environ.get("RIM_FD_KEYS", "16"))
+FD_EPS = 0.01
+
+
+def rim_scene() -> Scene:
+    return Scene(
+        centers=jnp.array([[0.0, 0.0, -3.0], [0.0, 0.0, -60.0]],
+                          jnp.float32),
+        radii=jnp.array([1.0, 50.0], jnp.float32),
+        material_index=jnp.array([0, 1], jnp.int32),
+        mtype=jnp.array([DIELECTRIC, LAMBERT], jnp.int32),
+        albedo=jnp.array([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0]], jnp.float32),
+        fuzz=jnp.zeros(2, jnp.float32),
+        ior=jnp.array([1.5, 1.0], jnp.float32))
+
+
+def stats(xs):
+    xs = np.asarray(xs, np.float64)
+    n = xs.size
+    k = max(int(round(0.1 * n)), 1)
+    trimmed = np.sort(xs)[k:-k] if n > 2 * k else xs
+    return {
+        "mean": float(xs.mean()),
+        "se": float(xs.std(ddof=1) / np.sqrt(n)),
+        "trimmed_mean": float(trimmed.mean()),
+        "trimmed_se": float(trimmed.std(ddof=1) / np.sqrt(trimmed.size)),
+        "n": int(n),
+    }
+
+
+def main():
+    scene = rim_scene()
+    cam = make_camera((0, 0, 0), (1.0, 0.0, -2.83), (0, 1, 0), W / H,
+                      10.0, 0.0, 1.0)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    base = render_pixels_impl(scene, cam, ids, jax.random.key(3),
+                              width=W, height=H, spp=SPP, wave_spp=SPP,
+                              max_depth=DEPTH, camera_mode="pinhole",
+                              options=DEFAULT)
+    target = base - 0.5
+    cot = 2.0 * jax.lax.stop_gradient(base - target) / base.size
+    cot_image = cot  # ids == all pixels, already dense
+
+    # --- FD truth (its own key set; fresh render noise per key) ---
+    def loss_at(dr, rkey):
+        s = scene._replace(radii=scene.radii.at[0].add(dr))
+        img = render_pixels_impl(s, cam, ids, rkey, width=W, height=H,
+                                 spp=SPP, wave_spp=SPP, max_depth=DEPTH,
+                                 camera_mode="pinhole", options=DEFAULT)
+        return jnp.mean((img - target) ** 2)
+
+    loss_at = jax.jit(loss_at, static_argnums=())
+    fds = []
+    for k in range(N_FD):
+        rk = jax.random.key(50 + k)
+        fds.append(float((loss_at(FD_EPS, rk) - loss_at(-FD_EPS, rk))
+                         / (2 * FD_EPS)))
+    fd = stats(fds)
+
+    # --- interior AD (no surrogates), across its key set ---
+    @jax.jit
+    def interior_grad(skey):
+        g = jax.grad(render_loss)(
+            {"radii": scene.radii}, scene, cam, target, ids, skey,
+            width=W, height=H, spp=SPP, max_depth=DEPTH,
+            camera_mode="pinhole", options=DEFAULT, engine="planar")
+        return g["radii"][0]
+
+    # --- camera boundary term (deep dielectric probe) ---
+    @jax.jit
+    def boundary_grad(skey):
+        def f(radii):
+            return boundary_surrogate(
+                scene._replace(radii=radii), cam, "pinhole", cot_image,
+                W, H, skey, DEPTH, DEFAULT, n_angles=1024,
+                probe_diel_frac=PROBE_DIEL_FRAC)
+        return jax.grad(f)(scene.radii)[0]
+
+    # --- sweep term, CRN-paired gated vs ungated + rr term ---
+    def sweep_grad(skey, rim_frac, rr, sweep):
+        def f(radii):
+            return branch_probability_surrogate(
+                scene._replace(radii=radii), cam, "pinhole", cot, ids,
+                W, H, skey, DEPTH, DEFAULT,
+                boundary_rim_frac=rim_frac, _rr_term=rr,
+                _sweep_term=sweep)
+        return jax.grad(f)(scene.radii)[0]
+
+    sweep_full_j = jax.jit(lambda k: sweep_grad(k, None, False, True))
+    sweep_gate_j = jax.jit(
+        lambda k: sweep_grad(k, PROBE_DIEL_FRAC, False, True))
+    rr_j = jax.jit(lambda k: sweep_grad(k, None, True, False))
+
+    rows = {"interior": [], "boundary": [], "rr": [], "sweep_full": [],
+            "sweep_gated": [], "claim": []}
+    for k in range(N_KEYS):
+        sk = jax.random.key(100 + k)
+        full = float(sweep_full_j(sk))
+        gated = float(sweep_gate_j(sk))
+        rows["interior"].append(float(interior_grad(sk)))
+        rows["boundary"].append(float(boundary_grad(sk)))
+        rows["rr"].append(float(rr_j(sk)))
+        rows["sweep_full"].append(full)
+        rows["sweep_gated"].append(gated)
+        rows["claim"].append(full - gated)  # CRN-exact per key
+
+    arms = {name: stats(vals) for name, vals in rows.items()}
+
+    # Totals + residuals vs FD under each hypothesis (per-key sums so
+    # the SEs are honest about cross-arm covariance from the shared key).
+    per_key = np.array([rows["interior"], rows["boundary"], rows["rr"]])
+    total_gated = per_key.sum(0) + np.array(rows["sweep_gated"])
+    total_full = per_key.sum(0) + np.array(rows["sweep_full"])
+    res_gated = stats(total_gated - fd["mean"])
+    res_full = stats(total_full - fd["mean"])
+    # Combined SE includes FD noise on the truth side.
+    comb = lambda r: float(np.hypot(r["se"], fd["se"]))
+
+    claim = arms["claim"]
+    sig_claim = abs(claim["mean"]) / max(claim["se"], 1e-12)
+    z_gated = abs(res_gated["mean"]) / max(comb(res_gated), 1e-12)
+    z_full = abs(res_full["mean"]) / max(comb(res_full), 1e-12)
+    if z_full < 2.0 and z_gated >= 2.0:
+        verdict = "H_keep: ungated total matches FD; the gate removes real mass"
+    elif z_gated < 2.0 and z_full >= 2.0:
+        verdict = "H_gate: rim band is a double count; gated total matches FD"
+    elif z_full < 2.0 and z_gated < 2.0:
+        verdict = ("inconclusive-on-totals: both totals within 2 SE of FD; "
+                   "decide by the claim's own significance")
+    else:
+        verdict = "neither total matches FD within 2 SE -- investigate"
+
+    out = {
+        "config": {"scene": "glass_on_black_rim_zoom", "w": W, "h": H,
+                   "spp": SPP, "max_depth": DEPTH, "fd_eps": FD_EPS,
+                   "n_keys": N_KEYS, "n_fd_keys": N_FD,
+                   "probe_diel_frac": PROBE_DIEL_FRAC,
+                   "device": jax.devices()[0].platform},
+        "fd_truth": fd,
+        "arms": arms,
+        "totals": {"gated": stats(total_gated), "ungated": stats(total_full)},
+        "residual_vs_fd": {"gated": {**res_gated, "z": z_gated},
+                           "ungated": {**res_full, "z": z_full}},
+        "claim_significance_sigma": sig_claim,
+        "verdict": verdict,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "RIM_OWNERSHIP_r05.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

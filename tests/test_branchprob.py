@@ -112,6 +112,66 @@ def test_rr_interior_blind_and_term_finite():
     assert abs(float(g2["ior"][0])) > 0.0
 
 
+def test_grazing_gate_is_conditional_on_boundary_term():
+    """The grazing-entry gate is ablation-only (VERDICT r4 weak #1: the
+    unconditional r4 gate collapsed rr_grad-only glass-ior gradients to
+    58% of FD; the round-5 CRN ownership study then refuted the gate
+    outright -- docs/RIM_OWNERSHIP_r05.json). Pins three facts: the
+    DEFAULT keeps the full sweep (production path is ungated); the
+    ablation knob, when threaded, measurably cedes rim mass; and the
+    ceded band scales with the threaded fraction (no hard-coded
+    0.15)."""
+    from raytracinginoneweekend_tpu.ops.branchprob import (
+        branch_probability_surrogate)
+    from raytracinginoneweekend_tpu.ops.silhouette import PROBE_DIEL_FRAC
+
+    # The glass-on-black rim-zoom reproducer (test_silhouette's glass-rim
+    # config): the frame is exactly the band the gate cedes, so the
+    # gated/ungated sweep gradients must differ there.
+    w, h = 48, 36
+    scene = Scene(
+        centers=jnp.array([[0.0, 0.0, -3.0], [0.0, 0.0, -60.0]],
+                          jnp.float32),
+        radii=jnp.array([1.0, 50.0], jnp.float32),
+        material_index=jnp.array([0, 1], jnp.int32),
+        mtype=jnp.array([DIELECTRIC, LAMBERT], jnp.int32),
+        albedo=jnp.array([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0]], jnp.float32),
+        fuzz=jnp.zeros(2, jnp.float32),
+        ior=jnp.array([1.5, 1.0], jnp.float32))
+    cam = make_camera((0, 0, 0), (1.0, 0.0, -2.83), (0, 1, 0), w / h,
+                      10.0, 0.0, 1.0)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    cot = jnp.ones((w * h, 3), jnp.float32)
+    key = jax.random.key(5)
+
+    def sur(params, **kw):
+        sc = scene._replace(radii=params["radii"])
+        return branch_probability_surrogate(
+            sc, cam, "pinhole", cot, ids, w, h, key, 6, DEFAULT,
+            _rr_term=False, **kw)
+
+    params = {"radii": scene.radii}
+    g_default = float(jax.grad(lambda p: sur(p))(params)["radii"][0])
+    g_full = float(jax.grad(
+        lambda p: sur(p, boundary_rim_frac=None))(params)["radii"][0])
+    g_gated = float(jax.grad(
+        lambda p: sur(p, boundary_rim_frac=PROBE_DIEL_FRAC)
+    )(params)["radii"][0])
+    g_narrow = float(jax.grad(
+        lambda p: sur(p, boundary_rim_frac=0.002))(params)["radii"][0])
+
+    # Default == ungated (rr_grad-only callers keep every sweep lane).
+    assert g_default == g_full
+    # The gate is live: ceding the rim band moves the sweep gradient.
+    assert abs(g_full - g_gated) > 1e-4 * max(abs(g_full), 1e-3), (
+        g_full, g_gated)
+    # The band tracks the THREADED fraction, not a baked-in constant: a
+    # near-zero fraction keeps lanes the 0.15 band cedes on this
+    # rim-zoom frame.
+    assert abs(g_narrow - g_gated) > 1e-4 * max(abs(g_narrow), 1e-3), (
+        g_narrow, g_gated)
+
+
 @pytest.mark.slow
 def test_rr_branch_flip_matches_finite_differences():
     """FD parity of the pure RR term: lone glass at depth 2, where the

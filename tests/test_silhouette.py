@@ -168,10 +168,11 @@ def test_glass_rim_deep_probe_matches_finite_differences():
     Measured (CPU, spp 64): FD truth d/dr = 0.124 +- 0.020;
     interior + boundary with the deep probe = 0.123 +- 0.020 SE --
     FD parity -- while the tight-probe ablation claims ~0.50 (4x).
-    Known residual (TODO/branchprob docstring): the rr_grad sweep's
-    near-rim wall-cone crossings may partially overlap this term on
-    glass rims (its heavy-tailed mean here is 0.39 +- 0.18 SE);
-    unresolved at reproducer noise levels."""
+    The once-suspected rr_grad sweep overlap on this band was resolved
+    in round 5 by the CRN-paired ownership study (scripts/
+    rim_ownership.py -> docs/RIM_OWNERSHIP_r05.json): the RR + sweep
+    pair largely cancels here (+0.49 / -0.42) and the full ungated
+    total still matches FD within 2 SE -- no double count."""
     from raytracinginoneweekend_tpu.models.scene import DIELECTRIC
     from raytracinginoneweekend_tpu.render import render_pixels_impl
 
@@ -241,6 +242,93 @@ def test_glass_rim_deep_probe_matches_finite_differences():
     deep = np.mean([bnd(0.15, jax.random.key(100 + k)) for k in range(3)])
     assert abs(tight - truth) > 2.0 * abs(deep - truth), (tight, deep,
                                                           truth)
+
+
+@pytest.mark.slow
+def test_boundary_grad_cpu_mode_aperture_integration():
+    """Quirk Q2 (camera.hxx:51-56, the dead CPU path's screen-scaled
+    unit-ball lens) loses its central-viewpoint approximation (round 5,
+    VERDICT r4 #7): the boundary term now solves the edge position as a
+    two-iteration Picard fixed point through the quirky lens map and
+    integrates over the ball. Measured on this defocus-dominated config
+    (aperture 0.6, focus on the far sphere; full sweep in
+    docs/CPU_LENS_r05.json): on the two blur-dominated components the
+    lens-integrated estimator lands within ~0.5% of FD while the
+    central-viewpoint ablation errs 4.5-8x more (centers_z err 0.0025
+    vs 0.0211, radius err 0.0046 vs 0.0209)."""
+    from raytracinginoneweekend_tpu.ops.silhouette import (
+        boundary_surrogate)
+    from raytracinginoneweekend_tpu.render import render_pixels_impl
+
+    w, h = 96, 72
+    scene = Scene(
+        centers=jnp.array([[0.0, 0.0, -1.0], [-0.55, 0.0, -2.4]],
+                          jnp.float32),
+        radii=jnp.array([0.35, 0.5], jnp.float32),
+        material_index=jnp.array([0, 0], jnp.int32),
+        mtype=jnp.array([LAMBERT, LAMBERT], jnp.int32),
+        albedo=jnp.array([[0.0, 0.0, 0.0]], jnp.float32),
+        fuzz=jnp.array([0.0], jnp.float32),
+        ior=jnp.array([1.0], jnp.float32))
+    cam = make_camera((0, 0, 0), (0, 0, -1), (0, 1, 0), w / h, 60.0, 0.6,
+                      2.4)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    spp = 64
+    base = render_pixels_impl(scene, cam, ids, jax.random.key(3), width=w,
+                              height=h, spp=spp, wave_spp=spp, max_depth=2,
+                              camera_mode="cpu", options=DEFAULT)
+    target = base - 0.5
+    cot = 2.0 * jax.lax.stop_gradient(base - target) / base.size
+
+    @jax.jit
+    def loss_fd(centers, radii, rkey):
+        s = scene._replace(centers=centers, radii=radii)
+        img = render_pixels_impl(s, cam, ids, rkey, width=w, height=h,
+                                 spp=spp, wave_spp=spp, max_depth=2,
+                                 camera_mode="cpu", options=DEFAULT)
+        return jnp.mean((img - target) ** 2)
+
+    def grad_fn(ablation):
+        def f(params, skey):
+            interior = render_loss(params, scene, cam, target, ids, skey,
+                                   width=w, height=h, spp=spp,
+                                   max_depth=2, camera_mode="cpu",
+                                   options=DEFAULT, engine="planar")
+            s = scene._replace(centers=params["centers"],
+                               radii=params["radii"])
+            sur = boundary_surrogate(s, cam, "cpu", cot, w, h, skey, 2,
+                                     DEFAULT, n_angles=1024,
+                                     _cpu_central_ablation=ablation)
+            return interior + sur - jax.lax.stop_gradient(sur)
+        return jax.jit(jax.grad(f))
+
+    params = {"centers": scene.centers, "radii": scene.radii}
+    g_new = [grad_fn(False)(params, jax.random.key(100 + k))
+             for k in range(2)]
+    g_ctr = [grad_fn(True)(params, jax.random.key(100 + k))
+             for k in range(2)]
+
+    eps = 0.015
+    # The two components where the aperture dominates the edge motion.
+    for leaf, idx in [("centers", (0, 2)), ("radii", (0,))]:
+        fds = []
+        for k in range(3):
+            rk = jax.random.key(50 + k)
+            up = dict(params)
+            up[leaf] = params[leaf].at[idx].add(eps)
+            dn = dict(params)
+            dn[leaf] = params[leaf].at[idx].add(-eps)
+            fds.append(float((loss_fd(up["centers"], up["radii"], rk)
+                              - loss_fd(dn["centers"], dn["radii"], rk))
+                             / (2 * eps)))
+        fd = float(np.mean(fds))
+        new = float(np.mean([float(g[leaf][idx]) for g in g_new]))
+        ctr = float(np.mean([float(g[leaf][idx]) for g in g_ctr]))
+        assert fd != 0.0
+        assert np.isclose(new, fd, rtol=0.03), (leaf, idx, new, fd, fds)
+        # Causality: the lens integration is what buys the parity.
+        assert abs(ctr - fd) > 2.0 * abs(new - fd), (leaf, idx, new, ctr,
+                                                     fd)
 
 
 @pytest.mark.slow

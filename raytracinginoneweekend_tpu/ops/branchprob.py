@@ -125,19 +125,23 @@ reproducer's net attached bias 0.059 -> 0.031 (FD truth 0.002).
 
 RESIDUAL OUT-OF-SCOPE TERMS, each with its measured bound on the
 reproducer configs:
-  * MIRROR-PREFIX CHAIN SWEEP BIAS (remaining ~ +0.03 +- 0.05 net
-    attached, was +0.13 detached-r3 / +0.06 attached): the two
-    remaining channels, measured per-family on the reproducer
-    (ARCHITECTURE.md "Chain-sweep bias decomposition"): (a) through-
-    lens lanes whose exit-cone dg/dtheta is lens-MAGNIFIED (|dg| 5-27
-    at g in [-0.56, -0.11]) -- sparse in g, so kernel mass rarely
-    lands on them (adaptive spacing-scaled bandwidths recover only
-    -86 of their -233 raw mass, measured); and (b) lanes whose true
-    flip happens through RR-threshold crossings and reflection arms,
-    not the deterministic chain's own edge (their exit-cone dg has
-    the OPPOSITE sign of the true dI). The same term WITHOUT the
-    occluder under-claims (-0.005 vs FD -0.018). Pinned by the
-    reproducer test.
+  * MIRROR-PREFIX CHAIN SWEEP BIAS (round-5 corrected bound: residual
+    -0.065 +- 0.038 at 16 keys vs FD truth +0.003 -- the r4 "+0.031"
+    was a 3-key mean of an estimator with ~0.15 per-key SE; was +0.13
+    detached-r3): the two remaining channels, measured per-family on
+    the reproducer (ARCHITECTURE.md "Chain-sweep bias decomposition"):
+    (a) through-lens lanes whose exit-cone dg/dtheta is lens-MAGNIFIED
+    (|dg| 5-27 at g in [-0.56, -0.11]) -- sparse in g, so kernel mass
+    rarely lands on them; attacked in round 5 with exit-cone re-jitter
+    sampling (``sweep_redraws``) and measured INSENSITIVE (M=8 moves
+    the 16-key mean by ~+0.013, within one SE --
+    docs/CHAIN_SWEEP_r05.json), so (a) is not the binding residual;
+    and (b) lanes whose true flip happens through RR-threshold
+    crossings and reflection arms, not the deterministic chain's own
+    edge (their exit-cone dg has the OPPOSITE sign of the true dI) --
+    what remains, needs specular-manifold-style boundary sampling.
+    The same term WITHOUT the occluder under-claims (-0.005 vs FD
+    -0.018). Pinned by the reproducer test.
   * GLASS-RIM / SWEEP OVERLAP -- RESOLVED (round 5): the round-4
     suspicion of a partial rim-band double count when BOTH rr_grad and
     boundary_samples are on (a noise-limited 0.39 +- 0.18 SE claim) was
@@ -196,6 +200,7 @@ TAG_RR_VERTEX = 120  # fold_in tags (disjoint from silhouette.py's 101-108)
 TAG_RR_PROBE = 121
 TAG_RR_DEPTH = 122
 TAG_SWEEP_PROBE = 123  # + branch index
+TAG_SWEEP_REDRAW = 140  # + br * 16 + redraw index (sweep_redraws)
 
 
 def branch_probability_surrogate(scene: Scene, cam: Camera,
@@ -208,6 +213,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                                  probe_delta: float = 2e-3,
                                  probe_delta_diel: float = 0.05,
                                  chain_rr_arms: int = 2,
+                                 sweep_redraws: int = 0,
                                  boundary_rim_frac: float | None = None,
                                  _detach_prefix: bool = False,
                                  _rr_term: bool = True,
@@ -236,6 +242,21 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         round-3 scope extension; 0 restores the refract-chain-only
         estimator. Arms beyond the first reflection per interface
         (reflect-of-reflect) remain out of scope.
+      sweep_redraws: number M of fresh uniform pixel-jitter re-walks per
+        lane for the MAIN branches' sweep term (0 = the lane's own
+        single jitter, the pre-round-5 estimator). Each redraw re-runs
+        camera ray -> prefix walk (same per-ray keys, so the re-walk is
+        the same smooth function of theta) -> branch -> refract chain
+        EXACTLY, evaluates the triangular kernel at the redrawn exit's
+        cone distance against the lane's ORIGINAL candidate edge, and
+        reuses the original probe pair's radiance step (the step is a
+        property of the edge, locally constant along it). The M draws
+        average to the same expectation over the pixel's jitter measure
+        -- an M-fold variance cut on exactly the kernel factor whose
+        undersampling drives the magnified-exit-cone residual
+        (ARCHITECTURE.md "Chain-sweep bias decomposition"). Side-chain
+        RR arms keep the single-sample kernel. Measured on the
+        mirror-chain reproducer: docs/CHAIN_SWEEP_r05.json.
       boundary_rim_frac: ABLATION ONLY -- a float drops vertex_depth-0
         dielectric sweep lanes whose entry grazes the rim (impact
         parameter within that fraction of the radius). The late-r4
@@ -258,6 +279,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     from . import math3
     from .integrate import _bounce_step, trace
     from .intersect import closest_hit, hit_surface
+    from ..models.camera import camera_ray
     from ..models.scene import DIELECTRIC, METAL
     from ..render import make_primary_rays
 
@@ -465,7 +487,80 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                 arms.append((arm, steps))
         return y_f, w_f, done, prob, alb, steps, arms
 
-    def sweep_term(y_f, w_f_att, done, prob, alb, steps, gate, br):
+    def rewalk_branch(rjkey, br):
+        """Re-run camera ray -> prefix walk -> final hop -> branch ->
+        refract chain at a FRESH uniform pixel jitter (sweep_redraws).
+
+        The per-ray keys are UNCHANGED, so every discrete draw (scatter
+        vectors, RR words) matches the lane's own walk -- the re-walk is
+        the same smooth function of theta evaluated at a new point of
+        the pixel's jitter measure. The vertex/branch math duplicates
+        steps 1-3 and the gate of the main path above (source of truth;
+        keep in sync)."""
+        ju = jax.random.uniform(jax.random.fold_in(rjkey, 0), (p_count,))
+        jv = jax.random.uniform(jax.random.fold_in(rjkey, 1), (p_count,))
+        yp = pixel_ids // width
+        xp = pixel_ids - yp * width
+        u2 = (xp.astype(jnp.float32) + ju) / width
+        v2 = (yp.astype(jnp.float32) + jv) / height
+        o2, d2 = jax.vmap(
+            lambda uu, vv, rk: camera_ray(cam, uu, vv, rk, camera_mode)
+        )(u2, v2, ray_keys)
+        st = (o2, d2, jnp.ones((p_count, 3), jnp.float32),
+              jnp.zeros((p_count, 3), jnp.float32),
+              jnp.ones((p_count,), bool), ray_keys)
+        pdelta2 = jnp.zeros((p_count,), bool)
+        for b in range(vertex_depth):
+            st, (ib, hb) = _bounce_step(walk_scene, options, st, b,
+                                        return_hit=True)
+            mb = scene_det.material_index[ib]
+            pdelta2 = pdelta2 | (
+                hb & ((scene_det.mtype[mb] == DIELECTRIC)
+                      | ((scene_det.mtype[mb] == METAL)
+                         & (scene_det.fuzz[mb] <= 1e-3))))
+        o2, d2, palb2, _, alive2, _ = st
+        palb2 = jax.lax.stop_gradient(palb2)
+        t2, idx2, hit2 = closest_hit(o2, d2, scene.centers, scene.radii,
+                                     options.t_min, options.sphere_block)
+        y2_att, n2_att = hit_surface(o2, d2, t2, idx2, hit2,
+                                     scene.centers, scene.radii)
+        mi2 = scene_det.material_index[idx2]
+        isd2 = scene_det.mtype[mi2] == DIELECTRIC
+        ismir2 = ((scene_det.mtype[mi2] == METAL)
+                  & (scene_det.fuzz[mi2] <= 1e-3))
+        ud2 = math3.normalize(d2)
+        cth2 = jnp.sum(ud2 * n2_att, axis=-1)
+        ent2 = cth2 <= 0.0
+        outw2 = jnp.where(ent2[:, None], n2_att, -n2_att)
+        ior2 = scene.ior[mi2]
+        ri2 = jnp.where(ent2, 1.0 / ior2, ior2)
+        cabs2 = jnp.abs(cth2)
+        cos_o2 = jnp.sum(outw2 * ud2, axis=-1)
+        k2 = 1.0 - ri2 * ri2 * (1.0 - cos_o2 * cos_o2)
+        sch2 = math3.schlick(ri2, cabs2)
+        p_step2 = det(jnp.where(k2 < 0.0, 1.0, sch2))
+        if br == 0:
+            w_br2 = math3.reflect(ud2, n2_att)
+            prob_br2 = jnp.where(ismir2, 1.0, p_step2)
+        else:
+            w_br2 = _refract_dir_clamped(ud2, outw2, ri2, cos_o2, k2,
+                                         phys)
+            prob_br2 = jnp.where(isd2, 1.0 - p_step2, 0.0)
+        active2 = alive2 & hit2 & (isd2 | ismir2)
+        if vertex_depth == 0 and boundary_rim_frac is not None:
+            gcos = (1.0 - (1.0 - boundary_rim_frac) ** 2) ** 0.5
+            active2 = active2 & (ismir2 | (cabs2 >= gcos))
+        gate2 = active2 & ~pdelta2
+        thru2 = cot * palb2 * scene_det.albedo[mi2]
+        y_f2, w_f2, done2, prob2, alb2, steps2, _ = follow_chain(
+            y2_att, w_br2, det(prob_br2),
+            jnp.ones((p_count, 3), jnp.float32),
+            jnp.zeros((p_count,), jnp.int32), n_chain, 0)
+        return dict(y_f=y_f2, w_f=w_f2, done=done2, prob=prob2,
+                    alb=alb2, steps=steps2, gate=gate2, thru=thru2)
+
+    def sweep_term(y_f, w_f_att, done, prob, alb, steps, gate, br,
+                   redraw: bool = False):
         """The final-air-segment cone-edge crossing term (docstring)."""
         # The chain consumes renderer bounces: the final air segment must
         # still fit the continuation budget or the true I(theta) has no
@@ -547,6 +642,45 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         # (inside, g < 0) to f_out, so dI/dtheta = -(f_in - f_out) K dg.
         # alb: the chain's per-channel interface attenuation (tinted
         # glass; ones on the shipped scenes).
+        if redraw and sweep_redraws > 0:
+            # M fresh uniform re-jitters of THIS pixel replace the
+            # lane's own single kernel sample (sweep_redraws docstring):
+            # the chain re-runs EXACTLY per redraw; the candidate edge
+            # (j_star) and its probe pair's radiance step are reused --
+            # the step is a property of the edge, locally constant
+            # along it. Same expectation over the jitter measure, M-fold
+            # variance cut on the kernel factor.
+            fstep = det(f_in - f_out)
+            c_r = scene.centers[j_star]
+            r_r = scene.radii[j_star]
+            acc = jnp.float32(0.0)
+            for m in range(sweep_redraws):
+                rw = rewalk_branch(
+                    jax.random.fold_in(base_key,
+                                       TAG_SWEEP_REDRAW + br * 16 + m),
+                    br)
+                wv2 = math3.normalize(rw["w_f"])
+                mv2 = c_r - rw["y_f"]
+                dist2 = jnp.maximum(jnp.linalg.norm(mv2, axis=-1), 1e-6)
+                beta2 = jnp.arcsin(jnp.clip(jnp.abs(r_r) / dist2,
+                                            0.0, 1.0 - 1e-7))
+                cosw2 = jnp.sum(wv2 * mv2 / dist2[:, None], axis=-1)
+                g2 = jnp.arccos(jnp.clip(cosw2, -1.0 + 1e-7, 1.0 - 1e-7)
+                                ) - beta2
+                a2 = det(mv2 / dist2[:, None])
+                wv2d = det(wv2)
+                tr2 = wv2d - jnp.sum(wv2d * a2, axis=-1,
+                                     keepdims=True) * a2
+                okt2 = jnp.linalg.norm(tr2, axis=-1) > 1e-6
+                budget2 = rw["steps"] <= max_depth - 2 - vertex_depth
+                kern2 = jnp.maximum(0.0, 1.0 - jnp.abs(det(g2)) / h) / h
+                w2 = (jnp.sum(rw["thru"] * rw["alb"] * fstep, axis=-1)
+                      * rw["prob"] * kern2)
+                w2 = jnp.where(rw["gate"] & rw["done"] & budget2
+                               & any_ok & okt2, w2, 0.0)
+                acc = acc - jnp.sum(det(w2) * g2)
+            return acc / sweep_redraws
+
         kern = jnp.maximum(0.0, 1.0 - jnp.abs(g_det) / h) / h
         w_sw = (jnp.sum(thru * alb * (f_in - f_out), axis=-1)
                 * prob * kern)
@@ -565,7 +699,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
             y_att, w_br_att, det(prob_br), ones_alb, zero_steps, n_chain,
             chain_rr_arms)
         surrogate = surrogate + sweep_term(y_f, w_f, done, prob, alb_f,
-                                           steps, gate0, br)
+                                           steps, gate0, br, redraw=True)
         # Internal-RR REFLECTION arms (round-3 scope extension): the
         # refract chain drops the reflect side of every internal RR; each
         # collected arm follows its OWN refract chain (no further side

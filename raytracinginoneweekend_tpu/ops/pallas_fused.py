@@ -58,6 +58,15 @@ TWO_PI = 6.283185307179586
 N_BASE = 19  # must match ops/wavefront.py's lane-state layout
 ACT = 3      # index of the `active` plane within the state
 
+# A/B experiment knob (VERDICT r4 #6, scripts/bench_strat0.py): "off"
+# disables the bounce-0 stratified-scatter substitution at SHADE time,
+# isolating its recompute cost on the toolbox bench arm -- the measured
+# UPPER BOUND on what an at-regen substitution (+3 state planes) could
+# recover. Estimator-changing; never set outside the experiment.
+import os as _os
+
+_STRAT0_MODE = _os.environ.get("RTW_STRAT0_MODE", "recompute")
+
 
 def pack_camera(cam):
     """Camera -> (19,) f32 scalar vector for SMEM prefetch."""
@@ -163,7 +172,7 @@ def _kernel_shade_regen(
         nz = (pz - chz_ref[:]) * inv_r
 
         draws = kernel_bounce_draws(k0, k1, dep, unit_sample=unit_sample)
-        if sampling == "stratified":
+        if sampling == "stratified" and _STRAT0_MODE != "off":
             # First-bounce stratified scatter: the CURRENT ray's pid
             # from its task plane (same arithmetic as regen below);
             # substitute the rotated-stratified vector on depth==0

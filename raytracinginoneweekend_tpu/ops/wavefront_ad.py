@@ -417,7 +417,7 @@ def render_pixels_wavefront_ad_impl(scene: Scene, cam: Camera, pixel_ids,
         epoch_len=epoch_len, iters=iters, remat=remat)
 
     if debug_check_complete and iters is not None:
-        _, done = trace_wavefront_ad(
+        _, (done, _need) = trace_wavefront_ad(
             jax.tree.map(jax.lax.stop_gradient, scene), cam, pid_waves,
             sid_waves, base_key, width=width, height=height, spp=spp,
             max_depth=max_depth, camera_mode=camera_mode,

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Equal-TIME adaptive sampling artifact on the real TPU (VERDICT r4 #5).
+
+docs/ADAPTIVE_r04.json proved the equal-SAMPLE MSE win on CPU; the
+practical claim ("adaptive wins") needs wall-clock: the two-stage
+dispatch, the argsort, and the fixed-shape tier renders all cost real
+TPU time. This script measures, per config:
+
+  * t_adaptive: whole-call wall-clock of render_adaptive (stage 1 +
+    score + argsort + every tier render + combine, including the ~50 ms
+    tunnel dispatch per internal jit call -- the honest per-frame cost);
+  * a linear time model t_uniform(spp) = a + b*spp fitted from two
+    measured uniform renders, solved for the spp the uniform sampler
+    affords in the SAME wall-clock;
+  * MSE vs a 512-spp reference across keys for adaptive vs uniform at
+    that equal-TIME spp (iid and stratified arms separately, each
+    against its own equal-time uniform).
+
+mse_ratio_equal_time < 1 means adaptive still wins after paying its
+orchestration overhead. Reference ground: the fixed-budget sampler of
+/root/reference/src/main.cxx:23 / cuda_impl.cu:59.
+
+Writes/prints docs/ADAPTIVE_r05.json content (operator redirects).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracinginoneweekend_tpu.adaptive import render_adaptive
+from raytracinginoneweekend_tpu.config import DEFAULT
+from raytracinginoneweekend_tpu.models.camera import (make_camera,
+                                                      reference_cpu_camera)
+from raytracinginoneweekend_tpu.models.scene import (huge_scene,
+                                                     simple_scene_cuda)
+from raytracinginoneweekend_tpu.ops.integrate_planar import (
+    render_pixels_planar)
+from raytracinginoneweekend_tpu.utils.timing import time_fn
+
+N_KEYS = 6
+STRAT = dataclasses.replace(DEFAULT, sampling="stratified")
+
+
+def equal_time_spp(t_target, w, h, scene, cam, depth, options, spp_probe):
+    """Fit t(spp) = a + b*spp from two uniform renders; solve for
+    t_target. Returns (spp, predicted_t)."""
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    kw = dict(width=w, height=h, max_depth=depth, camera_mode="thinlens")
+
+    def t_of(spp):
+        sec, _ = time_fn(lambda: render_pixels_planar(
+            scene, cam, ids, jax.random.key(0), spp=spp, options=options,
+            **kw), warmup=1, iters=3)
+        return sec
+
+    t1, t2 = t_of(spp_probe), t_of(2 * spp_probe)
+    b = max((t2 - t1) / spp_probe, 1e-9)
+    a = max(t1 - b * spp_probe, 0.0)
+    spp = max(2, int(round((t_target - a) / b)))
+    return spp, a + b * spp, {"a_s": a, "b_s_per_spp": b,
+                              "probe_spp": [spp_probe, 2 * spp_probe],
+                              "probe_t_s": [t1, t2]}
+
+
+def run_config(label, scene, cam, w, h, depth):
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    kw = dict(width=w, height=h, max_depth=depth, camera_mode="thinlens")
+    truth = np.asarray(render_pixels_planar(
+        scene, cam, ids, jax.random.key(999), spp=512, options=DEFAULT,
+        **kw))
+
+    row = {"config": label, "w": w, "h": h, "depth": depth, "arms": {}}
+    for name, options in (("iid", DEFAULT), ("stratified", STRAT)):
+        t_ad, (img0, stats) = time_fn(
+            lambda: render_adaptive(scene, cam, jax.random.key(0),
+                                    spp_base=8, return_stats=True,
+                                    options=options, **kw),
+            warmup=1, iters=3)
+        avg_spp = float(stats["avg_spp"])
+        spp_eq, t_pred, model = equal_time_spp(t_ad, w, h, scene, cam,
+                                               depth, options, 8)
+        mse_ad, mse_un = [], []
+        for k in range(N_KEYS):
+            key = jax.random.key(10 + k)
+            ia, _ = render_adaptive(scene, cam, key, spp_base=8,
+                                    return_stats=True, options=options,
+                                    **kw)
+            iu = render_pixels_planar(scene, cam, ids, key, spp=spp_eq,
+                                      options=options, **kw)
+            mse_ad.append(float(((np.asarray(ia) - truth) ** 2).mean()))
+            mse_un.append(float(((np.asarray(iu) - truth) ** 2).mean()))
+        ma, mu = float(np.mean(mse_ad)), float(np.mean(mse_un))
+        row["arms"][name] = {
+            "t_adaptive_s": t_ad,
+            "avg_spp_adaptive": avg_spp,
+            "spp_uniform_equal_time": spp_eq,
+            "t_uniform_predicted_s": t_pred,
+            "time_model": model,
+            "mse_adaptive": ma,
+            "mse_uniform_equal_time": mu,
+            "mse_ratio_equal_time": round(ma / mu, 4),
+        }
+        print(f"{label} [{name}]: t_ad={t_ad*1e3:.1f}ms avg_spp={avg_spp:.1f} "
+              f"-> uniform {spp_eq} spp in same time; MSE ratio "
+              f"{ma / mu:.3f}", file=sys.stderr, flush=True)
+    return row
+
+
+def main():
+    w, h = 64, 36
+    wide = make_camera((-4, 3.2, 5), (0, 1, 0), (0, 1, 0), w / h, 42.0,
+                       0.5, float(np.linalg.norm((-4, 2.2, 5))))
+    bw, bh = 320, 180
+    wide_big = make_camera((-4, 3.2, 5), (0, 1, 0), (0, 1, 0), bw / bh,
+                           42.0, 0.5, float(np.linalg.norm((-4, 2.2, 5))))
+    rows = [
+        run_config("simple/thinlens-wide (aperture .5) d6",
+                   simple_scene_cuda(), wide, w, h, 6),
+        run_config("huge/thinlens cover d8", huge_scene(0),
+                   reference_cpu_camera(w, h), w, h, 8),
+        run_config("simple/thinlens-wide 320x180 d6 (amortized)",
+                   simple_scene_cuda(), wide_big, bw, bh, 6),
+    ]
+    print(json.dumps({
+        "metric": "adaptive_sampling_equal_TIME_mse_tpu",
+        "note": "whole-call wall-clock of render_adaptive (two-stage "
+                "dispatch + argsort + tier renders included) vs uniform "
+                "spp fitted to the SAME seconds via a linear time model; "
+                f"MSE vs a 512-spp reference across {N_KEYS} keys. "
+                "< 1 means adaptive wins at equal wall-clock.",
+        "rows": rows,
+        "device": str(jax.devices()[0].platform)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,12 @@ def server():
         log.close()
 
 
+def test_socket_owner_only(server):
+    """ADVICE r4: requests carry filesystem paths the server acts on
+    with its own uid, so the endpoint must be owner-only (0600)."""
+    assert (os.stat(server).st_mode & 0o777) == 0o600
+
+
 def test_ping(server):
     resp = serve.request(server, {"cmd": "ping"})
     assert resp["ok"] and "device" in resp

@@ -81,6 +81,32 @@ def test_epoch_len_bit_invariance_and_tight_budget():
     assert (a == b).all()
 
 
+def test_debug_check_complete_smoke():
+    """The tuned-budget truncation detector (ADVICE r4): the debug flag
+    compiles and leaves pixels bit-identical for both a sufficient and a
+    deliberately truncating budget (it only prints; the images are the
+    budget's own, dropped rays included -- the documented contract)."""
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    key = jax.random.key(5)
+    ids = _batch(64)
+    kw = dict(width=W, height=H, spp=SPP, max_depth=DEPTH,
+              camera_mode="thinlens", options=DEFAULT, pool_size=256)
+    for iters in (2, None):
+        if iters is None:
+            a = np.asarray(render_pixels_wavefront_ad(
+                scene, cam, ids, key, **kw))
+            b = a
+        else:
+            a = np.asarray(render_pixels_wavefront_ad(
+                scene, cam, ids, key, iters=iters, **kw))
+            b = np.asarray(render_pixels_wavefront_ad(
+                scene, cam, ids, key, iters=iters,
+                debug_check_complete=True, **kw))
+        assert (np.asarray(a) == np.asarray(b)).all()
+        assert np.isfinite(a).all()
+
+
 def test_depth_exhaustion_semantics():
     """max_depth = 1 and 2 (depth-out kills without deposit) match the
     fixed engine exactly at the same tolerance."""

@@ -174,6 +174,7 @@ import jax.numpy as jnp
 from ..config import TraceOptions
 from ..models.camera import Camera
 from ..models.scene import Scene
+from .silhouette import PROBE_RR_QCAP, _probe_options
 
 def _refract_dir_clamped(u, outward, ri, cos_o, k, phys: bool):
     """Refraction direction with the discriminant clamped at 0.
@@ -277,7 +278,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
     """
     from . import math3
-    from .integrate import _bounce_step, trace
+    from .integrate import _bounce_step, trace_fast
     from .intersect import closest_hit, hit_surface
     from ..models.camera import camera_ray
     from ..models.scene import DIELECTRIC, METAL
@@ -373,7 +374,8 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     o_all = jnp.concatenate([y, y])
     d_all = det(jnp.concatenate([reflected_att, refracted_att]))
     k_all = jnp.concatenate([pkeys, pkeys])
-    f_all = trace(scene_det, o_all, d_all, k_all, probe_depth, options)
+    f_all = trace_fast(scene_det, o_all, d_all, k_all, probe_depth,
+                       _probe_options(options), rr_qcap=PROBE_RR_QCAP)
     l_reflect = f_all[:p_count]
     l_refract = f_all[p_count:]
 
@@ -632,9 +634,11 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         skeys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.fold_in(base_key, TAG_SWEEP_PROBE + br),
             jnp.arange(p_count, dtype=jnp.int32))
-        f_sw = trace(scene_det, jnp.concatenate([y_fd, y_fd]),
-                     jnp.concatenate([w_in, w_out]),
-                     jnp.concatenate([skeys, skeys]), probe_depth, options)
+        f_sw = trace_fast(scene_det, jnp.concatenate([y_fd, y_fd]),
+                          jnp.concatenate([w_in, w_out]),
+                          jnp.concatenate([skeys, skeys]), probe_depth,
+                          _probe_options(options),
+                          rr_qcap=PROBE_RR_QCAP)
         f_in = f_sw[:p_count]
         f_out = f_sw[p_count:]
 

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from ..config import TraceOptions
 from ..models.scene import Scene
 from . import math3, rng
+from . import threefry as tf
 from .intersect import closest_hit_diff, hit_surface
 from .scatter import scatter
 
@@ -86,7 +87,7 @@ def closest_hit_opt(origin, direction, scene: Scene, options: TraceOptions,
 
 def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
                  allow_pallas: bool = False, return_hit: bool = False,
-                 strat0=None):
+                 strat0=None, rr_qcap: float = 1.0):
     """One wavefront bounce. ``bounce`` may be a traced scalar.
 
     strat0: optional (N, 3) replacement scatter vectors substituted at
@@ -162,7 +163,25 @@ def _bounce_step(scene: Scene, options: TraceOptions, state, bounce,
     origin = jnp.where(scatter_now[:, None], pos, origin)
     direction = jnp.where(scatter_now[:, None], new_dir, direction)
 
-    out = (origin, direction, atten, result, scatter_now, ray_keys)
+    keep = scatter_now
+    if options.rr_terminate:
+        # RR path termination (round 5: the tiled engine now honors the
+        # shared contract too -- same draw words and update order as the
+        # planar AD scan, integrate_planar.py:353-363, so the engines
+        # stay bit-compatible). Beyond estimator parity this is what
+        # makes trace_fast's any-alive exit fire on deep probe batches:
+        # the boundary/delta-lobe surrogates' probe traces at depth 50
+        # otherwise always carry one live lane to the end
+        # (docs/FIT_r05.json full-surrogate phases).
+        k0w, k1w = tf.key_words(ray_keys)
+        ax, ay, az, keep = rng.rr_terminate_update(
+            k0w, k1w, jnp.asarray(bounce, jnp.int32),
+            atten[:, 0], atten[:, 1], atten[:, 2], keep,
+            rr_start=options.rr_start, rr_qmin=options.rr_qmin,
+            rr_scale=options.rr_scale, rr_qcap=rr_qcap)
+        atten = jnp.stack([ax, ay, az], axis=-1)
+
+    out = (origin, direction, atten, result, keep, ray_keys)
     if return_hit:
         return out, (idx, hit)
     return out
@@ -201,15 +220,17 @@ def trace(scene: Scene, origins, directions, ray_keys, max_depth: int,
 
 
 def trace_fast(scene: Scene, origins, directions, ray_keys, max_depth: int,
-               options: TraceOptions, strat0=None):
+               options: TraceOptions, strat0=None, rr_qcap: float = 1.0):
     """Forward-only trace with any-alive early exit (`lax.while_loop`).
 
     Bitwise-identical radiance to ``trace`` (same per-step math and RNG),
     but stops as soon as every ray has terminated -- the wavefront analogue
-    of the reference threads' early returns.
+    of the reference threads' early returns. rr_qcap < 1 (probe traces):
+    see rng.rr_terminate_update.
     """
     step = functools.partial(_bounce_step, scene, options,
-                             allow_pallas=True, strat0=strat0)
+                             allow_pallas=True, strat0=strat0,
+                             rr_qcap=rr_qcap)
 
     def cond(carry):
         bounce, state = carry

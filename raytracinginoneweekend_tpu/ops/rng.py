@@ -98,6 +98,7 @@ def lens_sphere(rkey):
 
 def rr_terminate_update(k0, k1, depth, ax, ay, az, keep, *, rr_start: int,
                         rr_qmin: float, rr_scale: float,
+                        rr_qcap: float = 1.0,
                         stop_grad: bool = True):
     """Shared Russian-roulette path-termination update -> (ax, ay, az, keep).
 
@@ -113,6 +114,13 @@ def rr_terminate_update(k0, k1, depth, ax, ay, az, keep, *, rr_start: int,
 
     k0/k1: per-ray key-word planes; depth: completed-bounce count
     (plane or traced scalar); keep: the continuation mask BEFORE rr.
+    rr_qcap (round 5, probe traces only): survival ceiling < 1 forces
+    GEOMETRIC drain even on bright paths (the default rule gives q = 1
+    whenever a channel's attenuation >= 1/rr_scale, so a batch of N
+    probes always carries some lane to full depth and trace_fast's
+    any-alive exit never fires -- measured, docs/FIT_r05.json). Still
+    the same unbiased RR (survivors boost 1/q); the forward engines and
+    the in-kernel pallas copy keep the 1.0 default.
     stop_grad (AD callers): hold q constant so the weighted estimator's
     gradient is RR applied to the gradient integrand -- E[1{surv}
     grad f / q] = grad E[f] for any measurable q -- while a
@@ -122,7 +130,7 @@ def rr_terminate_update(k0, k1, depth, ax, ay, az, keep, *, rr_start: int,
     tag = jnp.uint32(TAG_BOUNCE) + jnp.asarray(depth).astype(jnp.uint32)
     u_rr, _ = tf.draw_uniform2(k0, k1, tag, 2)
     q = jnp.clip(rr_scale * jnp.maximum(ax, jnp.maximum(ay, az)),
-                 rr_qmin, 1.0)
+                 rr_qmin, rr_qcap)
     if stop_grad:
         q = jax.lax.stop_gradient(q)
     consider = keep & (jnp.asarray(depth) + 1 >= rr_start)

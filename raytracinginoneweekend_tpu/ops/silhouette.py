@@ -102,12 +102,43 @@ TAG_EDGE2_PROBE = 107
 TAG_EDGE2_DEPTH = 108  # + vertex_depth: per-depth key split (render_loss)
 
 # Default deep-inside-probe depth (fraction of the projected radius) for
-# DIELECTRIC rim probes. Shared with ops/branchprob.py's grazing-entry
-# ownership gate: when the camera boundary term is active, the sweep term
-# cedes the camera-facing rim band this probe owns, so the two depths
-# MUST agree (ADVICE r4) -- callers who tune probe_diel_frac get the same
-# value threaded into the gate via render_loss/_attach_surrogates.
+# DIELECTRIC rim probes (one constant so the two surrogate modules and
+# branchprob's ablation-only grazing gate can never silently diverge --
+# ADVICE r4). NOTE: the r4 "ownership gate" built on this band was
+# refuted by the CRN study (docs/RIM_OWNERSHIP_r05.json); render_loss
+# never gates, and this constant only sets the probe depth default.
 PROBE_DIEL_FRAC = 0.15
+
+
+def _probe_options(options: TraceOptions) -> TraceOptions:
+    """Options for the surrogates' DETACHED probe traces: Russian-
+    roulette termination forced ON (round 5, VERDICT r4 #2).
+
+    The probe radiance enters every surrogate LINEARLY (an f_in - f_out
+    step times detached weights), so any unbiased estimator of it leaves
+    the surrogate's expectation unchanged -- and RR is exactly the shared
+    unbiased-termination contract (rng.rr_terminate_update) the forward
+    engines already use. What it buys here: at flagship scale the probe
+    batches (e.g. 489 spheres x 512 edges x 2 probes at depth 50) always
+    carry at least one live lane to full depth, so trace_fast's
+    any-alive exit never fires and the probe traces dominate the
+    full-surrogate train step (docs/FIT_r05.json: the three surrogate
+    phases cost 20x interior AD). With RR the whole batch drains in
+    ~rr_start + O(log N) bounces. Each probe PAIR shares its key, so RR
+    decisions stay common-random-number paired like every other draw.
+    """
+    import dataclasses
+
+    return (options if options.rr_terminate
+            else dataclasses.replace(options, rr_terminate=True))
+
+
+# Probe-trace survival ceiling (rng.rr_terminate_update rr_qcap): with
+# the shipped q-rule alone, bright paths keep q = 1 and a 500k-probe
+# batch still carries a live lane to depth 50 (measured: rr probes cut
+# the flagship full-surrogate step by 0%). q <= 0.5 past rr_start
+# forces all-dead by ~rr_start + log2(N) bounces; unbiased (1/q boost).
+PROBE_RR_QCAP = 0.5
 
 
 def silhouette_frame(centers, radii, eye, phis):
@@ -298,7 +329,7 @@ def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
     Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
     """
     from . import rng
-    from .integrate import trace  # local: avoid an import cycle
+    from .integrate import trace_fast  # local: avoid an import cycle
 
     s_count = scene.num_spheres
     e = n_angles
@@ -456,8 +487,9 @@ def boundary_surrogate(scene: Scene, cam: Camera, camera_mode: str,
     o_all = jnp.concatenate([o_in.reshape(-1, 3), o_out.reshape(-1, 3)])
     d_all = jnp.concatenate([d_in.reshape(-1, 3), d_out.reshape(-1, 3)])
     k_all = jnp.concatenate([pkeys, pkeys])
-    f_all = trace(scene_det, jax.lax.stop_gradient(o_all),
-                  jax.lax.stop_gradient(d_all), k_all, max_depth, options)
+    f_all = trace_fast(scene_det, jax.lax.stop_gradient(o_all),
+                       jax.lax.stop_gradient(d_all), k_all, max_depth,
+                       _probe_options(options), rr_qcap=PROBE_RR_QCAP)
     f_in = f_all[:s_count * e].reshape(s_count, e, 3)
     f_out = f_all[s_count * e:].reshape(s_count, e, 3)
 
@@ -542,7 +574,7 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     Returns a scalar; add ``s - stop_gradient(s)`` to the loss.
     """
     from . import math3
-    from .integrate import _bounce_step, trace
+    from .integrate import _bounce_step, trace_fast
     from .intersect import closest_hit, hit_surface
     from ..models.scene import LAMBERT, METAL
     from ..render import make_primary_rays
@@ -710,8 +742,9 @@ def secondary_boundary_surrogate(scene: Scene, cam: Camera,
     o_all = jnp.concatenate([o_rep, o_rep])
     d_all = jnp.concatenate([w_in.reshape(-1, 3), w_out.reshape(-1, 3)])
     k_all = jnp.concatenate([pkeys, pkeys])
-    f_all = trace(scene_det, o_all, d_all, k_all,
-                  max(max_depth - 1 - vertex_depth, 0), options)
+    f_all = trace_fast(scene_det, o_all, d_all, k_all,
+                       max(max_depth - 1 - vertex_depth, 0),
+                       _probe_options(options), rr_qcap=PROBE_RR_QCAP)
     f_in = f_all[:pk * e].reshape(pk, e, 3)
     f_out = f_all[pk * e:].reshape(pk, e, 3)
 

@@ -129,9 +129,9 @@ def _add_render_flags(p: argparse.ArgumentParser):
     p.add_argument("--rr-terminate", action="store_true",
                    help="Russian-roulette path termination (unbiased "
                         "estimator change: fewer traced segments, "
-                        "slightly higher MC variance; honored by the "
-                        "wavefront engines, the planar AD engines and "
-                        "fit -- the tiled engine ignores it)")
+                        "slightly higher MC variance; honored by every "
+                        "engine -- wavefront, planar AD, tiled -- and "
+                        "fit)")
     p.add_argument("--stats", action="store_true",
                    help="print the wavefront engine's occupancy counters "
                         "(iterations, traced segments, lane occupancy) as "

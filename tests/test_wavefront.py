@@ -108,6 +108,38 @@ def test_rr_termination_unbiased_and_saves_segments():
     assert np.abs(img_rr - base).mean() < 0.02
 
 
+def test_rr_tiled_engine_matches_planar():
+    """Round 5: the tiled engine (ops/integrate.py) honors rr_terminate
+    via the shared contract too -- cross-engine agreement at the usual
+    accumulation-order tolerance, and the scan/while drivers are
+    bitwise equal under rr."""
+    import dataclasses
+
+    from raytracinginoneweekend_tpu.ops.integrate_planar import (
+        render_pixels_planar)
+    from raytracinginoneweekend_tpu.render import render_pixels_impl
+
+    import jax.numpy as jnp
+
+    w, h, spp, depth = 48, 27, 8, 12
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    key = jax.random.key(5)
+    rr = dataclasses.replace(DEFAULT, rr_terminate=True)
+    kw = dict(width=w, height=h, spp=spp, max_depth=depth,
+              camera_mode="cuda")
+    t = np.asarray(render_pixels_impl(scene, cam, ids, key, wave_spp=spp,
+                                      options=rr, **kw))
+    p = np.asarray(render_pixels_planar(scene, cam, ids, key, options=rr,
+                                        **kw))
+    np.testing.assert_allclose(t, p, rtol=2e-4, atol=2e-5)
+    ts = np.asarray(render_pixels_impl(scene, cam, ids, key,
+                                       wave_spp=spp, options=rr,
+                                       differentiable=True, **kw))
+    assert (t == ts).all()
+
+
 def test_wavefront_huge_scene_finite():
     w, h = 32, 21
     scene = huge_scene(0)

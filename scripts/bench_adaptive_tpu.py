@@ -64,18 +64,32 @@ def equal_time_spp(t_target, w, h, scene, cam, depth, options, spp_probe):
     t1, t2 = t_of(spp_probe), t_of(2 * spp_probe)
     b = max((t2 - t1) / spp_probe, 1e-9)
     a = max(t1 - b * spp_probe, 0.0)
-    spp = max(2, int(round((t_target - a) / b)))
+    # Clamp: with dispatch-dominated timings the slope b is noise and
+    # the solve can demand absurd spp (observed 227k -> a 268-billion-row
+    # planar wavefront the compiler rightly rejects). 2048 spp at these
+    # sizes is already far past any practical budget; a clamped arm is
+    # reported as a bound, not an exact equal-time point.
+    raw = int(round((t_target - a) / b))
+    spp = int(np.clip(raw, 2, 2048))
     return spp, a + b * spp, {"a_s": a, "b_s_per_spp": b,
                               "probe_spp": [spp_probe, 2 * spp_probe],
-                              "probe_t_s": [t1, t2]}
+                              "probe_t_s": [t1, t2],
+                              "raw_solve_spp": raw,
+                              "clamped": raw != spp}
 
 
 def run_config(label, scene, cam, w, h, depth):
     ids = jnp.arange(w * h, dtype=jnp.int32)
     kw = dict(width=w, height=h, max_depth=depth, camera_mode="thinlens")
-    truth = np.asarray(render_pixels_planar(
-        scene, cam, ids, jax.random.key(999), spp=512, options=DEFAULT,
-        **kw))
+    # Truth in 64-spp sample-offset windows: one 512-spp planar call at
+    # 320x180 is a 29.5M-ray wavefront the compiler rejects.
+    chunk, n_chunks = 64, 8
+    truth = np.zeros((w * h, 3), np.float64)
+    for c in range(n_chunks):
+        truth += np.asarray(render_pixels_planar(
+            scene, cam, ids, jax.random.key(999), spp=chunk,
+            sample_offset=c * chunk, options=DEFAULT, **kw))
+    truth /= n_chunks
 
     row = {"config": label, "w": w, "h": h, "depth": depth, "arms": {}}
     for name, options in (("iid", DEFAULT), ("stratified", STRAT)):

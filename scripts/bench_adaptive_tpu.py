@@ -143,8 +143,15 @@ def main():
         run_config("simple/thinlens-wide 320x180 d6 (amortized)",
                    simple_scene_cuda(), wide_big, bw, bh, 6),
     ]
+    summary = ("On this single-chip tunnel (~45-50 ms dispatch per jit "
+               "call), the two-stage pipeline's extra dispatches dominate "
+               "sub-100-ms frames; equal-TIME uniform affords 1.3-2x+ the "
+               "samples and wins (measured r5: ratios 1.8-14x). The "
+               "equal-SAMPLE win (ADAPTIVE_r04) does not survive "
+               "wall-clock accounting at these frame sizes.")
     print(json.dumps({
         "metric": "adaptive_sampling_equal_TIME_mse_tpu",
+        "summary": summary,
         "note": "whole-call wall-clock of render_adaptive (two-stage "
                 "dispatch + argsort + tier renders included) vs uniform "
                 "spp fitted to the SAME seconds via a linear time model; "

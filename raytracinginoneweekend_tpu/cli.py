@@ -275,7 +275,8 @@ def _via_server(args, cmd: str) -> int:
             "boundary_samples": args.boundary_samples,
             "secondary_samples": args.secondary_samples,
             "secondary_vertex_depths": args.secondary_vertex_depths,
-            "rr_grad": args.rr_grad, "ad_engine": args.ad_engine,
+            "rr_grad": args.rr_grad, "rr_grad_arms": args.rr_grad_arms,
+            "ad_engine": args.ad_engine,
             "log_every": args.log_every, "checkpoint": args.checkpoint,
             "checkpoint_every": args.checkpoint_every,
             "resume": args.resume})
@@ -411,7 +412,8 @@ def _fit_impl(args, log=print) -> dict:
         boundary_samples=args.boundary_samples,
         secondary_samples=args.secondary_samples,
         secondary_vertex_depths=args.secondary_vertex_depths,
-        rr_grad=args.rr_grad, engine=args.ad_engine, **init)
+        rr_grad=args.rr_grad, rr_grad_arms=args.rr_grad_arms,
+        engine=args.ad_engine, **init)
     if ckpt_path:
         save_checkpoint(ckpt_path, params, opt_state,
                         init.get("start_step", 0) + args.steps)
@@ -492,6 +494,14 @@ def main(argv=None) -> int:
                    help="add the dielectric Russian-roulette branch-flip "
                         "gradient term (needed for accurate ior "
                         "gradients; ops/branchprob.py)")
+    p.add_argument("--rr-grad-arms", type=int, default=2,
+                   help="internal-RR reflection arms per refract chain "
+                        "in the delta-lobe term -- its cost-policy knob "
+                        "(each arm ~21%% of the dominant full-surrogate "
+                        "phase at flagship scale, "
+                        "docs/RR_ARMS_COST_r05.json; accuracy ground "
+                        "needs >= 1 only when internally-reflected "
+                        "content is visible)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--checkpoint-every", type=int, default=25)

@@ -53,7 +53,7 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
                 boundary_samples: int = 0, secondary_samples: int = 0,
                 secondary_spheres: int = 2,
                 secondary_vertex_depths: int = 1, rr_grad: bool = False,
-                engine: str = "auto",
+                rr_grad_arms: int = 2, engine: str = "auto",
                 engine_opts: dict | None = None):
     """Mean-squared error between rendered and target pixel radiance.
 
@@ -83,7 +83,15 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
     (ops/branchprob.py) at the same vertex depths: interior AD misses
     ~99% of the true ior gradient without it (the reflect/refract
     decision's probability dependence). Two probe traces per batch pixel
-    per depth.
+    per depth. rr_grad_arms (-> branchprob.chain_rr_arms) is its COST
+    POLICY knob: how many internal-RR reflection arms of the refract
+    chain get their own side-chain edge term. The delta-lobe term is the
+    dominant phase of the full-surrogate flagship train step (48%,
+    docs/FIT_r05.json) and each arm costs ~21% of that phase (measured
+    at flagship scale: 108/149/186 ms per grad-eval at arms 0/1/2,
+    docs/RR_ARMS_COST_r05.json); drop to 1 or 0 on scenes without
+    internally-reflected visible content (the arms' accuracy ground:
+    test_internal_rr_reflection_arm_matches_finite_differences).
 
     engine: "auto" (default -- resolve_ad_engine picks by max_depth:
     the fixed-depth planar scan below the measured depth-32 crossover,
@@ -108,7 +116,8 @@ def render_loss(params: dict, scene: Scene, cam: Camera, target_pixels,
         boundary_samples=boundary_samples,
         secondary_samples=secondary_samples,
         secondary_spheres=secondary_spheres,
-        secondary_vertex_depths=secondary_vertex_depths, rr_grad=rr_grad)
+        secondary_vertex_depths=secondary_vertex_depths, rr_grad=rr_grad,
+        rr_grad_arms=rr_grad_arms)
 
 
 AD_ENGINE_AUTO_DEPTH = 32
@@ -184,7 +193,8 @@ def _render_batch(full_scene, cam, pixel_ids, base_key, *, width, height,
 def _attach_surrogates(value, cot, full_scene, cam, camera_mode, pixel_ids,
                        base_key, *, width, height, max_depth, options,
                        boundary_samples, secondary_samples,
-                       secondary_spheres, secondary_vertex_depths, rr_grad):
+                       secondary_spheres, secondary_vertex_depths, rr_grad,
+                       rr_grad_arms=2):
     """Add the zero-valued surrogate terms whose GRADIENTS carry the
     boundary (silhouette/shadow/rough-reflection) and delta-lobe
     (RR branch-flip) contributions interior AD cannot see.
@@ -238,7 +248,8 @@ def _attach_surrogates(value, cot, full_scene, cam, camera_mode, pixel_ids,
             sur3 = branch_probability_surrogate(
                 full_scene, cam, camera_mode, cot, pixel_ids, width,
                 height, jax.random.fold_in(k3, TAG_RR_DEPTH + b),
-                max_depth, options, vertex_depth=b)
+                max_depth, options, vertex_depth=b,
+                chain_rr_arms=rr_grad_arms)
             value = value + sur3 - jax.lax.stop_gradient(sur3)
     return value
 
@@ -249,7 +260,8 @@ def render_pixels_vjp(params: dict, scene: Scene, cam: Camera, cotangent,
                       mesh=None, boundary_samples: int = 0,
                       secondary_samples: int = 0, secondary_spheres: int = 2,
                       secondary_vertex_depths: int = 1,
-                      rr_grad: bool = False, engine: str = "auto",
+                      rr_grad: bool = False, rr_grad_arms: int = 2,
+                      engine: str = "auto",
                       engine_opts: dict | None = None):
     """Direct pixel-Jacobian VJP: d<cotangent, I(params)>/d(params).
 
@@ -283,7 +295,7 @@ def render_pixels_vjp(params: dict, scene: Scene, cam: Camera, cotangent,
             secondary_samples=secondary_samples,
             secondary_spheres=secondary_spheres,
             secondary_vertex_depths=secondary_vertex_depths,
-            rr_grad=rr_grad)
+            rr_grad=rr_grad, rr_grad_arms=rr_grad_arms)
         return value, rendered
 
     grads, pixels = jax.grad(scalar, has_aux=True)(params)
@@ -295,7 +307,7 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
                     options, mesh=None, boundary_samples: int = 0,
                     secondary_samples: int = 0, secondary_spheres: int = 2,
                     secondary_vertex_depths: int = 1, rr_grad: bool = False,
-                    engine: str = "auto",
+                    rr_grad_arms: int = 2, engine: str = "auto",
                     engine_opts: dict | None = None):
     """Build a jitted (params, opt_state, ...) -> (params, opt_state, loss).
 
@@ -314,7 +326,8 @@ def make_train_step(optimizer: optax.GradientTransformation, *, width: int,
             secondary_samples=secondary_samples,
             secondary_spheres=secondary_spheres,
             secondary_vertex_depths=secondary_vertex_depths,
-            rr_grad=rr_grad, engine=engine, engine_opts=engine_opts)
+            rr_grad=rr_grad, rr_grad_arms=rr_grad_arms, engine=engine,
+            engine_opts=engine_opts)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -331,7 +344,7 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         init_opt_state=None, start_step: int = 0,
         boundary_samples: int = 0, secondary_samples: int = 0,
         secondary_spheres: int = 2, secondary_vertex_depths: int = 1,
-        rr_grad: bool = False, engine: str = "auto",
+        rr_grad: bool = False, rr_grad_arms: int = 2, engine: str = "auto",
         engine_opts: dict | None = None):
     """Optimize scene params toward a target image.
 
@@ -375,7 +388,8 @@ def fit(scene: Scene, cam: Camera, target_image, cfg: RenderConfig, *,
         secondary_samples=secondary_samples,
         secondary_spheres=secondary_spheres,
         secondary_vertex_depths=secondary_vertex_depths,
-        rr_grad=rr_grad, engine=engine, engine_opts=engine_opts)
+        rr_grad=rr_grad, rr_grad_arms=rr_grad_arms, engine=engine,
+        engine_opts=engine_opts)
 
     losses = []
     for i in range(start_step, start_step + steps):

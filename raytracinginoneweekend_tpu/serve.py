@@ -57,7 +57,7 @@ _FIT_DEFAULTS = dict(params="albedo,centers", perturb=0.1, steps=100,
                      lr=1e-2, batch_pixels=4096, fit_spp=4,
                      boundary_samples=0, secondary_samples=0,
                      secondary_spheres=2, secondary_vertex_depths=1,
-                     rr_grad=False, ad_engine="auto", log_every=10,
+                     rr_grad=False, rr_grad_arms=2, ad_engine="auto", log_every=10,
                      checkpoint=None, checkpoint_every=25, resume=None)
 
 

@@ -182,6 +182,31 @@ def test_grazing_gate_is_conditional_on_boundary_term():
     assert g_rd != g_full
 
 
+def test_rr_grad_arms_threads_through_render_loss():
+    """rr_grad_arms (round 5, the delta-lobe cost-policy knob --
+    docs/RR_ARMS_COST_r05.json) must reach branchprob's chain_rr_arms:
+    arms=0 measurably drops the side-chain mass vs the default 2 on a
+    glass config, and both stay finite."""
+    w, h = 48, 27
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(w, h)
+    ids = jnp.arange(w * h, dtype=jnp.int32)
+    target = jnp.zeros((w * h, 3), jnp.float32)
+
+    def g(arms):
+        def loss_of(params):
+            return render_loss(params, scene, cam, target, ids,
+                               jax.random.key(3), width=w, height=h,
+                               spp=4, max_depth=6, camera_mode="pinhole",
+                               options=DEFAULT, rr_grad=True,
+                               rr_grad_arms=arms)
+        return float(jax.grad(loss_of)({"ior": scene.ior})["ior"][2])
+
+    g0, g2 = g(0), g(2)
+    assert np.isfinite(g0) and np.isfinite(g2)
+    assert g0 != g2, (g0, g2)
+
+
 @pytest.mark.slow
 def test_rr_branch_flip_matches_finite_differences():
     """FD parity of the pure RR term: lone glass at depth 2, where the

@@ -63,7 +63,48 @@ def test_wave_spp_invariance():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
-def test_differentiable_matches_fast():
+def test_probe_rr_qcap_unbiased():
+    """The surrogate probe estimator (round 5): trace_fast with forced
+    capped RR (rr_terminate + rr_qcap=0.5 -- silhouette._probe_options /
+    PROBE_RR_QCAP) must be an UNBIASED estimator of the no-RR radiance:
+    survivors boost 1/q, so the per-key mean over many keys converges to
+    the exact trace. Also pins that the cap actually kills bright paths
+    (fewer live bounces: radiance per key DIFFERS from no-RR)."""
+    from raytracinginoneweekend_tpu.ops.integrate import trace_fast
+    from raytracinginoneweekend_tpu.ops.silhouette import (PROBE_RR_QCAP,
+                                                           _probe_options)
+    from raytracinginoneweekend_tpu.render import make_primary_rays
+
+    scene = simple_scene_cuda()
+    cam = reference_cuda_camera(W, H)
+    n = W * H
+    pids = jnp.arange(n, dtype=jnp.int32)
+    depth = 12
+    popts = _probe_options(DEFAULT)
+    # FIXED ray geometry; per-arm ray KEYS vary, so both arms average
+    # over the same scatter-draw distribution and only the RR policy
+    # differs (the RR words are part of the same per-ray key stream).
+    o, d, _ = make_primary_rays(cam, pids, jnp.zeros_like(pids),
+                                jax.random.key(0), W, H, "cuda")
+
+    def one(k, opts, qcap):
+        ks = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.key(100 + k), pids)
+        return np.asarray(trace_fast(scene, o, d, ks, depth, opts,
+                                     rr_qcap=qcap))
+
+    n_keys = 32
+    plain = np.stack([one(k, DEFAULT, 1.0) for k in range(n_keys)])
+    capped = np.stack([one(k, popts, PROBE_RR_QCAP)
+                       for k in range(n_keys)])
+    # Per-key it is a DIFFERENT (noisier) estimator...
+    assert np.abs(capped[0] - plain[0]).max() > 1e-3
+    # ...whose expectation matches: global means agree within a few
+    # combined standard errors.
+    se = float(np.hypot(plain.mean(axis=(1, 2)).std() / np.sqrt(n_keys),
+                        capped.mean(axis=(1, 2)).std() / np.sqrt(n_keys)))
+    assert abs(float(capped.mean()) - float(plain.mean())) < 4.0 * se, (
+        capped.mean(), plain.mean(), se)
     """scan-based trace and while_loop trace produce identical radiance."""
     scene = simple_scene_cuda()
     cam = reference_cuda_camera(W, H)

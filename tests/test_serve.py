@@ -130,7 +130,7 @@ def test_fit_estimator_knobs_forward_through_server(server):
         "spp": 2, "depth": 3, "mode": "pinhole", "params": "albedo",
         "steps": 6, "fit_spp": 2, "batch_pixels": 128,
         "ad_engine": "wavefront", "rr_terminate": True,
-        "sampling": "stratified"})
+        "sampling": "stratified", "rr_grad": True, "rr_grad_arms": 1})
     assert resp["ok"], resp
     assert resp["steps"] == 6 and "albedo" in resp["errors"]
     # 6 steps at spp 2 are stochastic -- pin "runs and stays sane", not

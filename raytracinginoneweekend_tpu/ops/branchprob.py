@@ -215,6 +215,7 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                                  probe_delta_diel: float = 0.05,
                                  chain_rr_arms: int = 2,
                                  sweep_redraws: int = 0,
+                                 rr_probe_splits: int = 1,
                                  boundary_rim_frac: float | None = None,
                                  _detach_prefix: bool = False,
                                  _rr_term: bool = True,
@@ -243,6 +244,18 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         round-3 scope extension; 0 restores the refract-chain-only
         estimator. Arms beyond the first reflection per interface
         (reflect-of-reflect) remain out of scope.
+      rr_probe_splits: number of INDEPENDENT CRN probe pairs averaged
+        inside the RR term (default 1 = the historical single pair;
+        split 0 keeps the historical key stream, so splits=1 is
+        bit-identical to before). Expectation unchanged; splits x
+        probe-trace cost. Diagnostic finding (round 5): the rim
+        reproducer's RR-term heavy tail across step keys (raw mean
+        0.547 vs 10%-trimmed 0.484 at 48 keys,
+        docs/RIM_OWNERSHIP_r05.json) is NOT probe noise -- splits=4
+        leaves the across-key SE unchanged (240 vs 317 units at 24
+        keys, measured), so the tail lives in the vertex-jitter
+        dimension (which lanes graze the rim), where only more pixels/
+        samples help.
       sweep_redraws: number M of fresh uniform pixel-jitter re-walks per
         lane for the MAIN branches' sweep term (0 = the lane's own
         single jitter, the pre-round-5 estimator). Each redraw re-runs
@@ -368,16 +381,28 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
     probe_depth = max(max_depth - 1 - vertex_depth, 0)
 
     # RR term: both continuations with common random numbers.
-    pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
-        jax.random.fold_in(base_key, TAG_RR_PROBE),
-        jnp.arange(p_count, dtype=jnp.int32))
+    # rr_probe_splits > 1 averages that many INDEPENDENT probe pairs
+    # (each pair still CRN within itself) -- a variance/heavy-tail knob
+    # for the probe difference at rr_probe_splits x trace cost; the
+    # expectation is unchanged.
+    l_reflect = jnp.zeros((p_count, 3), jnp.float32)
+    l_refract = jnp.zeros((p_count, 3), jnp.float32)
     o_all = jnp.concatenate([y, y])
     d_all = det(jnp.concatenate([reflected_att, refracted_att]))
-    k_all = jnp.concatenate([pkeys, pkeys])
-    f_all = trace_fast(scene_det, o_all, d_all, k_all, probe_depth,
-                       _probe_options(options), rr_qcap=PROBE_RR_QCAP)
-    l_reflect = f_all[:p_count]
-    l_refract = f_all[p_count:]
+    for j in range(rr_probe_splits):
+        kj = jax.random.fold_in(base_key, TAG_RR_PROBE)
+        if j > 0:  # split 0 keeps the historical key stream
+            kj = jax.random.fold_in(kj, j)
+        pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+            kj, jnp.arange(p_count, dtype=jnp.int32))
+        k_all = jnp.concatenate([pkeys, pkeys])
+        f_all = trace_fast(scene_det, o_all, d_all, k_all, probe_depth,
+                           _probe_options(options),
+                           rr_qcap=PROBE_RR_QCAP)
+        l_reflect = l_reflect + f_all[:p_count]
+        l_refract = l_refract + f_all[p_count:]
+    l_reflect = l_reflect / rr_probe_splits
+    l_refract = l_refract / rr_probe_splits
 
     # 4. Detached RR weight; the only attached factor is p(theta). The
     # vertex attenuation is the material albedo (material.hxx:33-38).

@@ -145,16 +145,21 @@ reproducer configs:
   * GLASS-RIM / SWEEP OVERLAP -- RESOLVED (round 5): the round-4
     suspicion of a partial rim-band double count when BOTH rr_grad and
     boundary_samples are on (a noise-limited 0.39 +- 0.18 SE claim) was
-    decided by the CRN-paired ownership study
-    (scripts/rim_ownership.py -> docs/RIM_OWNERSHIP_r05.json, 48 keys):
-    on the rim reproducer interior AD is 0, the boundary term is
-    +0.125 +- 0.006, the RR term +0.49 +- 0.03 and the sweep
-    -0.42 +- 0.03 -- the delta-lobe pair largely CANCELS and the full
-    ungated total (0.196 +- 0.042) matches FD truth (0.112 +- 0.005)
-    within 2 SE, while ceding the rim band leaves the total 17 SE high.
-    Ownership map: the boundary term owns the rim's geometric motion;
-    the RR + sweep pair jointly own the Schlick/TIR branch mass and
-    must always run TOGETHER, ungated (raytracer.hxx:179-191).
+    decided by the CRN-paired ownership study (scripts/rim_ownership.py
+    -> docs/RIM_OWNERSHIP_r05.json, final run 96 keys): on the rim
+    reproducer interior AD is 0, the boundary term is +0.125 +- 0.005
+    (~= FD truth 0.114 alone), and the delta-lobe pair largely CANCELS
+    (rr +0.54 / sweep -0.40); ceding the rim band leaves the total
+    16 SE above FD vs z = 3.8 ungated. Ownership map: the boundary term
+    owns the rim's geometric motion; the RR + sweep pair jointly own
+    the Schlick/TIR branch mass and must always run TOGETHER, ungated
+    (raytracer.hxx:179-191). The 96-key resolution also PROMOTES the
+    pair's imperfect cancellation to a measured bias bound on this
+    all-rim-band adversarial frame: net +0.151 +- 0.039 above FD
+    (family: the RR term probing branch continuations at Fresnel -> 1
+    grazing incidence -- specular-manifold territory, same as the
+    chain-sweep residual). Ordinary frames hold rim pixels as a small
+    fraction; every shipped FD-parity test passes at tolerance.
   * reflect-of-reflect arms (second-order internal RR): unmeasured on
     shipped scenes (no failing config found; the first-order arms are
     within 2.5% of FD on the config built to expose them).
@@ -523,7 +528,11 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         the same smooth function of theta evaluated at a new point of
         the pixel's jitter measure. The vertex/branch math duplicates
         steps 1-3 and the gate of the main path above (source of truth;
-        keep in sync)."""
+        keep in sync). Known inefficiency (acceptable for a diagnostic
+        knob): the branch-INDEPENDENT prefix walk re-runs per branch
+        because the redraw jitter key carries br; sharing M walks across
+        both branches would halve the redraw trace cost if this is ever
+        promoted beyond diagnostics."""
         ju = jax.random.uniform(jax.random.fold_in(rjkey, 0), (p_count,))
         jv = jax.random.uniform(jax.random.fold_in(rjkey, 1), (p_count,))
         yp = pixel_ids // width
@@ -672,6 +681,10 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
         # alb: the chain's per-channel interface attenuation (tinted
         # glass; ones on the shipped scenes).
         if redraw and sweep_redraws > 0:
+            if sweep_redraws > 16:
+                raise ValueError(
+                    "sweep_redraws > 16 would collide redraw fold_in "
+                    "tags across branches (TAG_SWEEP_REDRAW + br*16 + m)")
             # M fresh uniform re-jitters of THIS pixel replace the
             # lane's own single kernel sample (sweep_redraws docstring):
             # the chain re-runs EXACTLY per redraw; the candidate edge
@@ -682,6 +695,15 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
             fstep = det(f_in - f_out)
             c_r = scene.centers[j_star]
             r_r = scene.radii[j_star]
+            # The redrawn kernel reuses the ORIGINAL lane's candidate
+            # edge (j_star) and probe step (fstep), so redraw
+            # contributions are only meaningful where the original
+            # chain was itself valid -- a pixel whose own jitter never
+            # reached a gated air segment has a j_star/fstep built from
+            # meaningless geometry, and the single-sample estimator
+            # contributed 0 there too (review r5: without this mask,
+            # rim-straddling pixels could inject spurious mass).
+            orig_ok = gate & done & budget_ok & any_ok & ok_t
             acc = jnp.float32(0.0)
             for m in range(sweep_redraws):
                 rw = rewalk_branch(
@@ -705,8 +727,8 @@ def branch_probability_surrogate(scene: Scene, cam: Camera,
                 kern2 = jnp.maximum(0.0, 1.0 - jnp.abs(det(g2)) / h) / h
                 w2 = (jnp.sum(rw["thru"] * rw["alb"] * fstep, axis=-1)
                       * rw["prob"] * kern2)
-                w2 = jnp.where(rw["gate"] & rw["done"] & budget2
-                               & any_ok & okt2, w2, 0.0)
+                w2 = jnp.where(orig_ok & rw["gate"] & rw["done"]
+                               & budget2 & okt2, w2, 0.0)
                 acc = acc - jnp.sum(det(w2) * g2)
             return acc / sweep_redraws
 

@@ -64,8 +64,16 @@ ACT = 3      # index of the `active` plane within the state
 # UPPER BOUND on what an at-regen substitution (+3 state planes) could
 # recover. Estimator-changing; never set outside the experiment.
 import os as _os
+import sys as _sys
 
 _STRAT0_MODE = _os.environ.get("RTW_STRAT0_MODE", "recompute")
+if _STRAT0_MODE not in ("recompute", "off"):
+    raise ValueError(
+        f"RTW_STRAT0_MODE={_STRAT0_MODE!r}: expected 'recompute' or 'off'")
+if _STRAT0_MODE == "off":  # loud: this changes the stratified estimator
+    print("pallas_fused: RTW_STRAT0_MODE=off -- bounce-0 stratified "
+          "substitution DISABLED (timing ablation; estimator-changing)",
+          file=_sys.stderr)
 
 
 def pack_camera(cam):

@@ -179,11 +179,18 @@ def serve(socket_path: str) -> int:
             if stop["flag"]:
                 raise KeyboardInterrupt
 
-    srv = Server(socket_path, Handler)
     # Owner-only socket (ADVICE r4): requests carry filesystem paths
     # (out/checkpoint/resume) the server will read/write with its own
-    # uid, so any peer who can connect can drive those -- restrict the
-    # endpoint to the owning user instead of the default umask.
+    # uid, so any peer who can connect can drive those. The umask is
+    # tightened BEFORE bind (a post-bind chmod would leave a window in
+    # which another local user could connect and keep the established
+    # connection past the chmod); the belt-and-suspenders chmod then
+    # normalizes the mode regardless of inherited umask bits.
+    old_umask = os.umask(0o177)
+    try:
+        srv = Server(socket_path, Handler)
+    finally:
+        os.umask(old_umask)
     os.chmod(socket_path, 0o600)
     print(f"rtw render server listening on {socket_path}", flush=True)
     try:

@@ -64,6 +64,9 @@ def main():
                 print(f"arms={arms} attempt {attempt}: {str(e)[:120]}",
                       file=sys.stderr, flush=True)
                 time.sleep(20)
+        if sec is None:
+            raise RuntimeError(
+                f"arms={arms}: all timing attempts failed (see stderr)")
         out[f"arms_{arms}"] = round(sec * 1e3, 1)
         print(f"chain_rr_arms={arms}: {sec * 1e3:.1f} ms/grad-eval",
               file=sys.stderr, flush=True)

@@ -12,8 +12,12 @@ set -u
 cd "$(dirname "$0")/.."
 ROUND=${ROUND:-05}
 LOG=$(mktemp)
-status=0
-./run_tests.sh --full 2>&1 | tee "$LOG" || status=$?
+# No pipe here: in POSIX sh a pipeline's status is the LAST command's
+# (tee's), which would record a red run as green -- the exact failure
+# this gate exists to prevent. Write to the log, then show the tail.
+./run_tests.sh --full > "$LOG" 2>&1
+status=$?
+tail -n 20 "$LOG"
 python - "$LOG" "$status" "docs/TESTS_r${ROUND}.json" <<'EOF'
 import datetime
 import json

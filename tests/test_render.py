@@ -105,6 +105,9 @@ def test_probe_rr_qcap_unbiased():
                         capped.mean(axis=(1, 2)).std() / np.sqrt(n_keys)))
     assert abs(float(capped.mean()) - float(plain.mean())) < 4.0 * se, (
         capped.mean(), plain.mean(), se)
+
+
+def test_differentiable_matches_fast():
     """scan-based trace and while_loop trace produce identical radiance."""
     scene = simple_scene_cuda()
     cam = reference_cuda_camera(W, H)

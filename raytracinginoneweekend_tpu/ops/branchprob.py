@@ -153,13 +153,18 @@ reproducer configs:
     16 SE above FD vs z = 3.8 ungated. Ownership map: the boundary term
     owns the rim's geometric motion; the RR + sweep pair jointly own
     the Schlick/TIR branch mass and must always run TOGETHER, ungated
-    (raytracer.hxx:179-191). The 96-key resolution also PROMOTES the
-    pair's imperfect cancellation to a measured bias bound on this
-    all-rim-band adversarial frame: net +0.151 +- 0.039 above FD
-    (family: the RR term probing branch continuations at Fresnel -> 1
-    grazing incidence -- specular-manifold territory, same as the
-    chain-sweep residual). Ordinary frames hold rim pixels as a small
-    fraction; every shipped FD-parity test passes at tolerance.
+    (raytracer.hxx:179-191). The pair's imperfect cancellation on this
+    all-rim-band adversarial frame was then bounded by a three-step
+    elimination (ARCHITECTURE.md): flat in BOTH smoothing bandwidths
+    (docs/RIM_BANDWIDTH_r05.json), bit-flat in probe_delta_diel, and
+    BRACKETING the ~0 truth across vertex-depth coverage
+    (docs/RIM_DEPTH_r05.json: vd0-only +0.110 +- 0.040, designed
+    depth-0..1 sum -0.133 +- 0.041, the internal interface's channel
+    alone ~ -0.24). Honest bound: the per-interface channels are
+    individually large here and their sum misses the small truth by
+    ~|0.12| either way -- grazing-incidence estimator structure, the
+    specular-manifold family. Ordinary frames hold rim pixels as a
+    small fraction; every shipped FD-parity test passes at tolerance.
   * reflect-of-reflect arms (second-order internal RR): unmeasured on
     shipped scenes (no failing config found; the first-order arms are
     within 2.5% of FD on the config built to expose them).
